@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     — flagship: profile the customer table at sf0.001.
+queries()        — one entry per implemented operator (SURVEY.md §2 keys).
+oracle_sql()     — DuckDB-equivalent SQL for each query (correctness gate).
 """
 
 from __future__ import annotations
@@ -13,26 +11,60 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ai_data_pipeline_spark.catalog import TABLES, load_table
+from ai_data_pipeline_spark.profiling.profiler import profile_summary, profile_table
+from ai_data_pipeline_spark.profiling.oracle import (
+    profile_oracle_sql,
+    profile_summary_oracle_sql,
+)
+
+PROFILED_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full semantic profile of the customer table."""
+    df = load_table(spark, "/root/testdata/sf0.001", "customer")
+    return profile_table(df, TABLES["customer"])
+
+
+def _profile_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return profile_table(load_table(spark, sf_dir, table), TABLES[table])
+
+    return run
+
+
+def _summary_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return profile_summary(profile_table(load_table(spark, sf_dir, table), TABLES[table]))
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for t in PROFILED_TABLES:
+        q[f"profile_{t}"] = _profile_query(t)
+    q["profile_summary_customer"] = _summary_query("customer")
+    q["profile_summary_events"] = _summary_query("events")
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    for t in PROFILED_TABLES:
+        o[f"profile_{t}"] = profile_oracle_sql(t, TABLES[t])
+    o["profile_summary_customer"] = profile_summary_oracle_sql("customer", TABLES["customer"])
+    o["profile_summary_events"] = profile_summary_oracle_sql("events", TABLES["events"])
+    return o

@@ -1,0 +1,36 @@
+"""Replicates the driver's t2 gate locally: every queries() entry with an
+oracle must match the DuckDB result exactly at the test scale factor."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_all_queries_have_known_keys():
+    unknown = set(ORACLES) - set(QUERIES)
+    assert not unknown, f"oracle_sql keys without queries: {unknown}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    assert_query_matches_oracle(sdf, duck, ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    assert sdf.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.columns) > 0
