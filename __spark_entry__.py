@@ -12,11 +12,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ai_data_pipeline_spark.catalog import TABLES, load_table
+from ai_data_pipeline_spark.operators import relational
 from ai_data_pipeline_spark.profiling.profiler import profile_summary, profile_table
 from ai_data_pipeline_spark.profiling.oracle import (
     profile_oracle_sql,
     profile_summary_oracle_sql,
 )
+
+QUERY_DEF_MODULES = [relational]
 
 PROFILED_TABLES = [
     "region",
@@ -58,6 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[f"profile_{t}"] = _profile_query(t)
     q["profile_summary_customer"] = _summary_query("customer")
     q["profile_summary_events"] = _summary_query("events")
+    for mod in QUERY_DEF_MODULES:
+        for d in mod.QUERY_DEFS:
+            q[d.name] = d.fn
     return q
 
 
@@ -67,4 +73,8 @@ def oracle_sql() -> dict[str, str]:
         o[f"profile_{t}"] = profile_oracle_sql(t, TABLES[t])
     o["profile_summary_customer"] = profile_summary_oracle_sql("customer", TABLES["customer"])
     o["profile_summary_events"] = profile_summary_oracle_sql("events", TABLES["events"])
+    for mod in QUERY_DEF_MODULES:
+        for d in mod.QUERY_DEFS:
+            if d.oracle is not None:
+                o[d.name] = d.oracle
     return o

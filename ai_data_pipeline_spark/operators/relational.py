@@ -1,0 +1,254 @@
+"""Relational analytics operators (extensions beyond the reference, which
+implements no joins/aggregation queries — SURVEY.md §2.8; built Spark-first
+per §7.5 and used as the bench headliners).
+
+Cross-engine exactness strategy: monetary sums are computed as
+``CAST(SUM(CAST(expr AS DECIMAL(18,s)) ) AS DOUBLE)``. The per-row double
+product is IEEE-deterministic in both engines; casting it to a fixed-scale
+decimal recovers the exact few-decimal value; decimal summation is exact
+and order-independent (unlike double summation, whose partial-aggregation
+order differs between engines); the final cast to double is deterministic.
+Timestamps are compared as epoch seconds / formatted strings to dodge
+dtype mismatches.
+
+Scale notes:
+- q1: single scan, partial+final hash agg on 2 low-cardinality keys; the
+  shipdate filter pushes into the parquet scan.
+- q3: customer is broadcast (small dim); orders⋈lineitem shuffles on the
+  join key; AQE handles skew. Top-N via global sort of the tiny grouped
+  result, ties broken by key for determinism.
+- sessionize: one hash-partition-by-user + in-partition sort (Spark
+  window); no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.registry import QueryDef
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+def dec_sum(col, scale: int = 4):
+    """Exact, order-independent cross-engine sum of a few-decimal double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(charge, 6).alias("sum_charge"),
+            (dec_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (dec_sum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (dec_sum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = l.join(
+        F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    grouped = joined.groupBy(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    ).agg(dec_sum(revenue).alias("revenue"))
+    return grouped.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — grouping-sets coverage."""
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(dec_sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per priority — window top-k pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+Q_TOPK_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window event aggregation (batch form; the
+    streaming module runs the same logic via Structured Streaming)."""
+    e = load_table(spark, sf_dir, "events")
+    win = (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 300).alias("win_start")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+Q_EVENTS_WINDOW_ORACLE = """
+SELECT (epoch_ns(ts) // 1000000000 // 300) * 300 AS win_start, event_type,
+  count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split at 30-min inactivity gaps.
+    Lag + cumulative-sum window pattern; one shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sessions = (
+        e.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("is_new").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ))
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
+Q_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+), flagged AS (
+  SELECT user_id, ts_us, event_id,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), numbered AS (
+  SELECT user_id, ts_us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON props column."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+    )
+
+
+Q_EVENTS_JSON_ORACLE = r"""
+SELECT event_type,
+  SUM(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS sum_k,
+  count(CASE WHEN regexp_extract(props, '"k":\s*(-?\d+)', 1) <> '' THEN 1 END) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
+    QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE),
+    QueryDef("q_rollup_revenue", q_rollup_revenue, Q_ROLLUP_ORACLE),
+    QueryDef("q_topk_per_group", q_topk_per_group, Q_TOPK_ORACLE),
+    QueryDef("q_events_window", q_events_window, Q_EVENTS_WINDOW_ORACLE),
+    QueryDef("q_sessionize", q_sessionize, Q_SESSIONIZE_ORACLE),
+    QueryDef("q_events_json", q_events_json, Q_EVENTS_JSON_ORACLE),
+]
