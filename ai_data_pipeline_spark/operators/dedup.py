@@ -1,0 +1,301 @@
+"""Deduplication operators over the documents table (north-star extension:
+exact, n-gram Jaccard, MinHash+LSH, SimHash).
+
+Scale design:
+- exact / fingerprint dedup: hash groupBy on the content key — one keyed
+  shuffle, map-side partial aggregation.
+- n-gram Jaccard: word-trigram shingles, distinct per doc, self-join on
+  shingle. Quadratic in docs-per-shingle, so it is the *verification*
+  primitive; at 100 TB scale candidate generation goes through MinHash
+  bands (below) and this join runs only within tiny buckets.
+- MinHash+LSH: k=12 signatures = min over shingles of md5(seed|shingle)
+  (lexicographic min of hex — deterministic, engine-portable), banded
+  r=3×b=4; docs sharing a band bucket become candidates; candidates are
+  verified with exact Jaccard. Band join is equi-join on (band, hash) —
+  linear shuffle, no all-pairs blowup.
+- SimHash: 16-bit signature from per-token md5 bit votes; exact-signature
+  groups are near-dup clusters. All bit arithmetic via portable
+  hex-digit parsing (instr on a hex alphabet).
+
+Everything is built-in expressions (no UDFs); every operator has a DuckDB
+oracle with the same integer-exact decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.registry import QueryDef
+
+MINHASH_K = 12
+MINHASH_BAND_R = 3  # rows per band -> 4 bands
+JACCARD_NUM, JACCARD_DEN = 1, 2  # candidate-verify threshold 0.5
+NGRAM_NUM, NGRAM_DEN = 3, 10  # ngram-jaccard report threshold 0.3
+
+# Word-trigram shingles as a SQL expression (Spark dialect).
+SHINGLES_SPARK = (
+    r"array_distinct(transform(sequence(1, greatest(size(split(text, '\\s+')) - 2, 1)),"
+    r" i -> concat_ws(' ', slice(split(text, '\\s+'), i, 3))))"
+)
+# DuckDB dialect: list comprehension over the split tokens.
+SHINGLES_DUCK = (
+    r"list_distinct([array_to_string(l[i:i+2], ' ') "
+    r"for i in range(1, greatest(len(l)-2, 1)+1)])"
+)
+SHINGLES_DUCK_FROM = r"(SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents)"
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on full text: keep min doc_id per distinct content."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups")
+    ).select("keep_doc_id", "n_dups")
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard similarity pairs with jaccard >= 0.3
+    (integer-exact: den*inter >= num*union)."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(NGRAM_DEN * F.col("inter") >= NGRAM_NUM * F.col("un"))
+    )
+    return out.select(
+        "doc_a", "doc_b", "inter", "un",
+        F.round(F.col("inter").cast("double") / F.col("un"), 6).alias("jaccard"),
+    )
+
+
+DEDUP_NGRAM_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM {SHINGLES_DUCK_FROM}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS un,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {NGRAM_DEN}*inter >= {NGRAM_NUM}*(sa.sz + sb.sz - inter)
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + LSH banding (r=3, b=4): candidate pairs from shared
+    band buckets, verified with exact Jaccard >= 0.5."""
+    sh = _doc_shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"m{j}")
+            for j in range(MINHASH_K)
+        ],
+        F.count(F.lit(1)).alias("sz"),
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"m{b * MINHASH_BAND_R + r}")
+                                    for r in range(MINHASH_BAND_R)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bhash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sig.select("doc_id", "sz")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(JACCARD_DEN * F.col("inter") >= JACCARD_NUM * F.col("un"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter").cast("double") / F.col("un"), 6).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{j}|' || shingle)) AS m{j}" for j in range(MINHASH_K)
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cc}) AS bhash FROM sig".format(
+            b=b,
+            cc=" || '|' || ".join(
+                f"m{b * MINHASH_BAND_R + r}" for r in range(MINHASH_BAND_R)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return rf"""
+WITH sh AS (
+  SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM {SHINGLES_DUCK_FROM}
+), sig AS (
+  SELECT doc_id, {sig_cols}, count(*) AS sz FROM sh GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE {JACCARD_DEN}*inter >= {JACCARD_NUM}*(sa.sz + sb.sz - inter)
+"""
+
+
+SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: per-bit majority vote of token
+    md5 bits; exact-signature groups = near-dup clusters."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), r"\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    votes = []
+    for bit in range(SIMHASH_BITS):
+        hex_pos = 1 + bit // 4
+        sub_bit = bit % 4
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, hex_pos, 1)) - 1
+        bit_set = (digit.cast("long") / (2**sub_bit)).cast("long") % 2
+        votes.append(
+            F.sum(F.when(bit_set == 1, 1).otherwise(-1)).alias(f"v{bit}")
+        )
+    sig = tokens.groupBy("doc_id").agg(*votes)
+    simhash = sum(
+        (F.when(F.col(f"v{b}") > 0, 2**b).otherwise(0) for b in range(SIMHASH_BITS)),
+        F.lit(0),
+    )
+    return (
+        sig.select("doc_id", simhash.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = []
+    for bit in range(SIMHASH_BITS):
+        hex_pos = 1 + bit // 4
+        sub_bit = bit % 4
+        digit = f"(instr('0123456789abcdef', substr(md5(tok), {hex_pos}, 1)) - 1)"
+        bit_set = f"(({digit} // {2**sub_bit}) % 2)"
+        votes.append(
+            f"SUM(CASE WHEN {bit_set} = 1 THEN 1 ELSE -1 END) AS v{bit}"
+        )
+    votes_sql = ", ".join(votes)
+    simhash = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return rf"""
+WITH tokens AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+  FROM documents
+), toks AS (
+  SELECT doc_id, tok FROM tokens WHERE tok <> ''
+), sig AS (
+  SELECT doc_id, {votes_sql} FROM toks GROUP BY doc_id
+)
+SELECT ({simhash}) AS simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM sig GROUP BY 1
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
+    QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE),
+    QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle()),
+    QueryDef("dedup_simhash", dedup_simhash, _simhash_oracle()),
+]

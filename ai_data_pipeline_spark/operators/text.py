@@ -1,0 +1,207 @@
+"""Text-analysis operators over the documents table (north-star extension,
+BASELINE.json: language-ID, quality scoring, token counting, document
+fingerprinting).
+
+All are single-scan, shuffle-light (aggregations keyed on low-cardinality
+columns), JVM-side expressions only — no Python UDFs in any hot path.
+Cross-engine exactness: integer counts + decimal-exact ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.registry import QueryDef
+
+# Stopword sets for the n-gram/stopword language-ID heuristic. Tiny and
+# deterministic on purpose: the score is count of stopword occurrences.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une"],
+    "es": ["el", "la", "los", "de", "que", "es", "una"],
+}
+
+TOKEN_RX = r"[A-Za-z0-9]+(?:'[A-Za-z]+)?"  # BPE-ish word tokenizer
+TOKEN_RX_SQL = TOKEN_RX.replace("'", "''")  # SQL-literal-escaped
+
+
+def _stopword_count_expr(col: str, words: list[str]):
+    rx = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(rx), F.lit(1)))
+
+
+def _stopword_count_sql(col: str, words: list[str]) -> str:
+    rx = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(lower({col}), '{rx}', 1))"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: lengths, token counts, ratios, and a
+    deterministic quality score — aggregated per (lang, source)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RX), F.lit(0)))
+    n_ws = F.size(F.split(F.col("text"), r"\s+"))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    stop_en = _stopword_count_expr("text", LANG_STOPWORDS["en"])
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        n_punct.alias("n_punct"),
+        stop_en.alias("n_stop_en"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_m").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_ws_tokens").alias("sum_ws_tokens"),
+        F.sum("n_punct").alias("sum_punct"),
+        F.sum("n_stop_en").alias("sum_stop_en"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_chars_m"), 6
+        ).alias("tokens_per_char"),
+    )
+
+
+def _text_stats_oracle() -> str:
+    stop = _stopword_count_sql("text", LANG_STOPWORDS["en"])
+    return rf"""
+WITH per_doc AS (
+  SELECT doc_id, lang, source,
+    length(text) AS n_chars_m,
+    len(regexp_extract_all(text, '{TOKEN_RX_SQL}', 0)) AS n_tokens,
+    len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+    {stop} AS n_stop_en
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+  SUM(n_chars_m) AS sum_chars, SUM(n_tokens) AS sum_tokens,
+  SUM(n_ws_tokens) AS sum_ws_tokens, SUM(n_punct) AS sum_punct,
+  SUM(n_stop_en) AS sum_stop_en,
+  round(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_chars_m), 6) AS tokens_per_char
+FROM per_doc GROUP BY lang, source
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: flags docs as low-quality on
+    length / punctuation-ratio / token-length heuristics (integer-exact
+    thresholds). Returns the flagged docs."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RX), F.lit(0)))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    too_short = n_chars < 100
+    # punct ratio > 10%  <=>  10*punct > chars
+    punct_heavy = (10 * n_punct) > n_chars
+    # avg token length < 3  <=>  chars < 3*tokens (whitespace approx)
+    short_tokens = n_chars < 3 * n_tokens
+    return (
+        d.select(
+            "doc_id",
+            n_chars.alias("n_chars_m"),
+            n_tokens.alias("n_tokens"),
+            too_short.alias("too_short"),
+            punct_heavy.alias("punct_heavy"),
+            short_tokens.alias("short_tokens"),
+        )
+        .filter(F.col("too_short") | F.col("punct_heavy") | F.col("short_tokens"))
+    )
+
+
+QUALITY_ORACLE = rf"""
+WITH per_doc AS (
+  SELECT doc_id, length(text) AS n_chars_m,
+    len(regexp_extract_all(text, '{TOKEN_RX_SQL}', 0)) AS n_tokens,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars_m, n_tokens,
+  n_chars_m < 100 AS too_short,
+  10*n_punct > n_chars_m AS punct_heavy,
+  n_chars_m < 3*n_tokens AS short_tokens
+FROM per_doc
+WHERE n_chars_m < 100 OR 10*n_punct > n_chars_m OR n_chars_m < 3*n_tokens
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: score each language by stopword hits,
+    argmax with deterministic tie-break (score desc, lang asc), compared
+    against the labeled lang column as a confusion matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            _stopword_count_expr("text", ws).alias(f"s_{lg}")
+            for lg, ws in LANG_STOPWORDS.items()
+        ],
+    )
+    langs = list(LANG_STOPWORDS)
+    # argmax via greatest + case cascade in lang order (ties -> first lang)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.lit("unknown")
+    for lg in reversed(langs):
+        pred = F.when((F.col(f"s_{lg}") == best) & (best > 0), lg).otherwise(pred)
+    return (
+        scored.withColumn("predicted_lang", pred)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ", ".join(
+        f"{_stopword_count_sql('text', ws)} AS s_{lg}"
+        for lg, ws in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = "'unknown'"
+    for lg in reversed(langs):
+        pred = f"CASE WHEN s_{lg} = best AND best > 0 THEN '{lg}' ELSE {pred} END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {score_cols} FROM documents
+), best_s AS (
+  SELECT *, {greatest} AS best FROM scored
+)
+SELECT lang, {pred} AS predicted_lang, count(*) AS n_docs
+FROM best_s GROUP BY 1, 2
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprinting: md5 of (lowercased,
+    whitespace-collapsed) text — groups exact near-identical docs.
+    Returns fingerprint groups with >= 1 member and the min doc_id kept."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+FINGERPRINT_ORACLE = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("text_stats", text_stats, _text_stats_oracle()),
+    QueryDef("text_quality_flags", quality_score, QUALITY_ORACLE),
+    QueryDef("text_lang_id", lang_id, _lang_id_oracle()),
+    QueryDef("text_fingerprint", doc_fingerprint, FINGERPRINT_ORACLE),
+]
