@@ -1,0 +1,209 @@
+"""Data Vault 2.0 generation + FK inference.
+
+The reference *declares* both capabilities but ships no code: Data Vault
+2.0 generation is named in README.md:2 / pyproject.toml:9 with an empty
+``core/generators/`` package, and ``ColumnProfile.is_foreign_key`` /
+``references`` (base.py:49-50) are never computed. We implement them
+Spark-first (SURVEY.md §7.1 M5):
+
+- FK inference: name-suffix candidate pairs checked by value containment
+  — ``orphans = count(child left-anti-join parent)``; a candidate with
+  zero orphans is declared an FK. Anti-joins broadcast the parent's
+  distinct key when small; Catalyst picks the join strategy above that.
+- Hubs: distinct business keys + sha256 hash key (deterministic across
+  engines: both emit lowercase hex).
+- Links: unit-of-work between hubs (customer↔orders), hashed composite.
+- Satellites: descriptive attributes + hashdiff for change tracking.
+
+At 100 TB: hub/sat generation is a keyed distinct + projection — one
+shuffle on the business key; links reuse the FK join keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.registry import QueryDef
+
+# (child_table, child_col, parent_table, parent_col) candidates from the
+# name-suffix heuristic over the catalog (…key ↔ …key).
+FK_CANDIDATES = [
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment check per candidate: orphan count via left-anti join."""
+    rows = []
+    for child_t, child_c, parent_t, parent_c in FK_CANDIDATES:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(child_c).alias("k")
+        ).filter(F.col("k").isNotNull())
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_c).alias("k")
+        ).distinct()
+        orphans = child.join(F.broadcast(parent), "k", "left_anti").count()
+        n_child = child.count()
+        rows.append((child_t, child_c, parent_t, parent_c, n_child, orphans, orphans == 0))
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "child_table string, child_col string, parent_table string, "
+            "parent_col string, n_child_rows bigint, n_orphans bigint, "
+            "is_foreign_key boolean"
+        ),
+    )
+
+
+def _fk_oracle() -> str:
+    branches = []
+    for child_t, child_c, parent_t, parent_c in FK_CANDIDATES:
+        branches.append(
+            f"SELECT '{child_t}' AS child_table, '{child_c}' AS child_col, "
+            f"'{parent_t}' AS parent_table, '{parent_c}' AS parent_col, "
+            f"(SELECT count(*) FROM {child_t} WHERE {child_c} IS NOT NULL) AS n_child_rows, "
+            f"(SELECT count(*) FROM {child_t} WHERE {child_c} IS NOT NULL AND "
+            f"{child_c} NOT IN (SELECT {parent_c} FROM {parent_t} WHERE {parent_c} IS NOT NULL)) AS n_orphans, "
+            f"(SELECT count(*) FROM {child_t} WHERE {child_c} IS NOT NULL AND "
+            f"{child_c} NOT IN (SELECT {parent_c} FROM {parent_t} WHERE {parent_c} IS NOT NULL)) = 0 AS is_foreign_key"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+def _hash_key(*cols) -> F.Column:
+    """Data Vault hash key: sha256 of '||'-joined business key parts."""
+    return F.sha2(F.concat_ws("||", *[F.col(c).cast("string") for c in cols]), 256)
+
+
+def dv_hub_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        _hash_key("c_custkey").alias("hub_customer_hk"),
+        F.col("c_custkey").alias("customer_bk"),
+    ).distinct()
+
+
+DV_HUB_ORACLE = """
+SELECT DISTINCT sha256(CAST(c_custkey AS VARCHAR)) AS hub_customer_hk,
+       c_custkey AS customer_bk
+FROM customer
+"""
+
+
+def dv_link_customer_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        _hash_key("o_custkey", "o_orderkey").alias("link_customer_order_hk"),
+        _hash_key("o_custkey").alias("hub_customer_hk"),
+        _hash_key("o_orderkey").alias("hub_order_hk"),
+    ).distinct()
+
+
+DV_LINK_ORACLE = """
+SELECT DISTINCT
+  sha256(CAST(o_custkey AS VARCHAR) || '||' || CAST(o_orderkey AS VARCHAR)) AS link_customer_order_hk,
+  sha256(CAST(o_custkey AS VARCHAR)) AS hub_customer_hk,
+  sha256(CAST(o_orderkey AS VARCHAR)) AS hub_order_hk
+FROM orders
+"""
+
+
+def dv_sat_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Satellite: descriptive attributes + hashdiff over them."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        _hash_key("c_custkey").alias("hub_customer_hk"),
+        F.sha2(
+            F.concat_ws(
+                "||",
+                F.col("c_name"),
+                F.col("c_nationkey").cast("string"),
+                F.col("c_acctbal").cast("string"),
+                F.col("c_mktsegment"),
+            ),
+            256,
+        ).alias("hashdiff"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+
+
+DV_SAT_ORACLE = """
+SELECT sha256(CAST(c_custkey AS VARCHAR)) AS hub_customer_hk,
+  sha256(c_name || '||' || CAST(c_nationkey AS VARCHAR) || '||' ||
+         CAST(c_acctbal AS VARCHAR) || '||' || c_mktsegment) AS hashdiff,
+  c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+def dv_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit the Data Vault DDL for the inferred model as rows — the
+    generator's user-facing artifact (schema derived from the catalog)."""
+    ddl = [
+        (
+            "hub_customer",
+            "CREATE TABLE hub_customer (hub_customer_hk CHAR(64) PRIMARY KEY, "
+            "customer_bk BIGINT NOT NULL, load_dts TIMESTAMP, record_source STRING)",
+        ),
+        (
+            "link_customer_order",
+            "CREATE TABLE link_customer_order (link_customer_order_hk CHAR(64) PRIMARY KEY, "
+            "hub_customer_hk CHAR(64), hub_order_hk CHAR(64), load_dts TIMESTAMP, "
+            "record_source STRING)",
+        ),
+        (
+            "sat_customer",
+            "CREATE TABLE sat_customer (hub_customer_hk CHAR(64), hashdiff CHAR(64), "
+            "c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING, "
+            "load_dts TIMESTAMP, record_source STRING)",
+        ),
+    ]
+    return spark.createDataFrame(ddl, schema="object_name string, ddl string")
+
+
+def _dv_ddl_oracle() -> str:
+    # literal VALUES mirror of the generated DDL rows
+    ddl = [
+        (
+            "hub_customer",
+            "CREATE TABLE hub_customer (hub_customer_hk CHAR(64) PRIMARY KEY, "
+            "customer_bk BIGINT NOT NULL, load_dts TIMESTAMP, record_source STRING)",
+        ),
+        (
+            "link_customer_order",
+            "CREATE TABLE link_customer_order (link_customer_order_hk CHAR(64) PRIMARY KEY, "
+            "hub_customer_hk CHAR(64), hub_order_hk CHAR(64), load_dts TIMESTAMP, "
+            "record_source STRING)",
+        ),
+        (
+            "sat_customer",
+            "CREATE TABLE sat_customer (hub_customer_hk CHAR(64), hashdiff CHAR(64), "
+            "c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING, "
+            "load_dts TIMESTAMP, record_source STRING)",
+        ),
+    ]
+    values = ", ".join(
+        "('" + n + "', '" + d.replace("'", "''") + "')" for n, d in ddl
+    )
+    return f"SELECT * FROM (VALUES {values}) t(object_name, ddl)"
+
+
+QUERY_DEFS = [
+    QueryDef("fk_inference", fk_inference, _fk_oracle()),
+    QueryDef("dv_hub_customer", dv_hub_customer, DV_HUB_ORACLE),
+    QueryDef("dv_link_customer_order", dv_link_customer_order, DV_LINK_ORACLE),
+    QueryDef("dv_sat_customer", dv_sat_customer, DV_SAT_ORACLE),
+    QueryDef("dv_ddl", dv_ddl, _dv_ddl_oracle()),
+]
