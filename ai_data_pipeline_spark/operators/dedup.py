@@ -116,7 +116,10 @@ WHERE {NGRAM_DEN}*inter >= {NGRAM_NUM}*(sa.sz + sb.sz - inter)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + LSH banding (r=3, b=4): candidate pairs from shared
     band buckets, verified with exact Jaccard >= 0.5."""
-    sh = _doc_shingles(spark, sf_dir)
+    # The shingle relation feeds three consumers (signatures + both sides
+    # of the verification join) — materialize it once. At cluster scale
+    # this would be a checkpoint/exchange reuse; in-memory cache locally.
+    sh = _doc_shingles(spark, sf_dir).cache()
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"m{j}")

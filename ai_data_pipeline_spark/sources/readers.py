@@ -1,0 +1,93 @@
+"""Sources & sinks.
+
+Reference parity: CSV upload ingestion is the reference's only concrete
+source intent (tests/conftest.py:64-73 ``temp_csv_file`` fixture,
+UPLOAD_DIR/.env.example:24-25 — SURVEY.md §2.1 op02); nothing else is
+implemented there (empty ``database/`` package). Spark-side we provide
+schema-explicit CSV/JSON/parquet readers and partitioned parquet sinks.
+
+Production posture: never ``inferSchema`` on big data (full extra pass);
+the catalog's declared schema drives the read. Writes partition by a
+date-like column so downstream scans prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ai_data_pipeline_spark.catalog import TABLES, load_table
+from ai_data_pipeline_spark.registry import QueryDef
+
+_KIND_TO_SPARK = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def schema_for(table: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(c, _KIND_TO_SPARK.get(kind, T.StringType()))
+            for c, kind in TABLES[table]
+            if kind in _KIND_TO_SPARK
+        ]
+    )
+
+
+def read_csv(spark: SparkSession, path: str, table: str | None = None) -> DataFrame:
+    """CSV ingest (op02). With a known table, the declared schema is
+    applied (no inference pass); otherwise header+inference for ad-hoc
+    uploads (the reference's upload flow)."""
+    if table is not None:
+        return spark.read.csv(path, header=True, schema=schema_for(table))
+    return spark.read.csv(path, header=True, inferSchema=True)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Parquet sink; partitioned layout for pruning at scale."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op02 correctness: customer → CSV → read with declared schema →
+    aggregate checksums must equal the parquet originals (oracle runs on
+    the parquet view)."""
+    import tempfile
+
+    src = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="adp_csv_")
+    src.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    back = read_csv(spark, tmp, "customer")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("sum_key"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("sum_bal"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_name").alias("n_names"),
+    )
+
+
+CSV_ROUNDTRIP_ORACLE = """
+SELECT count(*) AS n_rows, sum(c_custkey) AS sum_key,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+       count(DISTINCT c_mktsegment) AS n_segments,
+       count(DISTINCT c_name) AS n_names
+FROM customer
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("csv_roundtrip_customer", csv_roundtrip_customer, CSV_ROUNDTRIP_ORACLE),
+]
