@@ -103,6 +103,73 @@ FROM feats GROUP BY source
 """
 
 
+def resize_image(payload: bytes, target_size: tuple[int, int] = (224, 224)):
+    """STUB: resize requires an image codec (PIL/opencv, not in this
+    container). Plumbing contract identical to decode_image."""
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; "
+        "frame_sample exercises the same mapInPandas plumbing"
+    )
+
+
+FRAME_BYTES = 32  # bytes per pseudo-frame
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = (
+    "doc_id long, n_bytes long, n_frames long, n_sampled long, sampled_sum long"
+)
+
+
+def _frame_sample_batches(it):
+    """Frame sampling over opaque binary payloads: treat the byte stream
+    as fixed-size frames, keep every FRAME_STRIDE-th frame (the video
+    keyframe-sampling access pattern), and reduce each kept frame.
+    Vectorized numpy per Arrow batch — no per-byte Python."""
+    import numpy as np
+
+    for pdf in it:
+        out = {"doc_id": [], "n_bytes": [], "n_frames": [], "n_sampled": [], "sampled_sum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(payload, dtype=np.uint8)
+            n = len(a)
+            n_frames = -(-n // FRAME_BYTES)
+            idx = np.arange(n) // FRAME_BYTES
+            mask = (idx % FRAME_STRIDE) == 0
+            out["doc_id"].append(doc_id)
+            out["n_bytes"].append(n)
+            out["n_frames"].append(n_frames)
+            out["n_sampled"].append(-(-n_frames // FRAME_STRIDE))
+            out["sampled_sum"].append(int(a[mask].sum()))
+        yield pd.DataFrame(out)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: binary payload -> every FRAME_STRIDE-th
+    FRAME_BYTES-sized frame is kept and reduced. documents.text bytes
+    stand in for video payloads; real codecs slot into the same
+    mapInPandas stage (decode_image/resize_image stubs above)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
+
+
+FRAME_SAMPLE_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h, length(hex(encode(text)))//2 AS n FROM documents
+)
+SELECT doc_id, n AS n_bytes,
+  (n + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS n_frames,
+  ((n + {FRAME_BYTES - 1}) // {FRAME_BYTES} + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS n_sampled,
+  coalesce(list_sum([ (16*(instr('0123456789ABCDEF', substr(h, i, 1))-1)
+                      + (instr('0123456789ABCDEF', substr(h, i+1, 1))-1))
+                     for i in range(1, length(h)+1, 2)
+                     if ((((i-1)//2) // {FRAME_BYTES}) % {FRAME_STRIDE} = 0) ]), 0) AS sampled_sum
+FROM hx
+"""
+
+
 QUERY_DEFS = [
     QueryDef("multimodal_byte_features", byte_features, BYTE_FEATURES_ORACLE),
+    QueryDef("multimodal_frame_sample", frame_sample, FRAME_SAMPLE_ORACLE),
 ]

@@ -9,16 +9,37 @@
   derived from pure-integer arithmetic (LCG-style), so both engines
   compute bit-identical planes; bucket = sign-bit signature. At scale,
   top-k runs within buckets only.
+- ``ann_ivf``: inverted-file ANN — coarse-quantize the corpus into cells,
+  probe only the query's nearest cells.
+- ``dedup_embedding_cosine``: embedding near-duplicate pairs (the exact
+  verification primitive of embedding dedup).
 
-Float determinism: vectors are cast float→double, dot products are
-sequential left-folds in both engines (same IEEE op order → identical
-bits); cosines are rounded to 6 dp for output.
+Execution strategy — why pandas UDFs here and nowhere else in the repo:
+dense dot products are the one workload where Spark SQL expressions lose.
+A 64-term unrolled Add chain compiles into a single generated method that
+blows past the JIT's huge-method bytecode limit, so the hot loop runs in
+the JVM *bytecode interpreter* (~30× slower, measured); the higher-order
+alternative (``aggregate(zip_with(...))``) is interpreted per element and
+is just as slow. An Arrow-batched numpy kernel does the same math
+vectorized across rows.
+
+Float determinism (oracle = DuckDB ``list_reduce`` left-fold): the numpy
+kernels accumulate with an explicit sequential fold over dimensions —
+``acc += a[:, i] * b[:, i]`` for i = 0..63 — which is exactly the IEEE
+op order ((((0 + t0) + t1) + t2)…) of the oracle's fold, vectorized over
+the row axis. float32→float64 casts are exact; cosines are rounded to
+6 dp for output. Rank ties break on vec_id.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
 
 from ai_data_pipeline_spark.catalog import load_table
 from ai_data_pipeline_spark.registry import QueryDef
@@ -27,31 +48,48 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 LSH_BITS = 12
 EMB_DIM = 64
+N_CELLS = 8  # IVF coarse centroids
+N_PROBE = 2  # cells probed per query
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot product as a sequential left-fold over dimensions:
+    same IEEE op order as the oracle's list_reduce, vectorized over rows.
+    (np.dot/BLAS would reorder the summation — not bit-stable across
+    engines.)"""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i] * b[:, i]
+    return acc
+
+
+def _stack(series: pd.Series) -> np.ndarray:
+    return np.stack(series.to_numpy()).astype(np.float64)
+
+
+@pandas_udf(DoubleType())
+def _cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    if len(va) == 0:
+        return pd.Series(np.zeros(0, dtype=np.float64))
+    a, b = _stack(va), _stack(vb)
+    cos = _fold_dot(a, b) / (np.sqrt(_fold_dot(a, a)) * np.sqrt(_fold_dot(b, b)))
+    return pd.Series(cos)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
     )
-
-
-def _norm_sq(a):
-    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    e = _vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     pairs = e.filter(F.col("vec_id") >= N_QUERIES).crossJoin(F.broadcast(q))
-    cos = _dot(F.col("v"), F.col("qv")) / (
-        F.sqrt(_norm_sq(F.col("v"))) * F.sqrt(_norm_sq(F.col("qv")))
-    )
     scored = pairs.select(
-        "q_id", "vec_id", F.round(cos, 6).alias("cosine")
+        "q_id", "vec_id", F.round(_cosine_udf("v", "qv"), 6).alias("cosine")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -89,22 +127,35 @@ def _plane_coef(j: int, i: int) -> int:
     return ((1103515245 * (j * EMB_DIM + i) + 12345) % 65536) - 32768
 
 
+_PLANES = np.array(
+    [[_plane_coef(j, i) for i in range(EMB_DIM)] for j in range(LSH_BITS)],
+    dtype=np.float64,
+)
+
+
+@pandas_udf(LongType())
+def _lsh_bucket_udf(va: pd.Series) -> pd.Series:
+    """Sign-bit signature over the deterministic hyperplanes. The oracle's
+    per-plane dot is a left-assoc sum of products (no 0.0 seed); starting
+    the fold at +0.0 is IEEE-identical for the sign test."""
+    if len(va) == 0:
+        return pd.Series(np.zeros(0, dtype=np.int64))
+    a = _stack(va)
+    bucket = np.zeros(a.shape[0], dtype=np.int64)
+    for j in range(LSH_BITS):
+        acc = np.zeros(a.shape[0], dtype=np.float64)
+        for i in range(EMB_DIM):
+            acc = acc + a[:, i] * _PLANES[j, i]
+        bucket |= (acc > 0).astype(np.int64) << j
+    return pd.Series(bucket)
+
+
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH bucketing: 12 deterministic hyperplanes -> bucket id;
     returns bucket histogram (the scale path runs top-k within buckets)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    bucket = F.lit(0)
-    for j in range(LSH_BITS):
-        coefs = [_plane_coef(j, i) for i in range(EMB_DIM)]
-        dot_j = sum(
-            (F.col("v")[i] * F.lit(float(c)) for i, c in enumerate(coefs)),
-            F.lit(0.0),
-        )
-        bucket = bucket + F.when(dot_j > 0, 2**j).otherwise(0)
+    e = _vectors(spark, sf_dir)
     return (
-        e.select("vec_id", bucket.alias("bucket"))
+        e.select("vec_id", _lsh_bucket_udf("v").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -124,7 +175,172 @@ FROM e GROUP BY 1
 """
 
 
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, {d}+1), i -> {a}[i]*{b}[i])), (x,y) -> x+y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(d=EMB_DIM, a=a, b=b)
+    na = _DOT_SQL.format(d=EMB_DIM, a=a, b=a)
+    nb = _DOT_SQL.format(d=EMB_DIM, a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus is coarse-quantized to N_CELLS
+    centroid cells; each query probes its N_PROBE nearest cells and runs
+    exact cosine top-k within them only.
+
+    Centroids are the first N_CELLS corpus vectors (deterministic stand-in
+    for a k-means pass — at scale, centroids come from MLlib KMeans on a
+    sample, but assignment/probe/search below is the real IVF plan shape).
+    Scale: cost drops from |corpus|x|queries| to |corpus|x|queries|x
+    N_PROBE/N_CELLS; the centroid table is broadcast (tiny), the corpus
+    shuffles once on cell, queries are broadcast to their probed cells.
+    """
+    e = _vectors(spark, sf_dir)
+    cents = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+    # assign: each corpus vector -> nearest centroid (cos desc, cell asc)
+    wa = W.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cell_id", _cosine_udf("v", "cv").alias("c_cos"))
+        .withColumn("crk", F.row_number().over(wa))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+    # probe: each query -> N_PROBE nearest centroids
+    wq = W.partitionBy("q_id").orderBy(F.desc("q_cos"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "qv", "cell_id", _cosine_udf("qv", "cv").alias("q_cos"))
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= N_PROBE)
+        .select("q_id", "qv", "cell_id")
+    )
+    # search within probed cells only
+    wk = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .select("q_id", "vec_id", F.round(_cosine_udf("v", "qv"), 6).alias("cosine"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rk")
+    )
+
+
+def _ann_ivf_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+), assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT e.vec_id, e.v, cents.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos_sql("v", "cv")} DESC, cell_id ASC) AS crk
+    FROM e CROSS JOIN cents WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE crk = 1
+), probes AS (
+  SELECT q_id, qv, cell_id FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, cents.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos_sql("v", "cv")} DESC, cell_id ASC) AS prk
+    FROM e CROSS JOIN cents WHERE e.vec_id < {N_QUERIES}
+  ) WHERE prk <= {N_PROBE}
+)
+SELECT q_id, vec_id, cosine, rk FROM (
+  SELECT p.q_id, a.vec_id, round({_cos_sql("a.v", "p.qv")}, 6) AS cosine,
+    row_number() OVER (PARTITION BY p.q_id
+                       ORDER BY round({_cos_sql("a.v", "p.qv")}, 6) DESC, a.vec_id ASC) AS rk
+  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+) WHERE rk <= {TOP_K}
+"""
+
+
+NEAR_DUP_COS = 0.4  # report threshold (data max ~0.51 — no exact dups planted)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    cosine >= NEAR_DUP_COS.
+
+    This is the exact-verification primitive of embedding dedup. At test
+    scale the corpus is small so it runs as a single broadcast
+    block-nested-loop join (no shuffle of pairs); at 100 TB the candidate
+    set comes from the sign-LSH buckets (ann_lsh_buckets) or IVF cells
+    (ann_ivf) and this same verify join runs per-bucket — linear, not
+    quadratic.
+    """
+    e = _vectors(spark, sf_dir)
+    # Build side: broadcast the full corpus matrix to every task (500×64
+    # floats here; at scale this is the per-bucket candidate set). Pair
+    # generation happens INSIDE the numpy kernel — the quadratic pair
+    # relation never materializes in the JVM or crosses Arrow; only
+    # surviving pairs come back.
+    rows = e.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    bc = spark.sparkContext.broadcast((ids, mat))
+    # Kernel prefilter uses a small slack below the threshold on the RAW
+    # cosine; the exact decision (half-up 6 dp round, >= threshold) is
+    # re-applied Spark-side so semantics match the oracle bit-for-bit.
+    raw_cut = NEAR_DUP_COS - 1e-6
+
+    def gen(it):
+        ids_b, B = bc.value
+        nB = np.sqrt(_fold_dot(B, B))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
+            A = _stack(pdf["v"])
+            nA = np.sqrt(_fold_dot(A, A))
+            # (N, M) dot accumulated as a sequential fold over dims —
+            # per-pair IEEE order identical to the oracle's list_reduce.
+            acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+            for i in range(EMB_DIM):
+                acc += A[:, i : i + 1] * B[:, i]
+            cos = acc / (nA[:, None] * nB[None, :])
+            keep = (ids_a[:, None] < ids_b[None, :]) & (cos >= raw_cut)
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": ids_a[ai], "vec_b": ids_b[bi], "raw_cos": cos[ai, bi]}
+            )
+
+    pairs = e.repartition(32).mapInPandas(
+        gen, schema="vec_a long, vec_b long, raw_cos double"
+    )
+    return (
+        pairs.select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
+
+
+DEDUP_EMB_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_cos_sql("a.v", "b.v")}, 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cosine >= {NEAR_DUP_COS}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QueryDef("ann_lsh_buckets", ann_lsh_buckets, _lsh_oracle()),
+    QueryDef("ann_ivf", ann_ivf, _ann_ivf_oracle()),
+    QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_ORACLE),
 ]

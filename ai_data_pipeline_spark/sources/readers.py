@@ -88,6 +88,36 @@ FROM customer
 """
 
 
+def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source correctness: orders → JSON lines → read with the
+    declared schema → aggregate checksums must equal the parquet
+    originals, including the timestamp column (ISO-8601 round-trip,
+    UTC session timezone)."""
+    import tempfile
+
+    src = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="adp_jsonl_")
+    src.coalesce(1).write.mode("overwrite").json(tmp)
+    back = read_json(spark, tmp, schema_for("orders"))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.sum(F.unix_timestamp("o_orderdate")).alias("sum_date_epoch"),
+    )
+
+
+JSONL_ROUNDTRIP_ORACLE = """
+SELECT count(*) AS n_rows, sum(o_orderkey) AS sum_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       count(DISTINCT o_orderstatus) AS n_status,
+       sum(CAST(epoch(o_orderdate) AS BIGINT)) AS sum_date_epoch
+FROM orders
+"""
+
+
 QUERY_DEFS = [
     QueryDef("csv_roundtrip_customer", csv_roundtrip_customer, CSV_ROUNDTRIP_ORACLE),
+    QueryDef("jsonl_roundtrip_orders", jsonl_roundtrip_orders, JSONL_ROUNDTRIP_ORACLE),
 ]

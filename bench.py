@@ -29,7 +29,10 @@ HEADLINE = [
     "text_lang_id",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_ivf",
+    "dedup_embedding_cosine",
     "multimodal_byte_features",
+    "multimodal_frame_sample",
 ]
 
 
