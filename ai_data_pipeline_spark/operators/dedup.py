@@ -62,7 +62,11 @@ FROM documents GROUP BY text
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # Testdata parquet is a single row group -> one scan task; shingling
+    # is CPU-bound string work, so spread it across all cores first.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
     )
@@ -116,17 +120,19 @@ WHERE {NGRAM_DEN}*inter >= {NGRAM_NUM}*(sa.sz + sb.sz - inter)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + LSH banding (r=3, b=4): candidate pairs from shared
     band buckets, verified with exact Jaccard >= 0.5."""
-    # The shingle relation feeds three consumers (signatures + both sides
-    # of the verification join) — materialize it once. At cluster scale
-    # this would be a checkpoint/exchange reuse; in-memory cache locally.
-    sh = _doc_shingles(spark, sf_dir).cache()
+    # ONE shuffle of the shingle relation: signatures, set size, and the
+    # shingle set itself are aggregated in the same groupBy. Candidate
+    # verification then intersects the collected sets per pair instead of
+    # re-joining the full shingle relation twice (two more big shuffles).
+    sh = _doc_shingles(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"m{j}")
             for j in range(MINHASH_K)
         ],
         F.count(F.lit(1)).alias("sz"),
-    )
+        F.collect_set("shingle").alias("sset"),
+    ).cache()
     n_bands = MINHASH_K // MINHASH_BAND_R
     bands = sig.select(
         "doc_id",
@@ -162,27 +168,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(
-        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
+    # verify candidates with exact jaccard via set intersection of the
+    # collected shingle sets (order-independent count)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), F.col("sset").alias("sset_a")
     )
-    inter = (
-        cands.join(sh_a, "doc_a")
-        .join(
-            sh_b,
-            (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), F.col("sset").alias("sset_b")
     )
-    sizes = sig.select("doc_id", "sz")
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # no broadcast hint: sig carries the shingle sets and does not fit in
+    # memory at scale — AQE picks broadcast locally, shuffle join at 100 TB
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sset_a", "sset_b")))
         .withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .filter(JACCARD_DEN * F.col("inter") >= JACCARD_NUM * F.col("un"))
         .select(
@@ -239,7 +238,9 @@ SIMHASH_BITS = 16
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over distinct tokens: per-bit majority vote of token
     md5 bits; exact-signature groups = near-dup clusters."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tokens = d.select(
         "doc_id",
         F.explode(

@@ -243,6 +243,155 @@ FROM events GROUP BY event_type
 """
 
 
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, revenue per nation within a region.
+    Scale: region/nation/supplier/customer are broadcast dims; only
+    orders⋈lineitem shuffles (on orderkey); the local-supplier predicate
+    (c_nationkey = s_nationkey) filters after the dim joins."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        dec_sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name AS nation,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+BIG_ORDER = 400000.0  # totalprice threshold for the semi/anti pair
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): customers holding at least one big-ticket
+    order, counted per market segment. left_semi keeps the probe side
+    unduplicated — no post-join distinct needed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > BIG_ORDER)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q_SEMI_ORACLE = f"""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {BIG_ORDER})
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no big-ticket order, per
+    segment. The build side is pre-filtered before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > BIG_ORDER)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q_ANTI_ORACLE = f"""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {BIG_ORDER})
+GROUP BY c_mktsegment
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: (BUILDING ∪ MACHINERY customers) ∩ big spenders,
+    minus negative balances — UNION / INTERSECT / EXCEPT in one plan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    big = (
+        o.filter(F.col("o_totalprice") > BIG_ORDER)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        building.union(machinery).intersect(big).exceptAll(negative)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+Q_SET_OPS_ORACLE = f"""
+SELECT c_custkey AS custkey FROM (
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   UNION ALL
+   SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > {BIG_ORDER}
+)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping ids — all four
+    grouping sets in one pass (Expand + single aggregation)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+Q_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  count(*) AS n,
+  GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE),
@@ -251,4 +400,9 @@ QUERY_DEFS = [
     QueryDef("q_events_window", q_events_window, Q_EVENTS_WINDOW_ORACLE),
     QueryDef("q_sessionize", q_sessionize, Q_SESSIONIZE_ORACLE),
     QueryDef("q_events_json", q_events_json, Q_EVENTS_JSON_ORACLE),
+    QueryDef("q5_region_revenue", q5_region_revenue, Q5_ORACLE),
+    QueryDef("q_semi_join", q_semi_join, Q_SEMI_ORACLE),
+    QueryDef("q_anti_join", q_anti_join, Q_ANTI_ORACLE),
+    QueryDef("q_set_ops", q_set_ops, Q_SET_OPS_ORACLE),
+    QueryDef("q_cube_revenue", q_cube_revenue, Q_CUBE_ORACLE),
 ]

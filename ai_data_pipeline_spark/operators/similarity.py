@@ -319,9 +319,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_a": ids_a[ai], "vec_b": ids_b[bi], "raw_cos": cos[ai, bi]}
             )
 
-    pairs = e.repartition(32).mapInPandas(
-        gen, schema="vec_a long, vec_b long, raw_cos double"
-    )
+    # no repartition: the kernel is vectorized (N×M numpy per batch), so
+    # the corpus's natural partitioning supplies the parallelism at scale;
+    # fanning 500 test rows over 32 python workers only adds overhead.
+    pairs = e.mapInPandas(gen, schema="vec_a long, vec_b long, raw_cos double")
     return (
         pairs.select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)

@@ -41,7 +41,11 @@ def _stopword_count_sql(col: str, words: list[str]) -> str:
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: lengths, token counts, ratios, and a
     deterministic quality score — aggregated per (lang, source)."""
-    d = load_table(spark, sf_dir, "documents")
+    # single-row-group parquet -> repartition so the regex-heavy per-doc
+    # pass uses every core
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RX), F.lit(0)))
     n_ws = F.size(F.split(F.col("text"), r"\s+"))
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
@@ -136,7 +140,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: score each language by stopword hits,
     argmax with deterministic tie-break (score desc, lang asc), compared
     against the labeled lang column as a confusion matrix."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     scored = d.select(
         "doc_id",
         "lang",

@@ -21,6 +21,7 @@ HEADLINE = [
     "profile_events",
     "q1_pricing_summary",
     "q3_top_orders",
+    "q5_region_revenue",
     "q_events_window",
     "q_sessionize",
     "dedup_exact",
