@@ -56,12 +56,26 @@ def _summary_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _profile_approx_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
+    """100 TB-tier profile: HLL approx_count_distinct instead of the exact
+    Expand-based distinct. Declared rows-only (no oracle) — sketches are
+    not bit-comparable across engines by design."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return profile_table(
+            load_table(spark, sf_dir, table), TABLES[table], exact_distinct=False
+        )
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for t in PROFILED_TABLES:
         q[f"profile_{t}"] = _profile_query(t)
     q["profile_summary_customer"] = _summary_query("customer")
     q["profile_summary_events"] = _summary_query("events")
+    q["profile_lineitem_approx"] = _profile_approx_query("lineitem")
     for mod in QUERY_DEF_MODULES:
         for d in mod.QUERY_DEFS:
             q[d.name] = d.fn

@@ -96,11 +96,83 @@ def session_windows_stream(events: DataFrame, gap: str = "30 minutes") -> DataFr
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("b", T.LongType()),
+    ]
+)
+
+
+def _user_stats_fn(key, pdf_iter, state):
+    """Custom stateful operator body: accumulate per-user event count and
+    value sum across micro-batches in GroupState. Value sum accumulates
+    in per-event order only within numpy (order within a user is not
+    guaranteed across engines), so equivalence tests compare at reduced
+    precision / counts."""
+    n, s, b = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        b += 1
+    state.update((n, s, b))
+    import pandas as pd
+
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "n_batches": [b]}
+    )
+
+
+def user_stats_stateful(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    running per-user totals maintained in explicit GroupState — the
+    escape hatch for semantics window/session aggs can't express.
+
+    Scale posture: state is keyed by user_id (hash-partitioned across
+    executors), one small tuple per user; watermark-based timeout would
+    bound state for abandoned keys in production ("EventTimeTimeout").
+    Update-mode output emits the running totals every micro-batch.
+    """
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def user_stats_batch(events: DataFrame) -> DataFrame:
+    """Batch equivalent of the stateful operator's final state (counts are
+    exactly comparable; double sums compared at reduced precision)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain a finite stream with availableNow into a memory sink and
-    return the materialized result (complete mode for aggregations)."""
+    return the materialized result (complete mode for aggregations;
+    update mode for stateful operators, whose memory-sink rows are the
+    per-batch emissions)."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the scale-critical plan properties
+(pushdown, pruning, broadcast, partial aggregation) must hold — a query
+that silently full-scans or shuffle-joins a dim table is a perf bug even
+when its results match the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_top_orders,
+    q5_region_revenue,
+)
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_quantity") > 30.0)
+        .select("l_orderkey")
+    )
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan
+    # scan schema pruned to the two referenced columns only
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(q3_top_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_broadcasts_dims_shuffles_fact_once(spark):
+    plan = _plan(q5_region_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4  # customer/supplier/nation/region
+
+
+def test_q1_partial_final_aggregation(spark):
+    df = q1_pricing_summary(spark, SF_DIR)
+    plan = _plan(df)
+    # partial (map-side) + final hash aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in codegen
+
+
+def test_q1_shipdate_filter_reaches_scan(spark):
+    plan = _formatted(q1_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    from ai_data_pipeline_spark.sources.readers import write_parquet
+
+    src = load_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(src, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = _formatted(back)
+    # the status predicate prunes directories instead of scanning+filtering
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    partition_filters = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "o_orderstatus" in partition_filters
+    expected = src.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected

@@ -9,6 +9,8 @@ from ai_data_pipeline_spark.streaming.windows import (
     read_events_stream,
     run_to_completion,
     session_windows_stream,
+    user_stats_batch,
+    user_stats_stateful,
     windowed_counts_batch,
     windowed_counts_stream,
 )
@@ -26,6 +28,32 @@ def test_windowed_agg_stream_equals_batch(spark):
     expected = windowed_counts_batch(load_table(spark, SF_DIR, "events"))
     assert _sorted_rows(got) == _sorted_rows(expected)
     assert got.count() > 0
+
+
+def test_stateful_user_stats_equals_batch(spark):
+    """Custom GroupState operator: the last emission per user must match
+    the batch groupBy (exact counts; double sums to 6 dp — accumulation
+    order within a user differs between the stateful fold and the batch
+    hash agg)."""
+    stream = read_events_stream(spark, SF_DIR)
+    got = run_to_completion(
+        user_stats_stateful(stream), "t_state", output_mode="update"
+    )
+    # keep each user's final emission (max n_batches, then n_events)
+    final = {}
+    for r in got.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or (r["n_batches"], r["n_events"]) >= (cur["n_batches"], cur["n_events"]):
+            final[r["user_id"]] = r
+    expected = {
+        r["user_id"]: r
+        for r in user_stats_batch(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert set(final) == set(expected)
+    for uid, r in final.items():
+        e = expected[uid]
+        assert r["n_events"] == e["n_events"]
+        assert abs(r["sum_value"] - e["sum_value"]) < 1e-6
 
 
 def test_session_windows_run(spark):
