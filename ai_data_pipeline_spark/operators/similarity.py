@@ -339,9 +339,40 @@ SELECT vec_a, vec_b, cosine FROM (
 """
 
 
+def ann_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH similarity join — the
+    off-the-shelf scale path (SURVEY.md §4.2/§7.5): fit random
+    projections on the corpus, approx-join queries within a Euclidean
+    distance threshold. Declared rows-only: MLlib's internal random
+    projections are seed-deterministic inside Spark but have no DuckDB
+    counterpart to hash-compare against."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=7
+    )
+    model = lsh.fit(corpus)
+    joined = model.approxSimilarityJoin(q, corpus, 12.0, distCol="dist")
+    return joined.select(
+        F.col("datasetA.vec_id").alias("q_id"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QueryDef("ann_lsh_buckets", ann_lsh_buckets, _lsh_oracle()),
     QueryDef("ann_ivf", ann_ivf, _ann_ivf_oracle()),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_ORACLE),
+    QueryDef("ann_mllib_brp", ann_mllib_brp, None),  # rows-only (see docstring)
 ]

@@ -205,9 +205,79 @@ FROM documents GROUP BY 1
 """
 
 
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # k-grams per winnowing window
+
+
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every word k-gram (rolling k-gram + hash), slide a
+    window of WINNOW_W consecutive hashes, keep each window's minimum —
+    the selected set is a position-robust fingerprint.
+
+    One scan + one window function + one distinct aggregation, all keyed
+    per doc — shuffle is bounded by (doc_id) partitioning. Output:
+    per-doc fingerprint-set size and the set's global minimum (compact
+    and deterministically comparable)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                rf"transform(sequence(1, greatest(size(split(text, '\\s+')) - {WINNOW_K - 1}, 1)),"
+                rf" i -> concat_ws(' ', slice(split(text, '\\s+'), i, {WINNOW_K})))"
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.md5("gram").alias("h"))
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, WINNOW_W - 1)
+    )
+    # windows that extend past the last gram are dropped (full windows only)
+    fps = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .withColumn("max_pos", F.max("pos").over(W.partitionBy("doc_id")))
+        .filter(F.col("pos") <= F.col("max_pos") - (WINNOW_W - 1))
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("wmin").alias("min_fingerprint"),
+    )
+
+
+WINNOW_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(l[i:i+{WINNOW_K - 1}], ' ')) AS h
+  FROM toks, unnest(range(1, greatest(len(l) - {WINNOW_K - 1}, 1) + 1)) AS t(i)
+), winmins AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+         max(pos) OVER (PARTITION BY doc_id) AS max_pos
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, wmin FROM winmins
+  WHERE pos <= max_pos - {WINNOW_W - 1}
+)
+SELECT doc_id, count(*) AS n_fingerprints, min(wmin) AS min_fingerprint
+FROM fps GROUP BY doc_id
+"""
+
+
 QUERY_DEFS = [
     QueryDef("text_stats", text_stats, _text_stats_oracle()),
     QueryDef("text_quality_flags", quality_score, QUALITY_ORACLE),
     QueryDef("text_lang_id", lang_id, _lang_id_oracle()),
     QueryDef("text_fingerprint", doc_fingerprint, FINGERPRINT_ORACLE),
+    QueryDef("text_winnowing", winnowing_fingerprint, WINNOW_ORACLE),
 ]
