@@ -12,7 +12,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ai_data_pipeline_spark.catalog import TABLES, load_table
-from ai_data_pipeline_spark.operators import dedup, multimodal, relational, similarity, text, vault
+from ai_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline,
+    relational,
+    similarity,
+    text,
+    vault,
+)
 from ai_data_pipeline_spark.sources import readers
 from ai_data_pipeline_spark.profiling.profiler import profile_summary, profile_table
 from ai_data_pipeline_spark.profiling.oracle import (
@@ -20,7 +28,7 @@ from ai_data_pipeline_spark.profiling.oracle import (
     profile_summary_oracle_sql,
 )
 
-QUERY_DEF_MODULES = [dedup, multimodal, relational, similarity, text, vault, readers]
+QUERY_DEF_MODULES = [dedup, multimodal, pipeline, relational, similarity, text, vault, readers]
 
 PROFILED_TABLES = [
     "region",

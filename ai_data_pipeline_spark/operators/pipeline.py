@@ -1,0 +1,116 @@
+"""End-to-end composition queries: multiple operators chained in one
+declarative plan, the way a production training-data pipeline or product
+analytics job would run them. Catalyst fuses the stages — the value of
+declaring the whole pipeline lazily instead of materializing between
+steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.operators.text import TOKEN_RX, TOKEN_RX_SQL
+from ai_data_pipeline_spark.registry import QueryDef
+
+MIN_CHARS = 100  # quality gate: too-short docs dropped
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data cleaning pipeline in ONE plan:
+    quality filter (length gate) → exact dedup (keep min doc_id per
+    distinct text) → per-language corpus stats.
+
+    Single scan; dedup is one keyed shuffle on the content hash; the
+    final rollup is a low-cardinality aggregation. At 100 TB the dedup
+    key would be the md5 of text (shuffle 16-byte keys, not documents) —
+    done here too so the plan is the scale plan."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    quality = d.filter(F.length("text") >= MIN_CHARS)
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    )
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RX), F.lit(0)))
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum(n_tokens).alias("sum_tokens"),
+    )
+
+
+CLEAN_CORPUS_ORACLE = f"""
+WITH quality AS (
+  SELECT * FROM documents WHERE length(text) >= {MIN_CHARS}
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+    FROM quality
+  ) WHERE rk = 1
+)
+SELECT lang, count(*) AS n_docs,
+       sum(length(text)) AS sum_chars,
+       sum(len(regexp_extract_all(text, '{TOKEN_RX_SQL}', 0))) AS sum_tokens
+FROM deduped GROUP BY lang
+"""
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view → click → purchase: a user
+    advances a stage only with a later-or-equal event of the next type.
+
+    Three aggs keyed on user_id — the exchange on user_id is planned
+    once and reused (same partitioning all three stages)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def stage(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(label).alias("stage"), "n"
+        )
+
+    return (
+        stage(s1, "1_view")
+        .union(stage(s2, "2_click"))
+        .union(stage(s3, "3_purchase"))
+    )
+
+
+EVENT_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts >= t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts >= t2 GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, count(*) AS n FROM s1
+UNION ALL SELECT '2_click', count(*) FROM s2
+UNION ALL SELECT '3_purchase', count(*) FROM s3
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("pipeline_clean_corpus", clean_corpus, CLEAN_CORPUS_ORACLE),
+    QueryDef("q_event_funnel", event_funnel, EVENT_FUNNEL_ORACLE),
+]

@@ -24,6 +24,8 @@ HEADLINE = [
     "q5_region_revenue",
     "q_events_window",
     "q_sessionize",
+    "q_event_funnel",
+    "pipeline_clean_corpus",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_stats",
@@ -43,9 +45,15 @@ def main() -> None:
     spark = get_spark("adp-bench", cpus=cpus)
     qs = entry_mod.queries()
 
-    # JIT/session warmup on a trivial action so per-query numbers measure
-    # the plan, not JVM startup.
+    # Warmup so per-query numbers measure steady-state execution, not
+    # one-time initialization: a trivial action (JVM/scheduler), a tiny
+    # profile (parquet reader + regex + profiler codegen compile, ~3 s
+    # once per session), and a trivial Arrow batch (python worker spawn).
     spark.range(1000).count()
+    qs["profile_region"](spark, sf_dir).count()
+    spark.range(100).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
