@@ -60,6 +60,13 @@ def kind_of(dtype: T.DataType) -> str:
     return "other"
 
 
+def _qcol(name: str) -> Column:
+    """Backtick-quoted column reference: profiled inputs are arbitrary
+    uploads, so names may contain dots/spaces that F.col would otherwise
+    parse as struct access (op35 robustness)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def render_expr(col: str, kind: str) -> Column | None:
     """String rendering used for pattern matching — the Spark analogue of
     the reference's ``sample.astype(str)`` (pattern_classifier.py:73).
@@ -70,7 +77,7 @@ def render_expr(col: str, kind: str) -> Column | None:
     renders |x| >= 1e7 doubles in scientific notation where DuckDB does
     not — irrelevant for pattern ratios unless a column straddles 1e7.)
     """
-    c = F.col(col)
+    c = _qcol(col)
     if kind == "string":
         return c
     if kind in ("int", "long", "double", "boolean"):
@@ -89,7 +96,7 @@ def lossless_render_expr(col: str, kind: str) -> Column | None:
     (Spark's native resolution). The *matching* rendering is recovered from
     it by truncation (first 19 chars for timestamps)."""
     if kind == "timestamp":
-        return F.date_format(F.col(col), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        return F.date_format(_qcol(col), "yyyy-MM-dd HH:mm:ss.SSSSSS")
     return render_expr(col, kind)
 
 
@@ -193,8 +200,8 @@ def _nonscalar_stats(df: DataFrame, columns: list[tuple[str, str]]) -> DataFrame
         return None
     aggs = [F.count(F.lit(1)).alias("n_total")]
     for i, c, _ in nonscalars:
-        aggs.append(F.count(F.col(c)).alias(f"c{i}__nonnull"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"c{i}__distinct"))
+        aggs.append(F.count(_qcol(c)).alias(f"c{i}__nonnull"))
+        aggs.append(F.countDistinct(_qcol(c)).alias(f"c{i}__distinct"))
     wide = df.agg(*aggs)
     structs = []
     for i, c, _ in nonscalars:
