@@ -34,10 +34,15 @@ MINHASH_BAND_R = 3  # rows per band -> 4 bands
 JACCARD_NUM, JACCARD_DEN = 1, 2  # candidate-verify threshold 0.5
 NGRAM_NUM, NGRAM_DEN = 3, 10  # ngram-jaccard report threshold 0.3
 
-# Word-trigram shingles as a SQL expression (Spark dialect).
+# Word-trigram shingles over a pre-materialized token array column `l`.
+# The split must NOT appear inside the transform lambda: projection
+# collapse would substitute it into the lambda body and re-evaluate the
+# full split per element — O(tokens^2) per document (measured 3x the
+# whole operator's runtime). _doc_shingles materializes `l` behind an
+# exchange so the lambda sees a bound column.
 SHINGLES_SPARK = (
-    r"array_distinct(transform(sequence(1, greatest(size(split(text, '\\s+')) - 2, 1)),"
-    r" i -> concat_ws(' ', slice(split(text, '\\s+'), i, 3))))"
+    r"array_distinct(transform(sequence(1, greatest(size(l) - 2, 1)),"
+    r" i -> concat_ws(' ', slice(l, i, 3))))"
 )
 # DuckDB dialect: list comprehension over the split tokens.
 SHINGLES_DUCK = (
@@ -63,9 +68,13 @@ FROM documents GROUP BY text
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Testdata parquet is a single row group -> one scan task; shingling
-    # is CPU-bound string work, so spread it across all cores first.
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # is CPU-bound string work, so spread it across all cores first. The
+    # repartition exchange also materializes the token array, pinning the
+    # split to one evaluation per row (see SHINGLES_SPARK comment).
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), r"\s+").alias("l"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return d.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")

@@ -221,15 +221,19 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     and deterministically comparable)."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # token array materialized behind the exchange: a split inside the
+    # transform lambda would re-evaluate per element (O(tokens^2)/doc)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), r"\s+").alias("l"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     grams = d.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                rf"transform(sequence(1, greatest(size(split(text, '\\s+')) - {WINNOW_K - 1}, 1)),"
-                rf" i -> concat_ws(' ', slice(split(text, '\\s+'), i, {WINNOW_K})))"
+                rf"transform(sequence(1, greatest(size(l) - {WINNOW_K - 1}, 1)),"
+                rf" i -> concat_ws(' ', slice(l, i, {WINNOW_K})))"
             )
         ).alias("pos", "gram"),
     ).select("doc_id", "pos", F.md5("gram").alias("h"))
