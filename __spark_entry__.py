@@ -17,6 +17,7 @@ from ai_data_pipeline_spark.operators import (
     multimodal,
     pipeline,
     relational,
+    sqlapi,
     similarity,
     text,
     vault,
@@ -28,7 +29,7 @@ from ai_data_pipeline_spark.profiling.oracle import (
     profile_summary_oracle_sql,
 )
 
-QUERY_DEF_MODULES = [dedup, multimodal, pipeline, relational, similarity, text, vault, readers]
+QUERY_DEF_MODULES = [dedup, multimodal, pipeline, relational, similarity, sqlapi, text, vault, readers]
 
 PROFILED_TABLES = [
     "region",
