@@ -13,12 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ai_data_pipeline_spark.catalog import TABLES, load_table
 from ai_data_pipeline_spark.operators import (
+    analytic,
     dedup,
     multimodal,
     pipeline,
     relational,
     sqlapi,
     similarity,
+    temporal,
     text,
     vault,
 )
@@ -29,7 +31,19 @@ from ai_data_pipeline_spark.profiling.oracle import (
     profile_summary_oracle_sql,
 )
 
-QUERY_DEF_MODULES = [dedup, multimodal, pipeline, relational, similarity, sqlapi, text, vault, readers]
+QUERY_DEF_MODULES = [
+    analytic,
+    dedup,
+    multimodal,
+    pipeline,
+    relational,
+    similarity,
+    sqlapi,
+    temporal,
+    text,
+    vault,
+    readers,
+]
 
 PROFILED_TABLES = [
     "region",

@@ -1,0 +1,222 @@
+"""Reshaping and subquery-pattern operators: pivot/unpivot, exact
+percentiles, and the TPC-H correlated-subquery shapes (Q4 EXISTS,
+Q17 per-group scalar) — extensions beyond the reference, which
+implements no aggregation queries at all (SURVEY.md §2.8).
+
+Scale notes:
+- pivot: fixed value list ⇒ one pass, map-side partial aggregation,
+  no second job to discover pivot values.
+- unpivot: Expand node (each row emitted k times) — column pruning
+  keeps the scan at exactly the k unpivoted columns.
+- Q4: EXISTS compiles to a left-semi hash join on the order key; the
+  extra date predicate rides along as the join's non-equi condition,
+  so no distinct/dedup pass is needed.
+- Q17: the correlated scalar subquery (per-part average) is computed
+  with a window over the partition key instead of a self-join — one
+  shuffle on l_partkey, no re-scan of lineitem. The part filter is a
+  broadcast semi-join applied before the shuffle.
+- scalar subquery: the global average is a 1-row aggregate broadcast
+  to every partition — no driver round-trip, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.functions import dec_sum
+from ai_data_pipeline_spark.registry import QueryDef
+
+ORDER_STATUSES = ["F", "O", "P"]
+UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+Q17_BRAND = "Brand#4"
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority, one column per order status."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"`{s}`"), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in ORDER_STATUSES
+        ],
+    )
+
+
+Q_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt four lineitem measures into (metric, value) rows, then
+    aggregate per (returnflag, metric)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    melted = l.unpivot(
+        ids=["l_returnflag"],
+        values=UNPIVOT_METRICS,
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return melted.groupBy("l_returnflag", "metric").agg(
+        dec_sum(F.col("val"), 6).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q_UNPIVOT_ORACLE = """
+SELECT l_returnflag, metric,
+  CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total,
+  count(*) AS n
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+GROUP BY l_returnflag, metric
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of quantity per returnflag (the
+    oracle path; the 100 TB tier swaps in percentile_approx sketches,
+    declared rows-only, same shape as profile_lineitem_approx)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+  ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+  min(l_quantity) AS min_qty,
+  max(l_quantity) AS max_qty,
+  count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q4_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to this schema's columns): orders in a
+    quarter having at least one lineitem shipped >90 days after the
+    order date, counted per priority. EXISTS ⇒ left-semi join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from brand lineitems whose quantity is
+    below 20% of that part's average quantity. The correlated scalar
+    subquery becomes a window average over l_partkey."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    l = load_table(spark, sf_dir, "lineitem")
+    pp = p.select("p_partkey")
+    lp = l.join(F.broadcast(pp), l["l_partkey"] == pp["p_partkey"], "left_semi")
+    w = W.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    small = lp.withColumn("avg_qty", avg_qty).filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        (dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q17_ORACLE = f"""
+WITH lp AS (
+  SELECT l.* FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM part p
+                WHERE p.p_partkey = l.l_partkey AND p.p_brand = '{Q17_BRAND}')
+), windowed AS (
+  SELECT l_quantity, l_extendedprice,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lp
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_items
+FROM windowed WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the global average balance, per segment — the
+    uncorrelated scalar subquery as a broadcast 1-row join."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.agg(
+        (dec_sum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+Q_SCALAR_SUB_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_above_avg
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                   FROM customer)
+GROUP BY c_mktsegment
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE),
+    QueryDef("q_unpivot_metrics", q_unpivot_metrics, Q_UNPIVOT_ORACLE),
+    QueryDef("q_percentiles", q_percentiles, Q_PERCENTILES_ORACLE),
+    QueryDef("q4_late_ship_orders", q4_late_ship_orders, Q4_ORACLE),
+    QueryDef("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE),
+    QueryDef("q_scalar_subquery", q_scalar_subquery, Q_SCALAR_SUB_ORACLE),
+]

@@ -27,14 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.functions import dec_sum  # canonical home; re-exported
 from ai_data_pipeline_spark.registry import QueryDef
 
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min
-
-
-def dec_sum(col, scale: int = 4):
-    """Exact, order-independent cross-engine sum of a few-decimal double."""
-    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,148 @@
+"""Time-series join operators Spark lacks natively: as-of join and
+banded range join (north-star extensions; the reference implements no
+joins at all — SURVEY.md §2.8).
+
+Both are built so the physical plan contains NO cross product and NO
+broadcast-nested-loop join — the failure mode of naive inequality joins
+at 100 TB:
+
+- **As-of join** (`q_asof_join`): union the two event streams with a
+  side tag, hash-partition by key, sort within partition, and carry the
+  last left-side timestamp forward with an `ignorenulls` running
+  `last()` window. One shuffle on the join key, linear in-partition
+  merge — the same plan shape a dedicated merge-based as-of operator
+  would produce. Oracle: DuckDB's native ``ASOF LEFT JOIN``.
+
+- **Range join** (`q_range_join`): a time-band inequality join
+  rewritten as an equi-join on (key, time_bucket) with the probe side
+  exploded into the two buckets its band can touch (bucket width =
+  band width ⇒ explode factor exactly 2), then the exact band predicate
+  as a post-join filter. Hash join on a composite key instead of a
+  quadratic nested loop; skew stays bounded because buckets subdivide
+  each user's timeline. Oracle: plain inequality join in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.functions import dec_sum, epoch_us
+from ai_data_pipeline_spark.registry import QueryDef
+
+RANGE_BAND_SEC = 14400  # 4 h — sized to the testdata's per-user event density
+RANGE_BAND_US = RANGE_BAND_SEC * 1_000_000
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the most recent click (ts <= purchase
+    ts) by the same user — LEFT as-of, so click-less purchases survive
+    with nulls."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "event_id",
+    )
+    # side tag 0 = build (click), 1 = probe (purchase); ordering by
+    # (ts_us, side) makes the inclusive ts>= tie-break explicit
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.lit(0).alias("side"), "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.lit(1).alias("side"), "event_id"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "click_ts_us",
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(w),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "click_ts_us",
+        (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
+Q_ASOF_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within [purchase_ts, purchase_ts + 4h) per (purchase,
+    user): the banded-bucket equi-join rewrite of a range join."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.col("ts_us") / F.lit(RANGE_BAND_US)).cast("long")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            epoch_us(F.col("ts")).alias("ts_us"),
+        )
+        .withColumn("p_bucket", bucket)
+        .withColumnRenamed("ts_us", "p_ts_us")
+        # a band starting in bucket b can only reach errors in b or b+1
+        .withColumn("bucket", F.explode(F.array(F.col("p_bucket"), F.col("p_bucket") + 1)))
+        .drop("p_bucket")
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            epoch_us(F.col("ts")).alias("e_ts_us"),
+            F.col("value").alias("e_value"),
+        )
+        .withColumn("bucket", (F.col("e_ts_us") / F.lit(RANGE_BAND_US)).cast("long"))
+    )
+    joined = purchases.join(
+        errors,
+        on=[
+            purchases["p_user"] == errors["e_user"],
+            purchases["bucket"] == errors["bucket"],
+        ],
+    ).filter(
+        (F.col("e_ts_us") >= F.col("p_ts_us"))
+        & (F.col("e_ts_us") < F.col("p_ts_us") + RANGE_BAND_US)
+    )
+    return joined.groupBy(
+        "purchase_id", F.col("p_user").alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        dec_sum(F.col("e_value"), 6).alias("sum_err_value"),
+    )
+
+
+Q_RANGE_ORACLE = f"""
+SELECT p.event_id AS purchase_id, p.user_id,
+       count(*) AS n_errors,
+       CAST(SUM(CAST(er.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_err_value
+FROM events p JOIN events er
+  ON p.event_type = 'purchase' AND er.event_type = 'error'
+ AND er.user_id = p.user_id
+ AND epoch_us(er.ts) >= epoch_us(p.ts)
+ AND epoch_us(er.ts) < epoch_us(p.ts) + {RANGE_BAND_US}
+GROUP BY 1, 2
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
+    QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
+]

@@ -8,22 +8,23 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.operators.analytic import (
+    q17_small_quantity_revenue,
+    q4_late_ship_orders,
+)
 from ai_data_pipeline_spark.operators.relational import (
     q1_pricing_summary,
     q3_top_orders,
     q5_region_revenue,
 )
+from ai_data_pipeline_spark.operators.temporal import q_asof_join, q_range_join
+from ai_data_pipeline_spark.plans import (
+    assert_hash_join_only,
+    codegen_plan,
+    executed_plan as _plan,
+    formatted_plan as _formatted,
+)
 from tests.conftest import SF_DIR
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
 
 
 def test_filter_pushdown_and_column_pruning(spark):
@@ -58,10 +59,7 @@ def test_q1_partial_final_aggregation(spark):
     # partial (map-side) + final hash aggregation around one exchange
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
-    codegen = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "codegen"
-    )
-    assert "WholeStageCodegen" in codegen
+    assert "WholeStageCodegen" in codegen_plan(df)
 
 
 def test_q1_shipdate_filter_reaches_scan(spark):
@@ -83,3 +81,32 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     assert "o_orderstatus" in partition_filters
     expected = src.filter(F.col("o_orderstatus") == "F").count()
     assert back.count() == expected
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The as-of join must compile to union + window (one Exchange on
+    user_id), never to a nested-loop inequality join."""
+    plan = assert_hash_join_only(q_asof_join(spark, SF_DIR))
+    assert "Window" in plan
+    # one shuffle for the window partitioning (+AQE reads), no join node
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_range_join_is_hash_join(spark):
+    """The banded range join must execute as an equi hash/merge join on
+    (user, bucket) — the inequality stays a post-join filter."""
+    plan = assert_hash_join_only(q_range_join(spark, SF_DIR))
+    assert "Join" in plan  # some equi-join strategy was chosen
+
+
+def test_q4_semi_join_strategy(spark):
+    plan = assert_hash_join_only(q4_late_ship_orders(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_q17_no_self_join(spark):
+    """Q17's correlated average uses a window over l_partkey — lineitem
+    must be scanned once, not self-joined."""
+    plan = assert_hash_join_only(q17_small_quantity_revenue(spark, SF_DIR))
+    assert plan.count("FileScan parquet") <= 2  # lineitem once + part once
+    assert "Window" in plan
