@@ -388,6 +388,176 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume between (customer
+    nation, supplier nation) pairs over two ship years. Scale: nation
+    joins twice under different aliases — both broadcast, as are
+    supplier and customer; the only shuffle is lineitem⋈orders on
+    orderkey. The inequality (different nations) is a cheap post-join
+    filter on two broadcast-joined dim columns."""
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("ship_year", F.year("l_shipdate"))
+    )
+    return joined.groupBy("cust_nation", "supp_nation", "ship_year").agg(
+        dec_sum(volume).alias("volume"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+Q7_ORACLE = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE c_nationkey <> s_nationkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count distribution over ALL customers, including the
+    order-less (left outer semantics). Scale: orders is pre-aggregated
+    to one row per custkey BEFORE the outer join, so the join input is
+    |customers| + |distinct custkeys| rows instead of |orders| — the
+    classic aggregate-pushdown-below-outer-join rewrite, done by hand
+    because Catalyst won't push aggs through joins."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    covered = c.join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"))
+    return covered.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+Q_OUTER_ORACLE = """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+) GROUP BY n_orders
+"""
+
+
+def q_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase value vs daily error count, full-outer-joined on
+    the day bucket so days with only one side survive. Day keys are
+    epoch-second integers (exact cross-engine)."""
+    e = load_table(spark, sf_dir, "events")
+    day = (
+        (F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("ts")) % 86400)
+    ).alias("day_sec")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dec_sum(F.col("value"), 6).alias("purchase_value"),
+        )
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        purchases.join(errors, "day_sec", "full_outer")
+        .select(
+            "day_sec",
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+            "purchase_value",
+            F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+        )
+    )
+
+
+Q_FULL_OUTER_ORACLE = """
+WITH p AS (
+  SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 86400) AS day_sec,
+         count(*) AS n_purchases,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), er AS (
+  SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 86400) AS day_sec,
+         count(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT COALESCE(p.day_sec, er.day_sec) AS day_sec,
+       COALESCE(p.n_purchases, 0) AS n_purchases,
+       p.purchase_value,
+       COALESCE(er.n_errors, 0) AS n_errors
+FROM p FULL OUTER JOIN er ON p.day_sec = er.day_sec
+"""
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped argmin-per-group: for every part, the supplier of its
+    cheapest lineitem (deterministic tie-break), then parts won per
+    supplier. The correlated MIN subquery is a row_number window over
+    l_partkey — one shuffle, no self-join; supplier names arrive by
+    broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = W.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    best = (
+        l.select("l_partkey", "l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_cheapest"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_parts_cheapest")
+    )
+
+
+Q_CHEAPEST_ORACLE = """
+WITH best AS (
+  SELECT l_suppkey, row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+)
+SELECT s_suppkey, s_name, count(*) AS n_parts_cheapest
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE),
@@ -401,4 +571,8 @@ QUERY_DEFS = [
     QueryDef("q_anti_join", q_anti_join, Q_ANTI_ORACLE),
     QueryDef("q_set_ops", q_set_ops, Q_SET_OPS_ORACLE),
     QueryDef("q_cube_revenue", q_cube_revenue, Q_CUBE_ORACLE),
+    QueryDef("q7_nation_trade", q7_nation_trade, Q7_ORACLE),
+    QueryDef("q_outer_join_coverage", q_outer_join_coverage, Q_OUTER_ORACLE),
+    QueryDef("q_full_outer_daily", q_full_outer_daily, Q_FULL_OUTER_ORACLE),
+    QueryDef("q_cheapest_supplier", q_cheapest_supplier, Q_CHEAPEST_ORACLE),
 ]

@@ -33,6 +33,16 @@ FROM (
 """
 
 
+GROUPING_SETS_SQL_PORTABLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 def _sql_query(sql: str, tables: list[str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in tables:
@@ -48,5 +58,10 @@ QUERY_DEFS = [
         "sql_top_segments",
         _sql_query(TOP_SEGMENT_SQL_PORTABLE, ["orders", "customer"]),
         TOP_SEGMENT_SQL_PORTABLE,
+    ),
+    QueryDef(
+        "sql_grouping_sets",
+        _sql_query(GROUPING_SETS_SQL_PORTABLE, ["lineitem"]),
+        GROUPING_SETS_SQL_PORTABLE,
     ),
 ]

@@ -28,11 +28,15 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
-from ai_data_pipeline_spark.functions import dec_sum, epoch_us
+from ai_data_pipeline_spark.functions import dec_sum, epoch_us, time_bucket_start
 from ai_data_pipeline_spark.registry import QueryDef
 
 RANGE_BAND_SEC = 14400  # 4 h — sized to the testdata's per-user event density
 RANGE_BAND_US = RANGE_BAND_SEC * 1_000_000
+
+ROLLUP_BUCKET_SEC = 3600  # 1 h hypertable chunk
+SLIDE_WIDTH_SEC = 3600  # sliding window width
+SLIDE_STEP_SEC = 900  # slide — width/step = 4 overlapping windows per event
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,7 +146,75 @@ GROUP BY 1, 2
 """
 
 
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly chunks per event
+    type — counts, distinct users, value sum. The bucket is pure integer
+    arithmetic on epoch seconds (`time_bucket_start`), so it serves as a
+    hash-partitionable group/join key; at 100 TB this is the
+    materialized rollup a time-series store would maintain incrementally
+    (the streaming twin is windows.py's tumbling aggregate)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        time_bucket_start(F.col("ts"), ROLLUP_BUCKET_SEC).alias("bucket_start_sec"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dec_sum(F.col("value"), 6).alias("sum_value"),
+    )
+
+
+Q_TIME_BUCKET_ORACLE = f"""
+SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % {ROLLUP_BUCKET_SEC})
+         AS bucket_start_sec,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping event-time windows (1 h wide, 15 min slide) per event
+    type. Spark's `window()` expands each row into width/slide = 4
+    epoch-aligned windows before the partial aggregation, so the shuffle
+    carries only (window, type) partial aggregates — never the 4×
+    exploded raw rows."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), f"{SLIDE_WIDTH_SEC} seconds", f"{SLIDE_STEP_SEC} seconds")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start_sec"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Each event at epoch-second t belongs to exactly width/step windows whose
+# starts are floor(t/step)*step - k*step for k in 0..3 (all t >= 0 here).
+Q_SLIDING_ORACLE = f"""
+SELECT ((epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % {SLIDE_STEP_SEC}))
+         - u.k * {SLIDE_STEP_SEC} AS win_start_sec,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) u
+GROUP BY 1, 2
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
+    QueryDef("q_time_bucket_rollup", q_time_bucket_rollup, Q_TIME_BUCKET_ORACLE),
+    QueryDef("q_sliding_window", q_sliding_window, Q_SLIDING_ORACLE),
 ]

@@ -117,7 +117,37 @@ FROM orders
 """
 
 
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink correctness: lineitem → ORC → read back →
+    aggregate checksums must equal the parquet originals. ORC keeps the
+    Spark schema (including timestamps) natively, so no declared-schema
+    re-read is needed — format fidelity is the thing under test."""
+    import tempfile
+
+    src = load_table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="adp_orc_")
+    src.write.mode("overwrite").orc(tmp)
+    back = spark.read.orc(tmp)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_key"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.sum(F.unix_timestamp("l_shipdate")).alias("sum_ship_epoch"),
+    )
+
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT count(*) AS n_rows, sum(l_orderkey) AS sum_key,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       count(DISTINCT l_returnflag) AS n_flags,
+       sum(CAST(epoch(l_shipdate) AS BIGINT)) AS sum_ship_epoch
+FROM lineitem
+"""
+
+
 QUERY_DEFS = [
     QueryDef("csv_roundtrip_customer", csv_roundtrip_customer, CSV_ROUNDTRIP_ORACLE),
     QueryDef("jsonl_roundtrip_orders", jsonl_roundtrip_orders, JSONL_ROUNDTRIP_ORACLE),
+    QueryDef("orc_roundtrip_lineitem", orc_roundtrip_lineitem, ORC_ROUNDTRIP_ORACLE),
 ]

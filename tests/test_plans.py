@@ -16,8 +16,14 @@ from ai_data_pipeline_spark.operators.relational import (
     q1_pricing_summary,
     q3_top_orders,
     q5_region_revenue,
+    q7_nation_trade,
+    q_outer_join_coverage,
 )
-from ai_data_pipeline_spark.operators.temporal import q_asof_join, q_range_join
+from ai_data_pipeline_spark.operators.temporal import (
+    q_asof_join,
+    q_range_join,
+    q_sliding_window,
+)
 from ai_data_pipeline_spark.plans import (
     assert_hash_join_only,
     codegen_plan,
@@ -110,3 +116,30 @@ def test_q17_no_self_join(spark):
     plan = assert_hash_join_only(q17_small_quantity_revenue(spark, SF_DIR))
     assert plan.count("FileScan parquet") <= 2  # lineitem once + part once
     assert "Window" in plan
+
+
+def test_q7_all_dims_broadcast(spark):
+    """Q7 joins 5 dimension-side tables (orders keyed, customer,
+    supplier, nation×2) — every dim join must be broadcast; the fact
+    table must never sort-merge against a dim."""
+    plan = assert_hash_join_only(q7_nation_trade(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_outer_join_preaggregates_orders(spark):
+    """The order-count distribution must aggregate orders per custkey
+    BEFORE the outer join (agg-below-join rewrite): two aggregation
+    levels, each partial+final."""
+    plan = assert_hash_join_only(q_outer_join_coverage(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_sliding_window_partial_agg_after_expand(spark):
+    """Sliding windows expand each row into width/slide windows map-side
+    (Expand), then partially aggregate before the shuffle — the exchange
+    must carry aggregates, not 4× raw rows."""
+    df = q_sliding_window(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
