@@ -25,6 +25,7 @@ from ai_data_pipeline_spark.operators import (
     vault,
 )
 from ai_data_pipeline_spark.sources import readers
+from ai_data_pipeline_spark.streaming import windows as streaming_windows
 from ai_data_pipeline_spark.profiling.profiler import profile_summary, profile_table
 from ai_data_pipeline_spark.profiling.oracle import (
     profile_oracle_sql,
@@ -43,6 +44,7 @@ QUERY_DEF_MODULES = [
     text,
     vault,
     readers,
+    streaming_windows,
 ]
 
 PROFILED_TABLES = [

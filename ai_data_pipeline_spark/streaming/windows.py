@@ -180,3 +180,114 @@ def run_to_completion(
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+# --- driver-contract streaming queries -------------------------------------
+#
+# Each runs a genuine Structured Streaming job (availableNow trigger,
+# memory sink) and returns the drained result, so the DuckDB oracle
+# checks the streaming path end-to-end via batch equivalence: on a
+# finite input, windowed/sessionized/stateful streaming aggregation
+# must equal the batch aggregation (no late data arrives after the
+# final micro-batch, so the watermark drops nothing).
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling event-time windows with watermark, streamed."""
+    got = run_to_completion(
+        windowed_counts_stream(read_events_stream(spark, sf_dir)),
+        "drv_stream_tumbling",
+    )
+    return got.select(
+        F.col("win_start").alias("win_start_sec"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+STREAM_TUMBLING_ORACLE = """
+SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 300) AS win_start_sec,
+       event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30 min gap), streamed. Oracle is the
+    gaps-and-islands sessionization: session start = first event,
+    session end = last event + gap."""
+    got = run_to_completion(
+        session_windows_stream(read_events_stream(spark, sf_dir), gap="30 minutes"),
+        "drv_stream_sessions",
+    )
+    return got.select("user_id", "start_us", "end_us", "n_events")
+
+
+STREAM_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+    -- Spark session_window merges [t, t+gap) windows on strict overlap,
+    -- so a gap of exactly `gap` starts a NEW session (>=, not >)
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+         OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts_us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts_us) AS start_us,
+       max(ts_us) + 1800000000 AS end_us,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom GroupState operator (applyInPandasWithState), streamed;
+    final per-user emission. Counts are exactly batch-equivalent; the
+    double value-sum is dropped here because its accumulation order is
+    engine-specific (the unit test checks it at reduced precision)."""
+    got = run_to_completion(
+        user_stats_stateful(read_events_stream(spark, sf_dir)),
+        "drv_stream_stateful",
+        output_mode="update",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("n_batches"), F.desc("n_events")
+    )
+    return (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events")
+    )
+
+
+STREAM_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
+def streaming_query_defs():
+    """QueryDefs for __spark_entry__ (local import avoids a cycle)."""
+    from ai_data_pipeline_spark.registry import QueryDef
+
+    return [
+        QueryDef("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
+        QueryDef("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE),
+        QueryDef(
+            "stream_stateful_user_counts",
+            stream_stateful_user_counts,
+            STREAM_STATEFUL_ORACLE,
+        ),
+    ]
+
+
+QUERY_DEFS = streaming_query_defs()
