@@ -22,7 +22,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q7_nation_trade",
+    "q17_small_quantity_revenue",
+    "q_cheapest_supplier",
     "q_events_window",
+    "q_sliding_window",
+    "q_time_bucket_rollup",
+    "q_asof_join",
+    "q_range_join",
     "q_sessionize",
     "q_event_funnel",
     "pipeline_clean_corpus",
