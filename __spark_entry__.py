@@ -17,6 +17,7 @@ from ai_data_pipeline_spark.operators import (
     dedup,
     multimodal,
     pipeline,
+    quality,
     relational,
     sqlapi,
     similarity,
@@ -37,6 +38,7 @@ QUERY_DEF_MODULES = [
     dedup,
     multimodal,
     pipeline,
+    quality,
     relational,
     similarity,
     sqlapi,

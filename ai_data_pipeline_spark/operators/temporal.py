@@ -212,9 +212,58 @@ GROUP BY 1, 2
 """
 
 
+INCR_CUTOFF = "2024-01-20 00:00:00"
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the hourly rollup: the pre-cutoff
+    rollup (the 'stored' continuous aggregate) is merged with the
+    delta batch's rollup by re-aggregating their union on the bucket
+    key — count and decimal-sum are associative, so merge == full
+    recompute (the oracle computes the full recompute). At 100 TB this
+    is the upsert path a materialized rollup takes per micro-batch:
+    only |delta| + |touched buckets| rows move, never the history.
+    (Distinct-user counts are deliberately absent here: COUNT DISTINCT
+    is not mergeable — the sketch tier handles it via HLL union.)"""
+    e = load_table(spark, sf_dir, "events")
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            time_bucket_start(F.col("ts"), ROLLUP_BUCKET_SEC).alias("bucket_start_sec"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value_dec"),
+        )
+
+    stored = hourly(e.filter(F.col("ts") < F.lit(INCR_CUTOFF)))
+    delta = hourly(e.filter(F.col("ts") >= F.lit(INCR_CUTOFF)))
+    merged = (
+        stored.unionByName(delta)
+        .groupBy("bucket_start_sec", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
+    return merged
+
+
+Q_INCREMENTAL_ORACLE = f"""
+SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % {ROLLUP_BUCKET_SEC})
+         AS bucket_start_sec,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
     QueryDef("q_time_bucket_rollup", q_time_bucket_rollup, Q_TIME_BUCKET_ORACLE),
     QueryDef("q_sliding_window", q_sliding_window, Q_SLIDING_ORACLE),
+    QueryDef("q_incremental_rollup", q_incremental_rollup, Q_INCREMENTAL_ORACLE),
 ]

@@ -9,7 +9,7 @@ Cross-engine exactness: integer counts + decimal-exact ratios.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
@@ -278,10 +278,64 @@ FROM fps GROUP BY doc_id
 """
 
 
+MIN_TERM_LEN = 4
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K characteristic terms per document by tf·idf rank.
+
+    The score is pure integer arithmetic — (tf · 10^6) div df — so the
+    ranking is exact and engine-independent (tf/df ordering is identical
+    to tf/ln(N/df) ordering for fixed N; no floating logs to mismatch).
+    Scale: tokenize+explode is map-side; tf is one shuffle on
+    (doc, term); df is a broadcast-joined per-term aggregate (terms
+    table ≪ corpus); the final top-K is a window on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= MIN_TERM_LEN)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", F.expr("(tf * 1000000) div df")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rnk").alias("term_rank"))
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE length(term) >= {MIN_TERM_LEN} GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, (tf.tf * 1000000) // df.df AS score,
+    row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term) AS term_rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score, term_rank
+FROM scored WHERE term_rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("text_stats", text_stats, _text_stats_oracle()),
     QueryDef("text_quality_flags", quality_score, QUALITY_ORACLE),
     QueryDef("text_lang_id", lang_id, _lang_id_oracle()),
     QueryDef("text_fingerprint", doc_fingerprint, FINGERPRINT_ORACLE),
     QueryDef("text_winnowing", winnowing_fingerprint, WINNOW_ORACLE),
+    QueryDef("text_tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE),
 ]
