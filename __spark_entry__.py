@@ -14,15 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 from ai_data_pipeline_spark.catalog import TABLES, load_table
 from ai_data_pipeline_spark.operators import (
     analytic,
+    clustering,
     dedup,
     multimodal,
     pipeline,
     quality,
+    redact,
     relational,
     sqlapi,
     similarity,
     temporal,
     text,
+    tpch_extra,
     vault,
 )
 from ai_data_pipeline_spark.sources import readers
@@ -35,15 +38,18 @@ from ai_data_pipeline_spark.profiling.oracle import (
 
 QUERY_DEF_MODULES = [
     analytic,
+    clustering,
     dedup,
     multimodal,
     pipeline,
     quality,
+    redact,
     relational,
     similarity,
     sqlapi,
     temporal,
     text,
+    tpch_extra,
     vault,
     readers,
     streaming_windows,

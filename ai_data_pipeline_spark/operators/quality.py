@@ -133,7 +133,83 @@ SELECT c_mktsegment, c_custkey, sample_rank FROM (
 """
 
 
+DRIFT_CUTOFF = "2024-01-15 00:00:00"
+DRIFT_COLS = ["user_id", "event_type", "value", "props"]
+
+
+def schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two time-slices of the events stream:
+    per column, row/null/distinct counts before and after a cutoff, plus
+    an integer-exact drift flag (null-rate change beyond 1% — compared
+    as cross-multiplied integers so no float epsilon enters the oracle).
+
+    This is the reference's profiler turned into a *monitor*: the same
+    per-column aggregates, computed per partition-slice and diffed. At
+    100 TB the slices are partition-pruned scans (ingest-date
+    partitioning), each side one multi-aggregate pass; the Expand from
+    multi-column exact distincts is the cost — the sketch tier swaps in
+    approx_count_distinct for monitoring (exact kept for the oracle)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in DRIFT_COLS:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+            aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+        row = df.agg(*aggs)
+        per_col = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"),
+                            F.col("n").alias(f"n_{tag}"),
+                            F.col(f"nulls_{c}").alias(f"nulls_{tag}"),
+                            F.col(f"dist_{c}").alias(f"dist_{tag}"),
+                        )
+                        for c in DRIFT_COLS
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
+        return per_col
+
+    a = side(e.filter(F.col("ts") < F.lit(DRIFT_CUTOFF)), "a")
+    b = side(e.filter(F.col("ts") >= F.lit(DRIFT_CUTOFF)), "b")
+    joined = a.join(b, "column_name")
+    # |nulls_a/n_a - nulls_b/n_b| > 0.01  ⇔  100*|nulls_a*n_b - nulls_b*n_a| > n_a*n_b
+    drift = (
+        F.abs(F.col("nulls_a") * F.col("n_b") - F.col("nulls_b") * F.col("n_a")) * 100
+        > F.col("n_a") * F.col("n_b")
+    )
+    return joined.select(
+        "column_name", "n_a", "nulls_a", "dist_a", "n_b", "nulls_b", "dist_b",
+        drift.cast("int").alias("null_rate_drift"),
+    )
+
+
+def _drift_oracle() -> str:
+    def side(tag: str, pred: str) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, count(*) AS n_{tag}, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls_{tag}, "
+            f"count(DISTINCT {c}) AS dist_{tag} FROM events WHERE {pred}"
+            for c in DRIFT_COLS
+        )
+        return rows
+
+    return f"""
+WITH a AS ({side('a', f"ts < TIMESTAMP '{DRIFT_CUTOFF}'")}),
+     b AS ({side('b', f"ts >= TIMESTAMP '{DRIFT_CUTOFF}'")})
+SELECT column_name, n_a, nulls_a, dist_a, n_b, nulls_b, dist_b,
+       CAST(abs(nulls_a * n_b - nulls_b * n_a) * 100 > n_a * n_b AS INT)
+         AS null_rate_drift
+FROM a JOIN b USING (column_name)
+"""
+
+
 QUERY_DEFS = [
     QueryDef("dq_checks", dq_checks, DQ_ORACLE),
     QueryDef("q_stratified_sample", q_stratified_sample, STRATIFIED_ORACLE),
+    QueryDef("schema_drift", schema_drift, _drift_oracle()),
 ]

@@ -331,6 +331,50 @@ FROM scored WHERE term_rank <= {TFIDF_TOP_K}
 """
 
 
+VOCAB_TOP_K = 25
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary: global term frequencies + doc frequencies,
+    top-K by total count (ties broken by term). One row per top term plus
+    the summary is derivable downstream; scale: tokenize is map-side,
+    tf is one shuffle on term (map-side combine shrinks it to vocab
+    size), top-K sorts the tiny vocab aggregate only."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return (
+        vocab.orderBy(F.desc("total_tf"), F.asc("term"))
+        .limit(VOCAB_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("total_tf"), F.asc("term"))),
+        )
+    )
+
+
+VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, count(*) AS total_tf, count(DISTINCT doc_id) AS doc_freq
+  FROM toks WHERE term <> '' GROUP BY term
+)
+SELECT term, total_tf, doc_freq,
+       row_number() OVER (ORDER BY total_tf DESC, term) AS rank
+FROM vocab
+ORDER BY total_tf DESC, term
+LIMIT {VOCAB_TOP_K}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("text_stats", text_stats, _text_stats_oracle()),
     QueryDef("text_quality_flags", quality_score, QUALITY_ORACLE),
@@ -338,4 +382,5 @@ QUERY_DEFS = [
     QueryDef("text_fingerprint", doc_fingerprint, FINGERPRINT_ORACLE),
     QueryDef("text_winnowing", winnowing_fingerprint, WINNOW_ORACLE),
     QueryDef("text_tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE),
+    QueryDef("text_vocab_top_terms", vocab_top_terms, VOCAB_ORACLE),
 ]

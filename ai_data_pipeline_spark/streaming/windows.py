@@ -275,6 +275,33 @@ SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """
 
 
+def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    `dropDuplicatesWithinWatermark` keeps one event per
+    (user_id, event_type), holding each key in state only until the
+    watermark passes it — the scale-safe streaming dedup (state size is
+    bounded by keys-per-watermark-window, not by stream length). On a
+    finite input whose final watermark never expires a key mid-run, the
+    surviving key set equals batch DISTINCT, which is the oracle; the
+    surviving *row* per key is arrival-order-dependent, so only the
+    keys are projected."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    got = run_to_completion(
+        deduped.select("user_id", "event_type"),
+        "drv_stream_dedup",
+        output_mode="append",
+    )
+    return got.select("user_id", "event_type")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def streaming_query_defs():
     """QueryDefs for __spark_entry__ (local import avoids a cycle)."""
     from ai_data_pipeline_spark.registry import QueryDef
@@ -287,6 +314,7 @@ def streaming_query_defs():
             stream_stateful_user_counts,
             STREAM_STATEFUL_ORACLE,
         ),
+        QueryDef("stream_dedup_pairs", stream_dedup_pairs, STREAM_DEDUP_ORACLE),
     ]
 
 

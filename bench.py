@@ -24,6 +24,10 @@ HEADLINE = [
     "q5_region_revenue",
     "q7_nation_trade",
     "q17_small_quantity_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q19_discounted_revenue",
     "q_cheapest_supplier",
     "q_events_window",
     "q_sliding_window",
@@ -35,6 +39,7 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "text_stats",
     "text_lang_id",
     "ann_cosine_topk",
