@@ -102,6 +102,30 @@ def _profile_approx_query(table: str) -> Callable[[SparkSession, str], DataFrame
     return run
 
 
+def _profile_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse sweep: profile every table in the catalog in one query
+    (one aggregation pass per table; the union is metadata-sized — one
+    row per column — so a 10,000-table lake reduces to a small profile
+    relation that is itself queryable)."""
+    from functools import reduce
+    from pyspark.sql import functions as F
+
+    parts = [
+        profile_table(load_table(spark, sf_dir, t), TABLES[t]).select(
+            F.lit(t).alias("table_name"), "*"
+        )
+        for t in PROFILED_TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _profile_catalog_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, * FROM ({profile_oracle_sql(t, TABLES[t])})"
+        for t in PROFILED_TABLES
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for t in PROFILED_TABLES:
@@ -109,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_summary_customer"] = _summary_query("customer")
     q["profile_summary_events"] = _summary_query("events")
     q["profile_lineitem_approx"] = _profile_approx_query("lineitem")
+    q["profile_catalog"] = _profile_catalog
     for mod in QUERY_DEF_MODULES:
         for d in mod.QUERY_DEFS:
             q[d.name] = d.fn
@@ -121,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         o[f"profile_{t}"] = profile_oracle_sql(t, TABLES[t])
     o["profile_summary_customer"] = profile_summary_oracle_sql("customer", TABLES["customer"])
     o["profile_summary_events"] = profile_summary_oracle_sql("events", TABLES["events"])
+    o["profile_catalog"] = _profile_catalog_oracle()
     for mod in QUERY_DEF_MODULES:
         for d in mod.QUERY_DEFS:
             if d.oracle is not None:

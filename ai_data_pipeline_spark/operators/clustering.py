@@ -36,14 +36,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, cluster_size): connected components over
     n-gram-Jaccard near-dup pairs; cluster_id = min doc_id in component."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # The edge set is tiny relative to the corpus (near-dup pairs only):
+    # squeeze it onto a few partitions before the loop so each round's
+    # joins schedule a handful of tasks, not shuffle-partitions-many.
+    # At larger edge counts the repartition width scales with the data;
+    # 8 is right for the ≤ thousands of edges the thresholds admit here.
     sym = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .repartition(8, "src")
         .localCheckpoint()  # materialize once; reused every round
     )
+    # Only edge-touched vertices enter the loop: isolated docs are their
+    # own singleton component by definition, so the iterated label table
+    # is bounded by |near-dup endpoints| (≪ corpus at any scale), and
+    # each round shuffles only that.
     labels = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("v"), F.col("doc_id").alias("label"))
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
         .localCheckpoint()
     )
     for _ in range(CC_MAX_ITERS):
@@ -65,9 +76,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
-    return labels.select(
-        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).withColumn("cluster_size", F.count(F.lit(1)).over(W.partitionBy("cluster_id")))
+    assign = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("v"))
+        .join(labels, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("v")).alias("cluster_id"),
+        )
+    )
+    return assign.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+    )
 
 
 CLUSTERS_ORACLE = f"""

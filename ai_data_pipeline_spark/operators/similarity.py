@@ -369,8 +369,42 @@ def ann_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators in fixed-point: posexplode the
+    vector, floor(value·10⁶) per dimension (float32→double is exact, so
+    the long is engine-identical), sum per (label, dim). Integer sums
+    are order-independent — no float-accumulation divergence — and
+    mergeable, so this is the shape a distributed k-means/IVF training
+    step reduces at 100 TB: shuffle carries one long per (label, dim),
+    never vectors. The centroid itself is sum_fp / n / 10⁶ downstream."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * 1_000_000).alias("fp"),
+    )
+    return dims.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("fp").alias("sum_fp")
+    )
+
+
+EMB_CENTROID_ORACLE = """
+WITH dims AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS fp
+  FROM embeddings
+)
+SELECT label, dim, count(*) AS n_vecs, sum(fp) AS sum_fp
+FROM dims GROUP BY label, dim
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
+    QueryDef("emb_label_centroids", emb_label_centroids, EMB_CENTROID_ORACLE),
     QueryDef("ann_lsh_buckets", ann_lsh_buckets, _lsh_oracle()),
     QueryDef("ann_ivf", ann_ivf, _ann_ivf_oracle()),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_ORACLE),

@@ -146,8 +146,52 @@ FROM lineitem
 """
 
 
+PART_DATE_LO, PART_DATE_HI = "2024-01-10", "2024-01-12"
+
+
+def partitioned_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB layout contract end-to-end: events written partitioned
+    by ingest date (`.../event_date=YYYY-MM-DD/...`), read back with a
+    date-band filter that must resolve as directory pruning (asserted in
+    tests/test_plans.py), then checksummed. The oracle applies the same
+    band to the raw table — equality proves the partitioned layout loses
+    nothing and the pruned read returns exactly the band."""
+    import tempfile
+
+    src = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    tmp = tempfile.mkdtemp(prefix="adp_part_")
+    write_parquet(src, tmp, partition_by=["event_date"])
+    back = spark.read.parquet(tmp).filter(
+        F.col("event_date").cast("string").between(PART_DATE_LO, PART_DATE_HI)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_id"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.sum(F.unix_micros("ts")).alias("sum_ts_us"),
+    )
+
+
+PARTITIONED_ROUNDTRIP_ORACLE = f"""
+SELECT count(*) AS n_rows, sum(event_id) AS sum_id,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       sum(epoch_us(ts)) AS sum_ts_us
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{PART_DATE_LO}' AND '{PART_DATE_HI}'
+"""
+
+
 QUERY_DEFS = [
     QueryDef("csv_roundtrip_customer", csv_roundtrip_customer, CSV_ROUNDTRIP_ORACLE),
     QueryDef("jsonl_roundtrip_orders", jsonl_roundtrip_orders, JSONL_ROUNDTRIP_ORACLE),
     QueryDef("orc_roundtrip_lineitem", orc_roundtrip_lineitem, ORC_ROUNDTRIP_ORACLE),
+    QueryDef(
+        "partitioned_roundtrip_events",
+        partitioned_roundtrip_events,
+        PARTITIONED_ROUNDTRIP_ORACLE,
+    ),
 ]
