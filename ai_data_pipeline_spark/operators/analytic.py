@@ -117,6 +117,20 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB tier of q_percentiles: percentile_approx (a mergeable
+    KLL-style quantile sketch — single pass, bounded memory per group,
+    no full sort/shuffle of values). Declared rows-only: sketch
+    estimates are not bit-comparable across engines by design; the
+    exact twin above is the oracle-checked semantics."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_quantity, 0.5, 1000)").alias("p50_qty"),
+        F.expr("percentile_approx(l_quantity, 0.95, 1000)").alias("p95_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q4_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (adapted to this schema's columns): orders in a
     quarter having at least one lineitem shipped >90 days after the
@@ -216,6 +230,7 @@ QUERY_DEFS = [
     QueryDef("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE),
     QueryDef("q_unpivot_metrics", q_unpivot_metrics, Q_UNPIVOT_ORACLE),
     QueryDef("q_percentiles", q_percentiles, Q_PERCENTILES_ORACLE),
+    QueryDef("q_percentiles_approx", q_percentiles_approx, None),  # sketch tier
     QueryDef("q4_late_ship_orders", q4_late_ship_orders, Q4_ORACLE),
     QueryDef("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE),
     QueryDef("q_scalar_subquery", q_scalar_subquery, Q_SCALAR_SUB_ORACLE),

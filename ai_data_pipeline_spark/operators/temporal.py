@@ -260,8 +260,42 @@ GROUP BY 1, 2
 """
 
 
+def q_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily active users — the COUNT DISTINCT that does NOT merge
+    (hence the incremental-rollup operator excludes it; this is the
+    exact tier, the HLL twin below is the mergeable 100 TB tier)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct("user_id").alias("daily_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q_DAILY_USERS_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS daily_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier of q_daily_distinct_users: approx_count_distinct
+    (HyperLogLog++). HLL registers are mergeable, so daily sketches
+    union into weekly/monthly counts without rescanning — the property
+    the exact tier lacks. Rows-only: estimates aren't cross-engine
+    bit-comparable."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("daily_users_est"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERY_DEFS = [
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
+    QueryDef("q_daily_distinct_users", q_daily_distinct_users, Q_DAILY_USERS_ORACLE),
+    QueryDef("q_daily_users_hll", q_daily_users_hll, None),  # sketch tier
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
     QueryDef("q_time_bucket_rollup", q_time_bucket_rollup, Q_TIME_BUCKET_ORACLE),
     QueryDef("q_sliding_window", q_sliding_window, Q_SLIDING_ORACLE),

@@ -302,6 +302,64 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to same-user purchases
+    that follow within 30 minutes. Both sides carry watermarks and the
+    join condition bounds event time on both sides — that pair is what
+    lets Spark expire join state (a click older than the watermark plus
+    the interval can never match again and is dropped), so state stays
+    bounded on an unbounded stream. On finite input the result equals
+    the batch interval join, which is the oracle."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    got = run_to_completion(
+        joined.select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "buy_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("buy_ts").alias("buy_us"),
+        ),
+        "drv_stream_join",
+        output_mode="append",
+    )
+    return got
+
+
+STREAM_JOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS buy_id,
+       epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS buy_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
 def streaming_query_defs():
     """QueryDefs for __spark_entry__ (local import avoids a cycle)."""
     from ai_data_pipeline_spark.registry import QueryDef
@@ -315,6 +373,7 @@ def streaming_query_defs():
             STREAM_STATEFUL_ORACLE,
         ),
         QueryDef("stream_dedup_pairs", stream_dedup_pairs, STREAM_DEDUP_ORACLE),
+        QueryDef("stream_stream_join", stream_stream_join, STREAM_JOIN_ORACLE),
     ]
 
 

@@ -135,6 +135,68 @@ def test_outer_join_preaggregates_orders(spark):
     assert plan.count("HashAggregate") >= 4
 
 
+def test_q6_all_predicates_pushed_no_join(spark):
+    """Q6 is the I/O-bound best case: every predicate must reach the
+    parquet scan and the plan must contain no join at all."""
+    from ai_data_pipeline_spark.operators.tpch_extra import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan
+    assert "Join" not in _plan(df)
+    assert _plan(df).count("HashAggregate") >= 2  # partial + final
+
+
+def test_q10_broadcasts_dims(spark):
+    from ai_data_pipeline_spark.operators.tpch_extra import q10_returned_items
+
+    plan = assert_hash_join_only(q10_returned_items(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+
+
+def test_q16_anti_join_is_broadcast(spark):
+    """The NOT-IN supplier exclusion list is tiny — it must broadcast,
+    never shuffle the fact side for an anti-join."""
+    from ai_data_pipeline_spark.operators.tpch_extra import q16_supplier_variety
+
+    plan = assert_hash_join_only(q16_supplier_variety(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_aggregates_below_join(spark):
+    """The quantity rollup must run BEFORE the joins (aggregate-below-
+    join): the join input is |orders with qty>threshold|, not |lineitem|."""
+    from ai_data_pipeline_spark.operators.tpch_extra import q18_large_orders
+
+    plan = assert_hash_join_only(q18_large_orders(spark, SF_DIR))
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q19_single_scan_pair(spark):
+    """Q19's three OR-bands must evaluate on one lineitem⋈part pass —
+    no union-of-three-scans expansion."""
+    from ai_data_pipeline_spark.operators.tpch_extra import q19_discounted_revenue
+
+    plan = assert_hash_join_only(q19_discounted_revenue(spark, SF_DIR))
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_centroids_partial_agg_after_generate(spark):
+    """The fixed-point centroid reduce must partially aggregate after the
+    posexplode (Generate) so the shuffle carries (label, dim) longs,
+    never exploded vector elements."""
+    from ai_data_pipeline_spark.operators.similarity import emb_label_centroids
+
+    plan = _plan(emb_label_centroids(spark, SF_DIR))
+    assert "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_sliding_window_partial_agg_after_expand(spark):
     """Sliding windows expand each row into width/slide windows map-side
     (Expand), then partially aggregate before the shuffle — the exchange
