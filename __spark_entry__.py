@@ -26,6 +26,7 @@ from ai_data_pipeline_spark.operators import (
     temporal,
     text,
     tpch_extra,
+    udf_surface,
     vault,
 )
 from ai_data_pipeline_spark.sources import readers
@@ -50,6 +51,7 @@ QUERY_DEF_MODULES = [
     temporal,
     text,
     tpch_extra,
+    udf_surface,
     vault,
     readers,
     streaming_windows,
