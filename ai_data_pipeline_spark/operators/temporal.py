@@ -292,8 +292,66 @@ def q_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_BITS = 16
+
+
+def _z_spark(u: str, t: str) -> str:
+    """Bit-interleaved Z-value (Morton code) as a Spark SQL expression —
+    generated from the same loop as the DuckDB dialect below, so both
+    engines compute the identical integer."""
+    return " + ".join(
+        f"shiftleft(shiftright({u}, {b}) & 1, {2 * b + 1})"
+        f" + shiftleft(shiftright({t}, {b}) & 1, {2 * b})"
+        for b in range(Z_BITS)
+    )
+
+
+def _z_duck(u: str, t: str) -> str:
+    return " + ".join(
+        f"((({u} >> {b}) & 1) << {2 * b + 1})"
+        f" + ((({t} >> {b}) & 1) << {2 * b})"
+        for b in range(Z_BITS)
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, event time) —
+    the multi-dimensional layout primitive: sorting/range-partitioning
+    a 100 TB table by this key co-locates rows that are close in BOTH
+    dimensions, so per-file min/max statistics prune scans for either
+    predicate (the effect behind Delta/Iceberg Z-ORDER, built from
+    pure bit arithmetic — exact in any engine). Output: per Z-range
+    bucket, row count and the user/time spans that landed in it."""
+    e = load_table(spark, sf_dir, "events")
+    z = e.select(
+        F.expr(
+            _z_spark("(user_id % 65536)", "(unix_seconds(ts) % 65536)")
+        ).alias("z")
+    )
+    return (
+        z.groupBy((F.col("z") / F.lit(1 << 26)).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )
+
+
+Q_ZORDER_ORACLE = f"""
+WITH z AS (
+  SELECT {_z_duck("(user_id % 65536)", "((epoch_us(ts) // 1000000) % 65536)")} AS z
+  FROM events
+)
+SELECT CAST(floor(z / {1 << 26}) AS BIGINT) AS z_bucket,
+       count(*) AS n_rows, min(z) AS z_min, max(z) AS z_max
+FROM z GROUP BY 1
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
+    QueryDef("q_zorder_layout", q_zorder_layout, Q_ZORDER_ORACLE),
     QueryDef("q_daily_distinct_users", q_daily_distinct_users, Q_DAILY_USERS_ORACLE),
     QueryDef("q_daily_users_hll", q_daily_users_hll, None),  # sketch tier
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
