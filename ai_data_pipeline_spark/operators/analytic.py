@@ -226,8 +226,91 @@ GROUP BY c_mktsegment
 """
 
 
+def q_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity) computed
+    from exact decimal component sums — not regr_slope(), whose float
+    accumulation order is engine-specific. Σx, Σy, Σxy, Σx² are decimal
+    (order-independent, mergeable — this is also the distributed-ML
+    reduce shape); the closed-form slope/intercept then divides exact
+    doubles, which is deterministic. One scan, one shuffle of five
+    numbers per group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(x).alias("sx"),
+        dec_sum(y).alias("sy"),
+        dec_sum(x * y).alias("sxy"),
+        dec_sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+Q_REGRESSION_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+FROM s
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    distinct on each subsequent day offset. Two aggregations: first-seen
+    is a groupBy(user) min (one shuffle on user_id); the join back is on
+    the same user_id partitioning (no re-shuffle of the big side under
+    AQE reuse); the final cell count shuffles only (cohort, offset)
+    pairs. The classic product-analytics query at event-log scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+Q_COHORT_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       datediff('day', cohort_day, day) AS day_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM e JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE),
+    QueryDef("q_regression_price_qty", q_regression_price_qty, Q_REGRESSION_ORACLE),
+    QueryDef("q_cohort_retention", q_cohort_retention, Q_COHORT_ORACLE),
     QueryDef("q_unpivot_metrics", q_unpivot_metrics, Q_UNPIVOT_ORACLE),
     QueryDef("q_percentiles", q_percentiles, Q_PERCENTILES_ORACLE),
     QueryDef("q_percentiles_approx", q_percentiles_approx, None),  # sketch tier
