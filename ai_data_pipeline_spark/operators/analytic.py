@@ -307,8 +307,37 @@ GROUP BY 1, 2
 """
 
 
+HIST_WIDTH = 10000
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of extended price: bucket = floor(x/width),
+    integer-exact (prices are positive 2-dp doubles; the double divide
+    + floor is deterministic). Map-side partial counts make the shuffle
+    |buckets|-sized regardless of table size."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(
+            F.floor(F.col("l_extendedprice") / HIST_WIDTH).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+Q_HISTOGRAM_ORACLE = f"""
+SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE),
+    QueryDef("q_price_histogram", q_price_histogram, Q_HISTOGRAM_ORACLE),
     QueryDef("q_regression_price_qty", q_regression_price_qty, Q_REGRESSION_ORACLE),
     QueryDef("q_cohort_retention", q_cohort_retention, Q_COHORT_ORACLE),
     QueryDef("q_unpivot_metrics", q_unpivot_metrics, Q_UNPIVOT_ORACLE),

@@ -349,8 +349,103 @@ FROM z GROUP BY 1
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: per user, order events by
+    (ts, event_id) — the id tiebreak makes the sequence total, hence
+    engine-deterministic — and count (current → next) type bigrams.
+    One shuffle (window on user_id), then a tiny (from, to) rollup:
+    the sequence-mining primitive (Markov chains, funnel discovery)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    steps = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+Q_TRANSITIONS_ORACLE = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM steps WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+TWA_CUTOFF_US = 0  # full-range integral
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user (hypertable-style):
+    each observation holds until the next one; weight = microseconds to
+    the next event. Integral = Σ value·dt with dt integer micros and
+    value cast to decimal — exact and order-independent; last event of
+    each user carries no interval. One window shuffle on user_id, then
+    per-user aggregation on the same partitioning (no extra exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    stepped = e.select(
+        "user_id",
+        # fixed-point micro-units: floor of an exact double product is
+        # engine-identical, unlike double→decimal rounding
+        F.floor(F.col("value") * 1_000_000).alias("value_fp"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    # weighted_sum_fp stays DECIMAL end-to-end: Java's decimal→double
+    # cast is not correctly rounded above 2^53 (BigDecimal.doubleValue),
+    # so a 21-digit integer cast in-engine can differ from DuckDB by an
+    # ulp; emitting the exact decimal sidesteps the cast entirely. The
+    # twa ratio divides through 10^6-scaled decimals (exact) before the
+    # one deterministic double division.
+    return stepped.groupBy("user_id").agg(
+        F.sum(F.col("value_fp").cast("decimal(38,0)") * F.col("dt_us")).alias(
+            "weighted_sum_fp"
+        ),
+        F.sum("dt_us").alias("total_us"),
+    ).select(
+        "user_id",
+        "weighted_sum_fp",
+        "total_us",
+        # the double cast here may differ by an ulp per engine (see
+        # above) — a 1e-16 relative wobble that round-to-6dp absorbs
+        F.round(
+            F.col("weighted_sum_fp").cast("double") / F.col("total_us") / 1_000_000,
+            6,
+        ).alias("twa"),
+    )
+
+
+Q_TWA_ORACLE = """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_fp,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events
+), agg AS (
+  SELECT user_id,
+         SUM(CAST(value_fp AS DECIMAL(38,0)) * dt_us) AS weighted_sum_fp,
+         SUM(dt_us) AS total_us
+  FROM stepped WHERE dt_us IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, weighted_sum_fp, total_us,
+       round(CAST(weighted_sum_fp AS DOUBLE) / total_us / 1000000, 6) AS twa
+FROM agg
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
+    QueryDef("q_event_transitions", q_event_transitions, Q_TRANSITIONS_ORACLE),
+    QueryDef("q_time_weighted_avg", q_time_weighted_avg, Q_TWA_ORACLE),
     QueryDef("q_zorder_layout", q_zorder_layout, Q_ZORDER_ORACLE),
     QueryDef("q_daily_distinct_users", q_daily_distinct_users, Q_DAILY_USERS_ORACLE),
     QueryDef("q_daily_users_hll", q_daily_users_hll, None),  # sketch tier
