@@ -17,6 +17,16 @@ def test_all_queries_have_known_keys():
     assert not unknown, f"oracle_sql keys without queries: {unknown}"
 
 
+def test_query_names_unique_across_modules():
+    """Two modules declaring the same QueryDef name would silently
+    shadow each other in the contract dict — fail loudly instead."""
+    from collections import Counter
+
+    names = [d.name for mod in entry_mod.QUERY_DEF_MODULES for d in mod.QUERY_DEFS]
+    dupes = [n for n, c in Counter(names).items() if c > 1]
+    assert not dupes, f"duplicate query names: {dupes}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR)
