@@ -36,12 +36,21 @@ HEADLINE = [
     "q_range_join",
     "q_sessionize",
     "q_event_funnel",
+    "q_event_transitions",
+    "q_cohort_retention",
+    "q_time_weighted_avg",
+    "q_zorder_layout",
+    "q_daily_distinct_users",
     "pipeline_clean_corpus",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "text_stats",
     "text_lang_id",
+    "text_tfidf_top_terms",
+    "udaf_sum_sq",
+    "dq_checks",
+    "schema_drift",
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf",
