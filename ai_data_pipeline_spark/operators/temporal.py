@@ -442,8 +442,79 @@ FROM agg
 """
 
 
+def q_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style history build: collapse each user's consecutive
+    identical event_types into effective-dated rows
+    (user, status, valid_from, valid_to, n_events) — the
+    slowly-changing-dimension shape a CDC pipeline materializes from a
+    change log. Gaps-and-islands: flag status changes with lag(), run a
+    cumulative sum to number the islands, aggregate per island. One
+    shuffle on user_id; both windows and the final groupBy share that
+    partitioning. valid_to is the next island's start (open interval),
+    NULL for the current status."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("chg").over(w_cum))
+    hist = islands.groupBy("user_id", "island", "status").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy(F.asc("island"))
+    return hist.select(
+        "user_id",
+        "status",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+Q_SCD2_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type AS status, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), hist AS (
+  SELECT user_id, island, status,
+         min(ts_us) AS valid_from_us, count(*) AS n_events
+  FROM islands GROUP BY 1, 2, 3
+)
+SELECT user_id, status, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+         AS valid_to_us,
+       n_events
+FROM hist
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
+    QueryDef("q_scd2_status_history", q_scd2_status_history, Q_SCD2_ORACLE),
     QueryDef("q_event_transitions", q_event_transitions, Q_TRANSITIONS_ORACLE),
     QueryDef("q_time_weighted_avg", q_time_weighted_avg, Q_TWA_ORACLE),
     QueryDef("q_zorder_layout", q_zorder_layout, Q_ZORDER_ORACLE),
