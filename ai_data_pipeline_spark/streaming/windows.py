@@ -302,6 +302,41 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1 h windows sliding by 15 min, streamed with a
+    watermark — each event contributes to 4 windows of state, each
+    expired once the watermark passes its end. Oracle = the batch
+    sliding-window expansion (epoch-aligned window starts)."""
+    events = read_events_stream(spark, sf_dir)
+    got = run_to_completion(
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "3600 seconds", "900 seconds"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("win_start_sec"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        ),
+        "drv_stream_sliding",
+    )
+    return got
+
+
+STREAM_SLIDING_ORACLE = """
+SELECT ((epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 900))
+         - u.k * 900 AS win_start_sec,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) u
+GROUP BY 1, 2
+"""
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: clicks joined to same-user purchases
     that follow within 30 minutes. Both sides carry watermarks and the
@@ -374,6 +409,7 @@ def streaming_query_defs():
         ),
         QueryDef("stream_dedup_pairs", stream_dedup_pairs, STREAM_DEDUP_ORACLE),
         QueryDef("stream_stream_join", stream_stream_join, STREAM_JOIN_ORACLE),
+        QueryDef("stream_sliding_counts", stream_sliding_counts, STREAM_SLIDING_ORACLE),
     ]
 
 
