@@ -335,8 +335,72 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (window over aggregate): revenue per return flag
+    and its share of the grand total. The share window runs over the
+    tiny grouped result — a second pass over 3 rows, not the fact
+    table."""
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    grouped = l.groupBy("l_returnflag").agg(dec_sum(revenue).alias("revenue"))
+    return grouped.select(
+        "l_returnflag",
+        "revenue",
+        F.round(
+            F.lit(100) * F.col("revenue") / F.sum("revenue").over(W.partitionBy()),
+            6,
+        ).alias("pct_of_total"),
+    )
+
+
+Q_REVENUE_SHARE_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+      AS revenue
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, revenue,
+       round(100 * revenue / SUM(revenue) OVER (), 6) AS pct_of_total
+FROM g
+"""
+
+
+def q_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total: revenue per order day, accumulated in date order.
+    Daily decimal sums are exact, so the running sum (a second exact
+    decimal accumulation over the tiny daily relation) is too. The
+    window is a single global sort of |days| rows — the fact table
+    never sorts."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("day_revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+Q_CUM_REVENUE_ORACLE = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+  FROM orders GROUP BY 1
+)
+SELECT day, CAST(rev_dec AS DOUBLE) AS day_revenue,
+       CAST(SUM(rev_dec) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         AS cum_revenue
+FROM daily
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE),
+    QueryDef("q_revenue_share", q_revenue_share, Q_REVENUE_SHARE_ORACLE),
+    QueryDef("q_cumulative_daily_revenue", q_cumulative_daily_revenue, Q_CUM_REVENUE_ORACLE),
     QueryDef("q_price_histogram", q_price_histogram, Q_HISTOGRAM_ORACLE),
     QueryDef("q_regression_price_qty", q_regression_price_qty, Q_REGRESSION_ORACLE),
     QueryDef("q_cohort_retention", q_cohort_retention, Q_COHORT_ORACLE),
