@@ -397,8 +397,44 @@ FROM daily
 """
 
 
+BASKET_TOP_K = 20
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order,
+    top-K by support. The self-join is keyed on l_orderkey (baskets are
+    small — the per-key blowup is |basket|², bounded by order size, not
+    table size), pairs are canonicalized a<b, and the top-K sorts only
+    the aggregated pair counts. The co-occurrence-mining primitive
+    (recommendations, affinity analysis) at fact-table scale."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).groupBy(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return pairs.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(BASKET_TOP_K)
+
+
+Q_BASKET_ORACLE = f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE),
+    QueryDef("q_basket_pairs", q_basket_pairs, Q_BASKET_ORACLE),
     QueryDef("q_revenue_share", q_revenue_share, Q_REVENUE_SHARE_ORACLE),
     QueryDef("q_cumulative_daily_revenue", q_cumulative_daily_revenue, Q_CUM_REVENUE_ORACLE),
     QueryDef("q_price_histogram", q_price_histogram, Q_HISTOGRAM_ORACLE),
