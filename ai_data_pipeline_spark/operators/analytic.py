@@ -432,8 +432,43 @@ LIMIT {BASKET_TOP_K}
 """
 
 
+def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE deciles of customer balance: assign each customer a decile
+    over a TOTAL order (acctbal, custkey — the key tiebreak makes tile
+    assignment engine-deterministic), then summarize each tile. The
+    global sort is the cost; at 100 TB the same result comes from
+    rangepartitioning + per-partition offsets, but NTILE's contract is
+    the portable statement of it."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    tiled = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+    )
+
+
+Q_DECILES_ORACLE = """
+WITH tiled AS (
+  SELECT c_custkey, c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT decile, count(*) AS n, min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM tiled GROUP BY decile
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE),
+    QueryDef("q_balance_deciles", q_balance_deciles, Q_DECILES_ORACLE),
     QueryDef("q_basket_pairs", q_basket_pairs, Q_BASKET_ORACLE),
     QueryDef("q_revenue_share", q_revenue_share, Q_REVENUE_SHARE_ORACLE),
     QueryDef("q_cumulative_daily_revenue", q_cumulative_daily_revenue, Q_CUM_REVENUE_ORACLE),
