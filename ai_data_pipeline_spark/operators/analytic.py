@@ -466,8 +466,45 @@ FROM tiled GROUP BY decile
 """
 
 
+def q_window_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window functions in one shape:
+    rank, dense_rank, first_value, and lag over a per-segment total
+    order (acctbal desc, custkey — totality makes every one of them
+    engine-deterministic), filtered to each segment's top 3. One
+    shuffle on the partition key; the filter on rank caps the output."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.first_value("c_custkey").over(w).alias("top_custkey"),
+            F.lag("c_custkey").over(w).alias("prev_custkey"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+Q_WINDOW_SAMPLER_ORACLE = """
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         first_value(c_custkey) OVER w AS top_custkey,
+         lag(c_custkey) OVER w AS prev_custkey
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+) WHERE rnk <= 3
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE),
+    QueryDef("q_window_function_sampler", q_window_function_sampler, Q_WINDOW_SAMPLER_ORACLE),
     QueryDef("q_balance_deciles", q_balance_deciles, Q_DECILES_ORACLE),
     QueryDef("q_basket_pairs", q_basket_pairs, Q_BASKET_ORACLE),
     QueryDef("q_revenue_share", q_revenue_share, Q_REVENUE_SHARE_ORACLE),
