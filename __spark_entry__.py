@@ -26,6 +26,7 @@ from ai_data_pipeline_spark.operators import (
     temporal,
     text,
     tpch_extra,
+    tpch_extra2,
     udf_surface,
     vault,
 )
@@ -51,6 +52,7 @@ QUERY_DEF_MODULES = [
     temporal,
     text,
     tpch_extra,
+    tpch_extra2,
     udf_surface,
     vault,
     readers,
