@@ -59,21 +59,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(CC_MAX_ITERS):
         prop = sym.join(labels, sym["src"] == labels["v"]).select(
-            F.col("dst").alias("v"), F.col("label")
+            F.col("dst").alias("v"), F.col("label"), F.lit(False).alias("own")
         )
+        # Fold the convergence check into the same groupBy: the vertex's
+        # previous label rides along as min(label where own), so "did
+        # anything change" is a cheap filter-count on the checkpointed
+        # result — no second shuffle join per round.
         new = (
-            labels.union(prop)
+            labels.select("v", "label", F.lit(True).alias("own"))
+            .union(prop)
             .groupBy("v")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("old_label"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.select("v", F.col("label").alias("new_label"))
-            .join(labels, "v")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("label") != F.col("old_label")).count()
+        labels = new.select("v", "label")
         if changed == 0:
             break
     assign = (

@@ -8,11 +8,16 @@ Scale design:
   shingle. Quadratic in docs-per-shingle, so it is the *verification*
   primitive; at 100 TB scale candidate generation goes through MinHash
   bands (below) and this join runs only within tiny buckets.
-- MinHash+LSH: k=12 signatures = min over shingles of md5(seed|shingle)
-  (lexicographic min of hex — deterministic, engine-portable), banded
-  r=3×b=4; docs sharing a band bucket become candidates; candidates are
-  verified with exact Jaccard. Band join is equi-join on (band, hash) —
-  linear shuffle, no all-pairs blowup.
+- MinHash+LSH: k=12 signatures from ONE 64-hex-char digest per shingle
+  (md5('0|'|sh) || md5('1|'|sh)) split into 12 disjoint 5-hex-char
+  slices — disjoint bits of a strong hash are independent, so slice j
+  plays hash-function j (the standard "one hash, k splits" trick); each
+  signature is the lexicographic min of its slice over the doc's
+  shingles. 2 md5 calls per shingle instead of k — the shingle-hash
+  stage is the dominant CPU cost at corpus scale. Banded r=3×b=4; docs
+  sharing a band bucket become candidates; candidates are verified with
+  exact Jaccard. Band join is equi-join on (band, hash) — linear
+  shuffle, no all-pairs blowup.
 - SimHash: 16-bit signature from per-token md5 bit votes; exact-signature
   groups are near-dup clusters. All bit arithmetic via portable
   hex-digit parsing (instr on a hex alphabet).
@@ -134,9 +139,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification then intersects the collected sets per pair instead of
     # re-joining the full shingle relation twice (two more big shuffles).
     sh = _doc_shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
+    hashed = sh.select(
+        "doc_id",
+        "shingle",
+        F.concat(
+            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
+            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
+        ).alias("hh"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"m{j}")
+            F.min(F.substring(F.col("hh"), 1 + 5 * j, 5)).alias(f"m{j}")
             for j in range(MINHASH_K)
         ],
         F.count(F.lit(1)).alias("sz"),
@@ -202,7 +215,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     sig_cols = ", ".join(
-        f"min(md5('{j}|' || shingle)) AS m{j}" for j in range(MINHASH_K)
+        f"min(substr(hh, {1 + 5 * j}, 5)) AS m{j}" for j in range(MINHASH_K)
     )
     n_bands = MINHASH_K // MINHASH_BAND_R
     band_rows = " UNION ALL ".join(
@@ -217,8 +230,12 @@ def _minhash_oracle() -> str:
     return rf"""
 WITH sh AS (
   SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM {SHINGLES_DUCK_FROM}
+), shh AS (
+  SELECT doc_id, shingle,
+         md5('0|' || shingle) || md5('1|' || shingle) AS hh
+  FROM sh
 ), sig AS (
-  SELECT doc_id, {sig_cols}, count(*) AS sz FROM sh GROUP BY doc_id
+  SELECT doc_id, {sig_cols}, count(*) AS sz FROM shh GROUP BY doc_id
 ), bands AS (
   {band_rows}
 ), cands AS (
