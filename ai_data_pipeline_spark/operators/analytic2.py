@@ -1,0 +1,209 @@
+"""Windowed trend and outlier analytics: moving averages over gapped
+daily series, IQR and z-score outlier detection, relative-threshold
+heavy hitters.
+
+The reference implements no analytics queries (SURVEY.md §2.8); these
+extend the window/statistics surface every warehouse user expects, each
+with a DuckDB oracle.
+
+Scale design:
+- moving average: aggregate the fact table to |days| rows FIRST (one
+  keyed shuffle with map-side partials), then run the RANGE window over
+  the tiny daily relation — the fact table is never globally sorted.
+  RANGE (not ROWS) over an integer day index handles calendar gaps.
+- IQR outliers: per-group exact percentiles over the dimension-sized
+  customer table; fences broadcast back to flag rows. At 100 TB the
+  exact percentile swaps for percentile_approx (mergeable sketch, same
+  plan shape — see q_percentiles_approx precedent).
+- z-score outliers: mean/variance from fixed-point integer sums
+  (order-independent, mergeable — the same trick as
+  emb_label_centroids), so the only float ops are a final per-group
+  division/sqrt with identical IEEE order in both engines. One scan +
+  one broadcast join back.
+- heavy hitters: groupBy count + a 1-row broadcast threshold (0.1% of
+  total events) — the exact tier of frequent-item detection; at scale
+  the first pass becomes a count-min/space-saving sketch with this
+  exact query as the verifier on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.registry import QueryDef
+
+MOVING_AVG_DAYS = 7  # trailing window width (RANGE, calendar-aware)
+
+
+def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily order revenue. Daily sums
+    are exact decimals; the window accumulates decimals over an integer
+    day index with RANGE framing, so missing calendar days shrink the
+    window instead of silently widening it (ROWS would)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("day_num"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"))
+    w = W.orderBy("day_num").rangeBetween(-(MOVING_AVG_DAYS - 1), 0)
+    return daily.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("day_revenue"),
+        (F.sum("rev_dec").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "avg_7d"
+        ),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
+
+
+Q_MOVING_AVG_ORACLE = f"""
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+  FROM orders GROUP BY 1, 2
+)
+SELECT day,
+  CAST(rev_dec AS DOUBLE) AS day_revenue,
+  CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d,
+  COUNT(*) OVER w AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY day_num RANGE BETWEEN {MOVING_AVG_DAYS - 1} PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+def q_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier detection per market segment: Tukey fences at
+    1.5×IQR off the exact interpolated quartiles of account balance;
+    fences broadcast back over the table to count flagged rows."""
+    c = load_table(spark, sf_dir, "customer")
+    fences = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+    )
+    flagged = c.join(F.broadcast(fences), "c_mktsegment").select(
+        "c_mktsegment",
+        "c_acctbal",
+        "q1",
+        "q3",
+        (
+            (F.col("c_acctbal") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            | (F.col("c_acctbal") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        ).alias("is_outlier"),
+    )
+    return flagged.groupBy("c_mktsegment").agg(
+        F.round(F.min("q1"), 6).alias("q1"),
+        F.round(F.min("q3"), 6).alias("q3"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q_OUTLIERS_IQR_ORACLE = """
+WITH fences AS (
+  SELECT c_mktsegment,
+         quantile_cont(c_acctbal, 0.25) AS q1,
+         quantile_cont(c_acctbal, 0.75) AS q3
+  FROM customer GROUP BY 1
+)
+SELECT c.c_mktsegment,
+  ROUND(MIN(q1), 6) AS q1,
+  ROUND(MIN(q3), 6) AS q3,
+  SUM(CASE WHEN c_acctbal < q1 - 1.5 * (q3 - q1)
+            OR c_acctbal > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS n_outliers,
+  COUNT(*) AS n_rows
+FROM customer c JOIN fences f ON c.c_mktsegment = f.c_mktsegment
+GROUP BY 1
+"""
+
+
+ZSCORE_CUT = 3  # |z| > 3 flags an outlier
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers per event type over events.value. Moments come
+    from fixed-point longs (floor(value·10³) — scale chosen so the sum
+    of squares stays far inside long range): integer sums are
+    order-independent and mergeable, so the only float arithmetic is
+    the final mean/variance division and sqrt — written with identical
+    IEEE op order in both engines. The |z|>3 comparison is applied on
+    the fixed-point row value against the group moments."""
+    e = load_table(spark, sf_dir, "events")
+    fp = e.select(
+        "event_type", F.floor(F.col("value") * 1000).alias("v_fp")
+    )
+    mom = fp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_fp").alias("s1"),
+        F.sum(F.col("v_fp") * F.col("v_fp")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    flagged = fp.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "n",
+        (
+            F.abs(F.col("v_fp").cast("double") - mean) > F.lit(float(ZSCORE_CUT)) * F.sqrt(var)
+        ).alias("is_outlier"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.min("n").alias("n_rows"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
+
+
+Q_ZSCORE_ORACLE = f"""
+WITH fp AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v_fp FROM events
+), mom AS (
+  SELECT event_type, count(*) AS n, sum(v_fp) AS s1, sum(v_fp * v_fp) AS s2
+  FROM fp GROUP BY 1
+)
+SELECT fp.event_type,
+  MIN(n) AS n_rows,
+  SUM(CASE WHEN abs(CAST(v_fp AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+            > {float(ZSCORE_CUT)} * sqrt(CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      THEN 1 ELSE 0 END) AS n_outliers
+FROM fp JOIN mom ON fp.event_type = mom.event_type
+GROUP BY 1
+"""
+
+
+HEAVY_HITTER_FRACTION = 0.001  # 0.1% of all events
+
+
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item detection, exact tier: users owning more than
+    0.1% of all events (threshold = 1-row broadcast scalar). At 100 TB
+    the first pass becomes a space-saving/count-min sketch; this exact
+    groupBy is the candidate verifier."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    threshold = per_user.agg(
+        (F.sum("n_events") * F.lit(HEAVY_HITTER_FRACTION)).alias("cut")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(threshold))
+        .filter(F.col("n_events") > F.col("cut"))
+        .select("user_id", "n_events")
+    )
+
+
+Q_HEAVY_HITTER_ORACLE = f"""
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING count(*) > (SELECT count(*) * {HEAVY_HITTER_FRACTION} FROM events)
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("q_moving_avg_7d", q_moving_avg_7d, Q_MOVING_AVG_ORACLE),
+    QueryDef("q_outliers_iqr", q_outliers_iqr, Q_OUTLIERS_IQR_ORACLE),
+    QueryDef("q_zscore_outliers", q_zscore_outliers, Q_ZSCORE_ORACLE),
+    QueryDef("q_heavy_hitter_users", q_heavy_hitter_users, Q_HEAVY_HITTER_ORACLE),
+]
