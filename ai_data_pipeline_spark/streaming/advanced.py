@@ -1,0 +1,222 @@
+"""Advanced Structured Streaming surface: late-data drop semantics and
+foreachBatch-driven streaming top-k.
+
+The existing streaming queries (streaming/windows.py) verify batch
+equivalence on inputs where the watermark never fires — late-data DROP,
+the core watermark semantic, was untested. stream_late_data_drop
+constructs a three-micro-batch source whose final batch arrives
+entirely behind the watermark and must be discarded row-for-row; the
+middle batch documents Spark's one-batch watermark-filter lag (it is
+equally late but still admitted).
+
+stream_topk_per_window covers the one aggregation shape streaming can't
+express directly (rank over a streaming agg is disallowed): the
+standard production pattern is windowed agg → foreachBatch upsert into
+a keyed store → rank over the store. Here the store is a driver-side
+dict (the memory-sink equivalent); at 100 TB it is a key-value/Delta
+table written per micro-batch — the plan shape (bounded per-batch
+update output, keyed merge, rank over the compact store) is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.streaming.windows import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    run_to_completion,
+)
+
+LATE_CUTOFF_HOURS = 3  # second batch = everything older than max_ts - 3h
+WATERMARK = "10 minutes"
+TOPK_PER_WINDOW = 3
+
+
+def _three_batch_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Split events into three parquet files forming three micro-batches
+    (the file stream source orders by modification time):
+
+    - file_0: on-time rows (within 3 h of the stream maximum) — these
+      advance the watermark to max_ts − 10 min;
+    - file_1: late rows with even event_id — still ADMITTED, because
+      Spark's late-record filter applies the watermark with a one-batch
+      lag (measured on Spark 4: batch N filters with the watermark that
+      was current when batch N−1 was planned; eviction uses the fresh
+      value — so the first late batch slips in);
+    - file_2: late rows with odd event_id — dropped by the watermark
+      (verified via numRowsDroppedByWatermark = |file_2| in the state
+      operator metrics).
+    """
+    from ai_data_pipeline_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.agg(
+        (F.max(F.unix_micros("ts")) - LATE_CUTOFF_HOURS * 3600 * 1_000_000).alias("c")
+    ).collect()[0]["c"]
+    tmp = tempfile.mkdtemp(prefix="adp_late_")
+    # Files are written with the raw nanos `ts` longs the streaming
+    # reader expects (EVENTS_SCHEMA mirrors the parquet layout).
+    raw = events.select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    late = F.col("ts") < cutoff * 1000
+    parts = [
+        raw.filter(~late),
+        raw.filter(late & (F.col("event_id") % 2 == 0)),
+        raw.filter(late & (F.col("event_id") % 2 == 1)),
+    ]
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    now = 1_700_000_000
+    for i, df in enumerate(parts):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
+        part = next(
+            f for f in os.listdir(f"{tmp}/b{i}") if f.endswith(".parquet")
+        )
+        dst = f"{src}/file_{i}.parquet"
+        os.rename(f"{tmp}/b{i}/{part}", dst)
+        os.utime(dst, (now + i * 60, now + i * 60))  # mtime order = batch order
+    return src
+
+
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, end-to-end: batch 0 (on-time rows)
+    advances the watermark to max_ts − 10 min; batch 1 (late, even
+    event_id) slips in through the one-batch filter lag; batch 2 (late,
+    odd event_id) lands fully behind the now-effective watermark and is
+    dropped row-for-row. Update-mode emissions are deduped by key
+    (counts only grow; values are ≥ 0); the oracle aggregates the
+    on-time and even-id-late subsets — the odd-id-late rows must be
+    absent, which is the semantic under test."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = _three_batch_source_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .load(src)
+    )
+    events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("win_start_sec"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    got = run_to_completion(agg, "drv_stream_late_drop", output_mode="update")
+    # update mode re-emits a key on every change; keep the final value
+    return got.groupBy("win_start_sec", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_value").alias("sum_value"),
+    )
+
+
+STREAM_LATE_DROP_ORACLE = f"""
+WITH kept AS (
+  SELECT * FROM events
+  WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events)
+                        - {LATE_CUTOFF_HOURS * 3600 * 1_000_000}
+     OR event_id % 2 = 0
+)
+SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 300) AS win_start_sec,
+       event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM kept GROUP BY 1, 2
+"""
+
+
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: hourly windowed counts flow through foreachBatch
+    in update mode into a keyed store; the rank runs over the compact
+    store after the drain. Store updates are idempotent per key (each
+    emission carries the full new aggregate), so retried micro-batches
+    are safe — the foreachBatch contract."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").alias("win_start_sec"),
+            "event_type",
+            "n_events",
+        )
+    )
+    store: dict[tuple[int, str], int] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch update output is bounded by |windows|x|event types|;
+        # at scale this collect becomes a keyed MERGE into a table
+        for r in batch_df.collect():
+            store[(r["win_start_sec"], r["event_type"])] = r["n_events"]
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (win, et, n) for (win, et), n in sorted(store.items())
+    ]
+    final = spark.createDataFrame(
+        rows, schema="win_start_sec long, event_type string, n_events long"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("win_start_sec").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        final.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_PER_WINDOW)
+        .select("win_start_sec", "event_type", "n_events", "rk")
+    )
+
+
+STREAM_TOPK_ORACLE = f"""
+WITH counts AS (
+  SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 3600)
+           AS win_start_sec,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start_sec, event_type, n_events, rk FROM (
+  SELECT win_start_sec, event_type, n_events,
+         row_number() OVER (PARTITION BY win_start_sec
+                            ORDER BY n_events DESC, event_type ASC) AS rk
+  FROM counts
+) WHERE rk <= {TOPK_PER_WINDOW}
+"""
+
+
+def advanced_query_defs():
+    from ai_data_pipeline_spark.registry import QueryDef
+
+    return [
+        QueryDef("stream_late_data_drop", stream_late_data_drop, STREAM_LATE_DROP_ORACLE),
+        QueryDef("stream_topk_per_window", stream_topk_per_window, STREAM_TOPK_ORACLE),
+    ]
+
+
+QUERY_DEFS = advanced_query_defs()
