@@ -14,8 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ai_data_pipeline_spark.catalog import TABLES, load_table
 from ai_data_pipeline_spark.operators import (
     analytic,
+    analytic2,
     clustering,
     dedup,
+    maintenance,
     multimodal,
     pipeline,
     quality,
@@ -30,7 +32,9 @@ from ai_data_pipeline_spark.operators import (
     udf_surface,
     vault,
 )
+from ai_data_pipeline_spark.sources import advanced as sources_advanced
 from ai_data_pipeline_spark.sources import readers
+from ai_data_pipeline_spark.streaming import advanced as streaming_advanced
 from ai_data_pipeline_spark.streaming import windows as streaming_windows
 from ai_data_pipeline_spark.profiling.profiler import profile_summary, profile_table
 from ai_data_pipeline_spark.profiling.oracle import (
@@ -40,8 +44,10 @@ from ai_data_pipeline_spark.profiling.oracle import (
 
 QUERY_DEF_MODULES = [
     analytic,
+    analytic2,
     clustering,
     dedup,
+    maintenance,
     multimodal,
     pipeline,
     quality,
@@ -56,7 +62,9 @@ QUERY_DEF_MODULES = [
     udf_surface,
     vault,
     readers,
+    sources_advanced,
     streaming_windows,
+    streaming_advanced,
 ]
 
 PROFILED_TABLES = [

@@ -29,6 +29,14 @@ HEADLINE = [
     "q18_large_orders",
     "q19_discounted_revenue",
     "q_cheapest_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q21_waiting_suppliers",
+    "q_moving_avg_7d",
+    "q_outliers_iqr",
+    "q_zscore_outliers",
+    "q_heavy_hitter_users",
     "q_events_window",
     "q_sliding_window",
     "q_time_bucket_rollup",
