@@ -332,36 +332,38 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    w_os = Window.partitionBy("l_orderkey", "l_suppkey")
     w_o = Window.partitionBy("l_orderkey")
     # A line "kept every other supplier waiting" iff its shipdate beats
     # the latest line of every OTHER supplier in the order. max_other is
-    # the order max when another supplier attains it, else the
-    # second-highest supplier-level max (null for single-supplier orders
-    # — the null comparison then drops the row, matching the EXISTS).
+    # the order max when another supplier attains it, else the best
+    # shipdate among non-max-attaining suppliers (null for
+    # single-supplier orders — the null comparison then drops the row,
+    # matching the EXISTS). Every window partitions by l_orderkey only,
+    # so the fact table shuffles exactly once.
     annotated = (
         l.join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .withColumn("supp_max", F.max("l_shipdate").over(w_os))
         .withColumn("m1", F.max("l_shipdate").over(w_o))
         .withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w_o)))
         .withColumn(
-            "n_m1_supps",
-            F.size(
-                F.collect_set(
-                    F.when(F.col("supp_max") == F.col("m1"), F.col("l_suppkey"))
-                ).over(w_o)
-            ),
+            "m1_supps",
+            F.collect_set(
+                F.when(F.col("l_shipdate") == F.col("m1"), F.col("l_suppkey"))
+            ).over(w_o),
         )
         .withColumn(
             "m2",
             F.max(
-                F.when(F.col("supp_max") < F.col("m1"), F.col("supp_max"))
+                F.when(
+                    ~F.array_contains(F.col("m1_supps"), F.col("l_suppkey")),
+                    F.col("l_shipdate"),
+                )
             ).over(w_o),
         )
         .withColumn(
             "max_other",
             F.when(
-                (F.col("supp_max") == F.col("m1")) & (F.col("n_m1_supps") == 1),
+                F.array_contains(F.col("m1_supps"), F.col("l_suppkey"))
+                & (F.size("m1_supps") == 1),
                 F.col("m2"),
             ).otherwise(F.col("m1")),
         )

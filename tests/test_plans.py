@@ -205,3 +205,48 @@ def test_sliding_window_partial_agg_after_expand(spark):
     plan = _plan(df)
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q8_all_dims_broadcast(spark):
+    """Q8's seven joins (part, customer, nation×2, region, supplier,
+    orders at test SF) must all resolve to broadcast-hash — the widest
+    query in the suite stays one-fact-shuffle."""
+    from ai_data_pipeline_spark.operators.tpch_extra2 import q8_market_share
+
+    plan = assert_hash_join_only(q8_market_share(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 6
+
+
+def test_q9_like_filter_shrinks_broadcast(spark):
+    """Q9's p_name LIKE filter must land on the part scan (pushed or
+    post-scan, but before the broadcast), so the broadcast side is the
+    filtered subset, not the full part table."""
+    from ai_data_pipeline_spark.operators.tpch_extra2 import q9_product_profit
+
+    plan = assert_hash_join_only(q9_product_profit(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the LIKE is evaluated below the exchange that builds the broadcast
+    assert "Contains(p_name, widget)" in plan or "widget" in plan
+
+
+def test_q21_single_fact_shuffle_for_windows(spark):
+    """All q21 window passes partition by l_orderkey only — the
+    two-key (orderkey, suppkey) exchange of the naive supplier-max
+    formulation must not appear; lineitem shuffles once."""
+    from ai_data_pipeline_spark.operators.tpch_extra2 import q21_waiting_suppliers
+
+    plan = _plan(q21_waiting_suppliers(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    for seg in plan.split("hashpartitioning(")[1:]:
+        keys = seg.split(")")[0]
+        if "l_orderkey" in keys:
+            assert "l_suppkey" not in keys
+
+
+def test_q11_single_lineitem_scan(spark):
+    """Q11's global threshold re-aggregates the grouped per-part sums —
+    raw lineitem must scan once, not twice."""
+    from ai_data_pipeline_spark.operators.tpch_extra2 import q11_important_parts
+
+    plan = _plan(q11_important_parts(spark, SF_DIR))
+    assert plan.count("FileScan parquet") <= 2  # reused subplan may re-list
