@@ -201,8 +201,67 @@ HAVING count(*) > (SELECT count(*) * {HEAVY_HITTER_FRACTION} FROM events)
 """
 
 
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with LOCF (last-observation-carried-forward,
+    the hypertable `locf(...)` idiom): the dense calendar comes from
+    sequence()+explode (generated, not scanned), outer-joins the
+    per-(type, day) aggregates, and a last-non-null window carries
+    values across the gaps. The window partitions by event_type and
+    orders by day over the |types|×|days| filled relation — metadata-
+    sized regardless of fact volume."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("val_dec"))
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    grid = calendar.crossJoin(F.broadcast(types))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left_outer").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("val_dec").cast("double").alias("day_value"),
+        F.last("val_dec", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+        F.col("val_dec").isNull().alias("is_gap"),
+    )
+    return filled
+
+
+Q_GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS val_dec
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM daily
+), calendar AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span
+), grid AS (
+  SELECT c.day, t.event_type
+  FROM calendar c CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+)
+SELECT g.event_type,
+       strftime(g.day, '%Y-%m-%d') AS day,
+       CAST(val_dec AS DOUBLE) AS day_value,
+       CAST(last_value(val_dec IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS filled_value,
+       val_dec IS NULL AS is_gap
+FROM grid g LEFT OUTER JOIN daily d
+  ON g.event_type = d.event_type AND g.day = d.day
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_moving_avg_7d", q_moving_avg_7d, Q_MOVING_AVG_ORACLE),
+    QueryDef("q_gap_fill_locf", q_gap_fill_locf, Q_GAP_FILL_ORACLE),
     QueryDef("q_outliers_iqr", q_outliers_iqr, Q_OUTLIERS_IQR_ORACLE),
     QueryDef("q_zscore_outliers", q_zscore_outliers, Q_ZSCORE_ORACLE),
     QueryDef("q_heavy_hitter_users", q_heavy_hitter_users, Q_HEAVY_HITTER_ORACLE),

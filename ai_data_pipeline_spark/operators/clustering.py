@@ -113,6 +113,149 @@ FROM assign
 """
 
 
+def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-dup graph (a < b < c via two
+    joins on oriented edges): triangles mark tightly-coupled duplicate
+    groups where pairwise-threshold decisions agree transitively —
+    the standard graph-quality signal for an LSH candidate set.
+
+    Scale shape: orienting edges low→high before joining bounds each
+    join's fan-out by the max out-degree (the classic MapReduce
+    triangle-count trick); both joins shuffle on a vertex key."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    return (
+        wedges.join(
+            e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+        )
+        .select("a", "b", "c")
+    )
+
+
+TRIANGLES_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_ORACLE})
+)
+SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+FROM pairs e1
+JOIN pairs e2 ON e1.doc_b = e2.doc_a
+JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+"""
+
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000  # ranks as longs ×10⁶ — integer-exact across engines
+PR_BASE = 150_000  # (1 - d) × SCALE with d = 0.85
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def _trade_graph(spark: SparkSession, sf_dir: str):
+    """Directed nation-trade graph: customer nation → supplier nation,
+    edge weight = number of trade lines; W_src = total out-weight."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_src"))
+    return edges.join(out_w, "src")
+
+
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-trade graph, 3 fixed
+    iterations in pure integer arithmetic (ranks ×10⁶; per-edge
+    contribution = (r·w) div W_src; damping 85/100 applied with integer
+    division) — bit-identical in any engine, no float accumulation.
+
+    Scale shape: each iteration is one shuffle of the edge relation on
+    dst (ranks broadcast/co-partitioned); the driver loops over
+    *iterations* only. The same loop runs a 10⁹-vertex web graph —
+    edges partition by dst, ranks are the small relation per vertex.
+    """
+    edges = _trade_graph(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(r * w) div w_src").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left_outer")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(in_sum, 0)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("node").alias("nationkey"), F.col("r").alias("rank_fp"))
+
+
+def _pagerank_oracle() -> str:
+    base = """
+WITH edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), wedges AS (
+  SELECT e.*, ow.w_src FROM edges e
+  JOIN (SELECT src, sum(w) AS w_src FROM edges GROUP BY src) ow USING (src)
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+), r0 AS (
+  SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes
+)"""
+    iters = ""
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        iters += f""", r{k} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + ({PR_DAMP_NUM} * COALESCE(SUM((p.r * e.w) // e.w_src), 0)) // {PR_DAMP_DEN} AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  GROUP BY n.node
+)"""
+        prev = f"r{k}"
+    return (
+        base.format(scale=PR_SCALE)
+        + iters
+        + f"\nSELECT node AS nationkey, r AS rank_fp FROM {prev}"
+    )
+
+
 QUERY_DEFS = [
     QueryDef("dedup_clusters", dedup_clusters, CLUSTERS_ORACLE),
+    QueryDef("dedup_triangles", dedup_triangles, TRIANGLES_ORACLE),
+    QueryDef("graph_pagerank_nations", graph_pagerank_nations, _pagerank_oracle()),
 ]

@@ -323,8 +323,66 @@ FROM sig GROUP BY 1
 """
 
 
+CHUNK_TOKENS = 20  # non-overlapping token chunks (passage granularity)
+
+
+def dedup_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (the SQL-expressible
+    tier of substring dedup à la Lee et al. "Deduplicating Training
+    Data Makes Language Models Better"): split each doc into
+    non-overlapping 20-token chunks, hash each chunk, report chunks
+    occurring in more than one document. At 100 TB the chunk relation
+    shuffles once on the hash — linear, mergeable; the exact-substring
+    suffix-array pass runs only inside flagged doc groups."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), r"\s+").alias("l"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(cast(ceil(size(l) / {CHUNK_TOKENS}.0) as int), 1)),"
+                f" i -> concat_ws(' ', slice(l, (i - 1) * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS})))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).filter(F.col("chunk") != "")
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+DEDUP_CHUNK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents
+), raw_chunks AS (
+  SELECT doc_id,
+         unnest([array_to_string(l[(i - 1) * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS}], ' ')
+                 for i in range(1, greatest(CAST(ceil(len(l) / {CHUNK_TOKENS}.0) AS INT), 1) + 1)]) AS chunk
+  FROM toks
+), chunks AS (
+  SELECT doc_id, chunk FROM raw_chunks WHERE chunk <> ''
+)
+SELECT md5(chunk) AS chunk_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS first_doc_id
+FROM chunks
+GROUP BY 1
+HAVING count(DISTINCT doc_id) > 1
+"""
+
+
 QUERY_DEFS = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
+    QueryDef("dedup_chunk_passages", dedup_chunk_passages, DEDUP_CHUNK_ORACLE),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle()),
     QueryDef("dedup_simhash", dedup_simhash, _simhash_oracle()),
