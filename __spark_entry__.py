@@ -23,6 +23,7 @@ from ai_data_pipeline_spark.operators import (
     quality,
     redact,
     relational,
+    sketches,
     sqlapi,
     similarity,
     temporal,
@@ -54,6 +55,7 @@ QUERY_DEF_MODULES = [
     redact,
     relational,
     similarity,
+    sketches,
     sqlapi,
     temporal,
     text,

@@ -402,8 +402,121 @@ FROM dims GROUP BY label, dim
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+_FP = "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+
+# squared L2 distance over fixed-point vectors — pure integer fold,
+# bit-identical in both engines (diffs ≤ ~2·10⁶, squares ≤ 4·10¹², sum
+# over 64 dims ≤ 3·10¹⁴ — far inside long range)
+_DIST_SPARK = (
+    "aggregate(zip_with(v_fp, c_fp, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, t) -> acc + t)"
+)
+
+
+def _dist_duck(v: str, c: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {EMB_DIM} + 1), i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def emb_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, 2 iterations, in pure fixed-point integers —
+    the iterative-ML training loop exactly verified against SQL
+    (vs. ann_ivf, whose centroids are a deterministic stand-in):
+    vectors quantize to ×10⁶ longs; distances are integer folds;
+    centroid updates are integer sums + floor division (the one shared
+    float op, exact because sums stay < 2⁵³); ties break on cell id.
+
+    Scale shape per iteration: assignment = broadcast-K cross join
+    (|corpus|×K integer folds, no shuffle of the corpus); update =
+    posexplode → groupBy (cell, dim) carrying one long per cell-dim —
+    the emb_label_centroids reduce. The driver loops over iterations
+    only; the same loop trains on 10⁹ vectors with K in the thousands
+    (assignment then goes through the pandas-UDF kernel and AQE picks
+    shuffle strategy, but the relation algebra is unchanged)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> {_FP})").alias("v_fp"),
+    ).cache()
+    cents = (
+        vecs.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("cell"), F.col("v_fp").alias("c_fp"))
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        wa = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("dist", F.expr(_DIST_SPARK))
+            .withColumn("rk", F.row_number().over(wa))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v_fp", "cell")
+        )
+        dims = assigned.select(
+            "cell", F.posexplode("v_fp").alias("dim", "val")
+        )
+        cell_dims = dims.groupBy("cell", "dim").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cents = (
+            cell_dims.withColumn(
+                "c", F.floor(F.col("s") / F.col("n")).cast("long")
+            )
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, c))), t -> t.c)"
+                ).alias("c_fp")
+            )
+        )
+    return assigned.select("vec_id", "cell")
+
+
+def _kmeans_oracle() -> str:
+    base = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> {_FP}) AS v_fp
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cell, v_fp AS c_fp FROM vecs WHERE vec_id < {KMEANS_K}
+)"""
+    prev = "c0"
+    final_assign = None
+    for it in range(KMEANS_ITERS):
+        a = f"a{it + 1}"
+        c = f"c{it + 1}"
+        base += f""", {a} AS (
+  SELECT vec_id, v_fp, cell FROM (
+    SELECT v.vec_id, v.v_fp, k.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_dist_duck("v.v_fp", "k.c_fp")} ASC, k.cell ASC) AS rk
+    FROM vecs v CROSS JOIN {prev} k
+  ) WHERE rk = 1
+)"""
+        base += f""", {c} AS (
+  SELECT cell,
+         list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS c_fp
+  FROM (
+    SELECT cell, dim, sum(val) AS s, count(*) AS n FROM (
+      SELECT cell, generate_subscripts(v_fp, 1) AS dim, unnest(v_fp) AS val
+      FROM {a}
+    ) GROUP BY cell, dim
+  ) GROUP BY cell
+)"""
+        prev = c
+        final_assign = a
+    return base + f"\nSELECT vec_id, cell FROM {final_assign}"
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
+    QueryDef("emb_kmeans_fixed_point", emb_kmeans_fixed_point, _kmeans_oracle()),
     QueryDef("emb_label_centroids", emb_label_centroids, EMB_CENTROID_ORACLE),
     QueryDef("ann_lsh_buckets", ann_lsh_buckets, _lsh_oracle()),
     QueryDef("ann_ivf", ann_ivf, _ann_ivf_oracle()),

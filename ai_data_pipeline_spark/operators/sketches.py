@@ -1,0 +1,195 @@
+"""Mergeable-sketch operators materialized as relations: count-min and
+Bloom. Unlike the HLL/approx-percentile tiers (engine-internal sketch
+encodings, declared rows-only), these are built from deterministic
+integer hashing in plain SQL expressions — so the sketch CONTENTS are
+exactly oracle-checkable, not just smoke-tested.
+
+Scale design: both sketches are groupBy relations — built with one
+keyed shuffle carrying (hash-cell, count) partials, mergeable across
+partitions/days by construction (sum cells / OR bits). That is the
+100 TB property that matters: a day's sketch is a small relation, a
+year's sketch is the union-groupBy of 365 of them, and neither ever
+rescans raw data.
+
+- count-min: d=4 rows × w=256 buckets of md5-derived counters; the
+  estimate for a key is min over rows of its bucket counter —
+  guaranteed ≥ truth, within εN with probability 1−δ. The query
+  reports exact vs estimated counts side by side for the heavy-hitter
+  candidates, making the overestimate visible and checkable.
+- Bloom: k=4 bit positions per key into m=4096 bits, materialized as
+  the distinct set-bit relation. The probe side is checked via a
+  bits-per-key countDistinct == k join; the query reports the exact
+  semi-join verdict next to the Bloom verdict, so false positives are
+  rows where bloom_hit ∧ ¬exact_hit (never the reverse — Bloom has no
+  false negatives, which the oracle equality proves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.registry import QueryDef
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+BLOOM_K = 4
+BLOOM_M = 4096
+HH_MIN_EVENTS = 30  # heavy-hitter candidate cut for the CM demo
+
+
+def _hash_bucket_expr(col: str, row: int, width: int) -> F.Column:
+    """Deterministic bucket: low 8 hex digits of md5(row|key) mod width
+    — engine-portable (conv/md5 in Spark, hex parse in DuckDB)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}|"), F.col(col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def _hash_bucket_sql(col: str, row: int, width: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('{row}|' || CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT) % {width})"
+    )
+
+
+def sketch_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of per-user event counts, probed for the
+    heavy-hitter candidates: the sketch is d unioned groupBys (one
+    shuffle each over (row, bucket) cells — 4×256 cells total
+    regardless of user count); estimates join the tiny cell relation
+    back to the candidates."""
+    e = load_table(spark, sf_dir, "events")
+    cells = None
+    for j in range(CM_DEPTH):
+        part = e.groupBy(
+            F.lit(j).alias("cm_row"),
+            _hash_bucket_expr("user_id", j, CM_WIDTH).alias("bucket"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        cells = part if cells is None else cells.unionByName(part)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cand = exact.filter(F.col("exact_cnt") >= HH_MIN_EVENTS)
+    probes = cand.select(
+        "user_id",
+        "exact_cnt",
+        *[
+            _hash_bucket_expr("user_id", j, CM_WIDTH).alias(f"b{j}")
+            for j in range(CM_DEPTH)
+        ],
+    )
+    est = probes
+    for j in range(CM_DEPTH):
+        cj = cells.filter(F.col("cm_row") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("cnt").alias(f"c{j}")
+        )
+        est = est.join(F.broadcast(cj), f"b{j}")
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        F.least(*[F.col(f"c{j}") for j in range(CM_DEPTH)]).alias("cm_estimate"),
+    )
+
+
+def _countmin_oracle() -> str:
+    cell_parts = " UNION ALL ".join(
+        f"SELECT {j} AS cm_row, {_hash_bucket_sql('user_id', j, CM_WIDTH)} AS bucket,"
+        f" count(*) AS cnt FROM events GROUP BY 2"
+        for j in range(CM_DEPTH)
+    )
+    probe_cols = ", ".join(
+        f"{_hash_bucket_sql('user_id', j, CM_WIDTH)} AS b{j}" for j in range(CM_DEPTH)
+    )
+    joins = " ".join(
+        f"JOIN (SELECT bucket AS b{j}, cnt AS c{j} FROM cells WHERE cm_row = {j}) t{j} USING (b{j})"
+        for j in range(CM_DEPTH)
+    )
+    least = ", ".join(f"c{j}" for j in range(CM_DEPTH))
+    return f"""
+WITH cells AS (
+  {cell_parts}
+), cand AS (
+  SELECT user_id, count(*) AS exact_cnt, {probe_cols}
+  FROM events GROUP BY user_id HAVING count(*) >= {HH_MIN_EVENTS}
+)
+SELECT user_id, exact_cnt, least({least}) AS cm_estimate
+FROM cand {joins}
+"""
+
+
+def sketch_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join: build the bit relation from suppliers
+    with negative balance, probe every distinct lineitem supplier key,
+    and report the Bloom verdict next to the exact semi-join verdict.
+    At 100 TB the bit relation (≤ m rows) broadcasts to prefilter the
+    fact scan — the hand-rolled version of Spark's runtime row-group
+    filters, with its false-positive rate measured, not assumed."""
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    keys = load_table(spark, sf_dir, "lineitem").select("l_suppkey").distinct()
+    bits = None
+    for j in range(BLOOM_K):
+        part = s.select(_hash_bucket_expr("s_suppkey", j, BLOOM_M).alias("bit"))
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+    probe_bits = keys.select(
+        "l_suppkey",
+        F.explode(
+            F.array(
+                *[_hash_bucket_expr("l_suppkey", j, BLOOM_M) for j in range(BLOOM_K)]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .select("l_suppkey", F.lit(True).alias("bloom_hit"))
+    )
+    exact = s.select(F.col("s_suppkey").alias("l_suppkey"), F.lit(True).alias("exact_hit"))
+    return (
+        keys.join(F.broadcast(hits), "l_suppkey", "left_outer")
+        .join(F.broadcast(exact), "l_suppkey", "left_outer")
+        .select(
+            "l_suppkey",
+            F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+            F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    bit_parts = " UNION ".join(
+        f"SELECT DISTINCT {_hash_bucket_sql('s_suppkey', j, BLOOM_M)} AS bit"
+        f" FROM supplier WHERE s_acctbal < 0"
+        for j in range(BLOOM_K)
+    )
+    probe_bits = ", ".join(
+        f"{_hash_bucket_sql('l_suppkey', j, BLOOM_M)}" for j in range(BLOOM_K)
+    )
+    return f"""
+WITH bits AS (
+  {bit_parts}
+), keys AS (
+  SELECT DISTINCT l_suppkey FROM lineitem
+), probes AS (
+  SELECT l_suppkey, unnest([{probe_bits}]) AS bit FROM keys
+), hits AS (
+  SELECT l_suppkey FROM probes JOIN bits USING (bit)
+  GROUP BY l_suppkey HAVING count(*) = {BLOOM_K}
+)
+SELECT k.l_suppkey,
+       k.l_suppkey IN (SELECT l_suppkey FROM hits) AS bloom_hit,
+       k.l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) AS exact_hit
+FROM keys k
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("sketch_countmin_users", sketch_countmin_users, _countmin_oracle()),
+    QueryDef("sketch_bloom_filter_join", sketch_bloom_filter_join, _bloom_oracle()),
+]

@@ -37,6 +37,14 @@ HEADLINE = [
     "q_outliers_iqr",
     "q_zscore_outliers",
     "q_heavy_hitter_users",
+    "q_gap_fill_locf",
+    "q_upsert_merge",
+    "q_salted_join_revenue",
+    "graph_pagerank_nations",
+    "dedup_chunk_passages",
+    "pyds_synthetic_agg",
+    "sketch_countmin_users",
+    "sketch_bloom_filter_join",
     "q_events_window",
     "q_sliding_window",
     "q_time_bucket_rollup",
@@ -63,6 +71,7 @@ HEADLINE = [
     "ann_lsh_buckets",
     "ann_ivf",
     "dedup_embedding_cosine",
+    "emb_kmeans_fixed_point",
     "multimodal_byte_features",
     "multimodal_frame_sample",
 ]
