@@ -17,6 +17,7 @@ from ai_data_pipeline_spark.operators import (
     analytic2,
     clustering,
     dedup,
+    linkage,
     maintenance,
     multimodal,
     pipeline,
@@ -25,6 +26,7 @@ from ai_data_pipeline_spark.operators import (
     relational,
     sketches,
     sqlapi,
+    stats,
     similarity,
     temporal,
     text,
@@ -48,6 +50,7 @@ QUERY_DEF_MODULES = [
     analytic2,
     clustering,
     dedup,
+    linkage,
     maintenance,
     multimodal,
     pipeline,
@@ -57,6 +60,7 @@ QUERY_DEF_MODULES = [
     similarity,
     sketches,
     sqlapi,
+    stats,
     temporal,
     text,
     tpch_extra,

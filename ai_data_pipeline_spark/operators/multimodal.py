@@ -169,7 +169,98 @@ FROM hx
 """
 
 
+def decode_audio(payload: bytes, sample_rate: int = 16_000):
+    """STUB: real audio decode requires ffmpeg/soundfile (not in this
+    container). audio_energy below exercises the identical plumbing on
+    deterministic pseudo-PCM."""
+    raise NotImplementedError(
+        "audio codecs unavailable in this environment; "
+        "audio_energy exercises the same mapInPandas plumbing"
+    )
+
+
+AUDIO_FRAME = 64  # samples per analysis frame
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, n_frames long, total_energy long,"
+    " max_energy long, peak_frame long"
+)
+
+
+def _audio_energy_batches(it):
+    """Waveform analysis over opaque payloads: bytes as centered 8-bit
+    PCM, per-frame energy = Σ(sample−128)², peak-frame detection —
+    the VAD/silence-trim access pattern, vectorized with reduceat."""
+    import numpy as np
+
+    for pdf in it:
+        out = {
+            "doc_id": [], "n_samples": [], "n_frames": [],
+            "total_energy": [], "max_energy": [], "peak_frame": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
+            sq = a * a
+            n = len(a)
+            n_frames = -(-n // AUDIO_FRAME)
+            energies = np.add.reduceat(sq, np.arange(0, n, AUDIO_FRAME)) if n else np.zeros(0, dtype=np.int64)
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(n)
+            out["n_frames"].append(n_frames)
+            out["total_energy"].append(int(sq.sum()))
+            out["max_energy"].append(int(energies.max()) if n else 0)
+            out["peak_frame"].append(int(energies.argmax()) if n else -1)
+        yield pd.DataFrame(out)
+
+
+def audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path: binary payload → framed energy profile →
+    peak frame. documents.text bytes stand in for PCM; a real decoder
+    (decode_audio stub) slots in front of the same kernel."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(_audio_energy_batches, schema=AUDIO_SCHEMA)
+
+
+AUDIO_ENERGY_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+), bytes AS (
+  SELECT doc_id,
+         (unnest(range(1, length(h) + 1, 2)) - 1) // 2 AS pos,
+         h
+  FROM hx
+), samples AS (
+  SELECT doc_id, pos,
+         {_hexpair_to_int('h', '2*pos + 1')} - 128 AS s
+  FROM bytes
+), frames AS (
+  SELECT doc_id, pos // {AUDIO_FRAME} AS frame, sum(s * s) AS energy,
+         count(*) AS n_in_frame
+  FROM samples GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id,
+         sum(n_in_frame) AS n_samples,
+         count(*) AS n_frames,
+         sum(energy) AS total_energy,
+         max(energy) AS max_energy
+  FROM frames GROUP BY 1
+), peak AS (
+  SELECT doc_id, frame AS peak_frame FROM (
+    SELECT doc_id, frame,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY energy DESC, frame ASC) AS rk
+    FROM frames
+  ) WHERE rk = 1
+)
+SELECT d.doc_id, n_samples, n_frames, total_energy, max_energy, peak_frame
+FROM per_doc d JOIN peak p ON d.doc_id = p.doc_id
+"""
+
+
 QUERY_DEFS = [
     QueryDef("multimodal_byte_features", byte_features, BYTE_FEATURES_ORACLE),
     QueryDef("multimodal_frame_sample", frame_sample, FRAME_SAMPLE_ORACLE),
+    QueryDef("multimodal_audio_energy", audio_energy, AUDIO_ENERGY_ORACLE),
 ]

@@ -208,7 +208,63 @@ FROM a JOIN b USING (column_name)
 """
 
 
+import math
+
+BENFORD_EXPECTED = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen: observed leading-digit rates vs log10(1+1/d)
+    expectations (inlined as constants, so no engine log() involved).
+    One groupBy over the digit projection; the 9-row result joins a
+    broadcast literal table of expectations."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = F.create_map(
+        *[x for d, p in BENFORD_EXPECTED.items() for x in (F.lit(d), F.lit(p))]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("observed_rate", F.round(F.col("n") / F.col("total"), 6))
+        .withColumn("expected_rate", F.round(expected[F.col("digit")], 6))
+        .withColumn(
+            "abs_deviation",
+            F.round(F.abs(F.col("n") / F.col("total") - expected[F.col("digit")]), 6),
+        )
+        .select("digit", "n", "observed_rate", "expected_rate", "abs_deviation")
+    )
+
+
+def _benford_oracle() -> str:
+    exp_rows = " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST({p!r} AS DOUBLE) AS exp_p"
+        for d, p in BENFORD_EXPECTED.items()
+    )
+    return f"""
+WITH counts AS (
+  -- explicit floor: DuckDB's double->bigint cast rounds, Spark's truncates
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT sum(n) AS total FROM counts),
+exp AS ({exp_rows})
+SELECT c.digit, c.n,
+       round(CAST(c.n AS DOUBLE) / total, 6) AS observed_rate,
+       round(exp_p, 6) AS expected_rate,
+       round(abs(CAST(c.n AS DOUBLE) / total - exp_p), 6) AS abs_deviation
+FROM counts c CROSS JOIN tot JOIN exp ON c.digit = exp.digit
+"""
+
+
 QUERY_DEFS = [
+    QueryDef("dq_benford_check", dq_benford_check, _benford_oracle()),
     QueryDef("dq_checks", dq_checks, DQ_ORACLE),
     QueryDef("q_stratified_sample", q_stratified_sample, STRATIFIED_ORACLE),
     QueryDef("schema_drift", schema_drift, _drift_oracle()),

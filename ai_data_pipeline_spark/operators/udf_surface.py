@@ -115,7 +115,48 @@ GROUP BY doc_id
 """
 
 
+def _arrow_doc_stats(batches):
+    """Zero-copy Arrow batch transform: pyarrow.compute kernels only —
+    no pandas conversion, no per-row Python. The vectorized-C++ path
+    for hot transforms whose semantics builtins can't express."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        doc_id = batch.column("doc_id")
+        text = batch.column("text")
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_id,
+                pc.cast(pc.utf8_length(text), pa.int32()),
+                pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int32()),
+                pc.cast(pc.count_substring(text, " "), pa.int64()),
+            ],
+            names=["doc_id", "n_chars", "n_bytes", "n_spaces"],
+        )
+
+
+def udf_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the third Python execution surface (after pandas UDAF
+    and UDTF) — RecordBatch in, RecordBatch out, zero pandas overhead.
+    Deterministic string/byte stats, so the oracle is plain SQL."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        _arrow_doc_stats, schema="doc_id long, n_chars int, n_bytes int, n_spaces long"
+    )
+
+
+ARROW_STATS_ORACLE = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       octet_length(encode(text)) AS n_bytes,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces
+FROM documents
+"""
+
+
 QUERY_DEFS = [
     QueryDef("udaf_sum_sq", udaf_sum_sq, UDAF_ORACLE),
     QueryDef("udtf_tokenize", udtf_tokenize, UDTF_ORACLE),
+    QueryDef("udf_arrow_stats", udf_arrow_stats, ARROW_STATS_ORACLE),
 ]

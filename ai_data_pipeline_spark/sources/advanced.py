@@ -145,7 +145,92 @@ FROM src GROUP BY category
 """
 
 
+PYDS_STREAM_ROWS = 50_000
+
+
+def _register_synthetic_stream(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _Reader(SimpleDataSourceStreamReader):
+        """Offset-managed reader: the stream position is a plain dict
+        checkpointed by Spark; readBetweenOffsets replays a committed
+        range on recovery — the exactly-once contract."""
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            # rows are pickled into the prefetched partition — must be a
+            # materialized sequence, not a generator
+            pos = start["pos"]
+            end = max(pos, PYDS_STREAM_ROWS)
+            return self._rows(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._rows(start["pos"], end["pos"]))
+
+        @staticmethod
+        def _rows(lo: int, hi: int):
+            return [
+                (i, (PYDS_A * i + PYDS_C) % PYDS_MOD, f"cat_{i % 7}")
+                for i in range(lo, hi)
+            ]
+
+    class SyntheticStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_stream"
+
+        def schema(self):
+            return "id long, score long, category string"
+
+        def simpleStreamReader(self, schema):
+            return _Reader()
+
+    spark.dataSource.register(SyntheticStreamSource)
+
+
+def pyds_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read through the Python DataSource API (Spark 4):
+    a pure-Python source with dict offsets and replayable
+    readBetweenOffsets, drained via availableNow into a memory sink,
+    then aggregated per category. The oracle regenerates the stream
+    content from range() — dropped or duplicated offsets cannot hide
+    in the checksums."""
+    from pyspark.sql import functions as FF
+
+    _register_synthetic_stream(spark)
+    df = spark.readStream.format("synthetic_stream").load()
+    q = (
+        df.writeStream.format("memory")
+        .queryName("drv_pyds_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM drv_pyds_stream")
+    return got.groupBy("category").agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.sum("score").alias("sum_score"),
+        FF.sum("id").alias("sum_id"),
+    )
+
+
+PYDS_STREAM_ORACLE = f"""
+WITH src AS (
+  SELECT range AS id,
+         ({PYDS_A} * range + {PYDS_C}) % {PYDS_MOD} AS score,
+         'cat_' || CAST(range % 7 AS VARCHAR) AS category
+  FROM range({PYDS_STREAM_ROWS})
+)
+SELECT category, count(*) AS n, sum(score) AS sum_score, sum(id) AS sum_id
+FROM src GROUP BY category
+"""
+
+
 QUERY_DEFS = [
     QueryDef("binfile_ingest_documents", binfile_ingest_documents, BINFILE_ORACLE),
     QueryDef("pyds_synthetic_agg", pyds_synthetic_agg, PYDS_ORACLE),
+    QueryDef("pyds_stream_agg", pyds_stream_agg, PYDS_STREAM_ORACLE),
 ]

@@ -210,12 +210,57 @@ SELECT win_start_sec, event_type, n_events, rk FROM (
 """
 
 
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained stateful operators in ONE streaming query: 5-minute
+    event-time counts feed an hourly rollup (sum + peak 5-min bucket)
+    via window_time() watermark propagation — the multi-stage streaming
+    topology (Spark 3.4+) that previously required two queries and an
+    intermediate sink. Append mode emits hourly windows strictly below
+    the final watermark (max_ts − 10 min), which the oracle reproduces;
+    every 5-minute window of an emitted hour necessarily closed first,
+    so the chain loses nothing."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    s1 = ev.groupBy(F.window("ts", "5 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n5")
+    )
+    s2 = (
+        s1.groupBy(F.window(F.window_time("window"), "1 hour"), "event_type")
+        .agg(F.sum("n5").alias("n_events"), F.max("n5").alias("peak_5min"))
+        .select(
+            F.unix_timestamp("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "peak_5min",
+        )
+    )
+    return run_to_completion(s2, "drv_stream_chained", output_mode="append")
+
+
+STREAM_CHAINED_ORACLE = """
+WITH wm AS (
+  SELECT max(epoch_us(ts)) - 600 * 1000000 AS w_us FROM events
+), five AS (
+  SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 300) AS fs,
+         event_type, count(*) AS n5
+  FROM events GROUP BY 1, 2
+), hourly AS (
+  SELECT fs - (fs % 3600) AS hour_start, event_type,
+         sum(n5) AS n_events, max(n5) AS peak_5min
+  FROM five GROUP BY 1, 2
+)
+SELECT hour_start, event_type, n_events, peak_5min
+FROM hourly, wm
+WHERE (hour_start + 3600) * 1000000 < w_us
+"""
+
+
 def advanced_query_defs():
     from ai_data_pipeline_spark.registry import QueryDef
 
     return [
         QueryDef("stream_late_data_drop", stream_late_data_drop, STREAM_LATE_DROP_ORACLE),
         QueryDef("stream_topk_per_window", stream_topk_per_window, STREAM_TOPK_ORACLE),
+        QueryDef("stream_chained_windows", stream_chained_windows, STREAM_CHAINED_ORACLE),
     ]
 
 

@@ -45,6 +45,10 @@ HEADLINE = [
     "pyds_synthetic_agg",
     "sketch_countmin_users",
     "sketch_bloom_filter_join",
+    "q_corr_matrix",
+    "q_chi_square",
+    "er_fuzzy_linkage",
+    "text_feature_hashing",
     "q_events_window",
     "q_sliding_window",
     "q_time_bucket_rollup",
@@ -74,6 +78,8 @@ HEADLINE = [
     "emb_kmeans_fixed_point",
     "multimodal_byte_features",
     "multimodal_frame_sample",
+    "multimodal_audio_energy",
+    "dq_benford_check",
 ]
 
 
