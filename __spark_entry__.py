@@ -16,6 +16,7 @@ from ai_data_pipeline_spark.operators import (
     analytic,
     analytic2,
     clustering,
+    corpus,
     dedup,
     linkage,
     maintenance,
@@ -49,6 +50,7 @@ QUERY_DEF_MODULES = [
     analytic,
     analytic2,
     clustering,
+    corpus,
     dedup,
     linkage,
     maintenance,

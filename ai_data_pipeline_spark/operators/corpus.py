@@ -1,0 +1,297 @@
+"""Training-corpus curation operators: benchmark decontamination,
+Gopher-style repetition signals, deterministic split assignment, and
+source-mixing weights.
+
+These are the curation steps an LLM training-data pipeline runs between
+raw ingestion and tokenization — the reference (a per-column profiler,
+SURVEY.md §0) has no counterpart, so they extend the north-star text
+surface (BASELINE.json) the same way dedup/similarity do.
+
+Scale design:
+- decontamination: the benchmark n-gram set is TINY relative to the
+  corpus (eval suites are ~1e6 grams vs 1e11 docs), so it broadcasts;
+  the corpus side streams map-side through the hash join and the only
+  shuffle is the per-doc hit aggregation — linear, skew-free (keyed on
+  doc_id).
+- repetition signals: everything is per-document; the (doc, gram)
+  aggregation is one keyed shuffle with map-side partial aggregation,
+  and the doc_id re-aggregation reuses the same partitioning.
+- split assignment: a pure projection (md5 bucket) — no shuffle until
+  the final tiny (split, source) rollup. Hash-of-key splitting is the
+  only split that stays stable when the corpus is re-sharded or
+  appended to, which is why it beats rand() at 100 TB.
+- mixing weights: two tiny aggregates over per-source token counts;
+  the weight table is broadcast back for the actual downsample pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.registry import QueryDef
+
+DECON_N = 5  # tokens per contamination shingle (13 in prod; 5 so the
+# synthetic 55-token docs actually collide — same plan shape)
+DECON_BENCH_MOD = 7  # doc_id % 7 == 0 plays the held-out benchmark
+# contamination flag threshold: n_hits * DEN >= n_grams * NUM (exact)
+DECON_NUM, DECON_DEN = 1, 20  # 5% of a doc's distinct grams
+
+REP_TOP_NUM, REP_TOP_DEN = 1, 10  # top-bigram fraction >= 10% -> flag
+
+SPLIT_PCT = (96, 98)  # train < 96, val < 98, test < 100
+
+
+def _grams_spark(n: int) -> str:
+    """Sliding word n-grams over a pre-materialized token array `l`.
+    The array must be bound behind an exchange (see dedup.SHINGLES_SPARK
+    note: inlining the split into the lambda re-evaluates it per
+    element)."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size(l) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(l, i, {n}))))"
+    )
+
+
+def _grams_duck(n: int) -> str:
+    return (
+        f"list_distinct([array_to_string(l[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len(l)-{n - 1}, 1)+1)])"
+    )
+
+
+def _token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), r"\s+").alias("l"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the eval-leakage scan every training
+    run needs): distinct 5-gram shingles of the held-out set (doc_id %
+    7 == 0) are broadcast; every other document reports how many of its
+    distinct shingles leak, with an exact-rational contamination flag.
+    Only contaminated docs are emitted — at corpus scale the clean
+    (overwhelming) majority never leaves the map side."""
+    grams = _token_arrays(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_grams_spark(DECON_N))).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_rate"),
+            (F.col("n_hits") * DECON_DEN >= F.col("n_grams") * DECON_NUM)
+            .cast("int")
+            .alias("flag_contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_ORACLE = rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents),
+grams AS (
+  SELECT doc_id, unnest({_grams_duck(DECON_N)}) AS gram FROM toks
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0),
+train AS (SELECT * FROM grams WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1),
+hits AS (SELECT t.doc_id, count(*) AS n_hits
+         FROM train t JOIN bench b USING (gram) GROUP BY 1)
+SELECT h.doc_id, n_grams, n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS hit_rate,
+       CAST(n_hits * {DECON_DEN} >= n_grams * {DECON_NUM} AS INT)
+         AS flag_contaminated
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""
+
+
+def corpus_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021
+    §A1.1 shape): top-bigram mass fraction and duplicate-bigram
+    fraction, flagged with an exact-rational threshold. One (doc,
+    bigram) keyed aggregation, then a doc_id rollup that AQE coalesces
+    onto the same partitioning — no second wide shuffle."""
+    toks = _token_arrays(spark, sf_dir)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(l) - 1, 1)),"
+                " i -> concat_ws(' ', slice(l, i, 2)))"
+            )
+        ).alias("bigram"),
+    )
+    per_bigram = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_bigram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6).alias(
+            "dup_bigram_frac"
+        ),
+        (F.max("c") * REP_TOP_DEN >= F.sum("c") * REP_TOP_NUM)
+        .cast("int")
+        .alias("flag_repetitive"),
+    )
+
+
+REPETITION_ORACLE = rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents),
+bg AS (
+  SELECT doc_id, unnest([array_to_string(l[i:i+1], ' ')
+         for i in range(1, greatest(len(l)-1, 1)+1)]) AS bigram
+  FROM toks
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       sum(c) AS n_bigrams,
+       count(*) AS n_distinct_bigrams,
+       max(c) AS top_bigram_n,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+       round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dup_bigram_frac,
+       CAST(max(c) * {REP_TOP_DEN} >= sum(c) * {REP_TOP_NUM} AS INT)
+         AS flag_repetitive
+FROM cnt GROUP BY doc_id
+"""
+
+
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash:
+    md5(doc_id) bucket 0-99 → 96/2/2 split, rolled up per (split,
+    source). Hash-of-key splitting survives re-sharding, appends, and
+    re-runs — rand(seed) does not (partition-order dependent), which is
+    why this is THE split idiom for 100 TB corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_PCT[0], "train")
+        .when(bucket < SPLIT_PCT[1], "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "source",
+            F.size(F.split(F.col("text"), r"\s+")).alias("n_tok"),
+            "doc_id",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SPLIT_ASSIGN_ORACLE = rf"""
+WITH b AS (
+  SELECT doc_id, source,
+         len(string_split_regex(text, '\s+')) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < {SPLIT_PCT[0]} THEN 'train'
+            WHEN bucket < {SPLIT_PCT[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       count(*) AS n_docs,
+       sum(n_tok) AS n_tokens,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM b GROUP BY 1, 2
+"""
+
+MIX_BUDGET_TOKENS = 10_000  # target corpus size for the mixing pass
+
+
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing (domain-weighting) plan: given a token budget and a
+    uniform per-source target, emit each source's sampling weight
+    min(1, target/available) and the token count it would contribute —
+    the DoReMi/uniform-mixture bookkeeping step that decides sampling
+    rates before the (cheap, hash-filtered) downsample pass."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("n_tokens"),
+    )
+    n_sources = per_source.agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(n_sources))
+        .withColumn(
+            "weight",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(float(MIX_BUDGET_TOKENS)) / F.col("n_sources"))
+                    / F.col("n_tokens"),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.floor(F.col("weight") * F.col("n_tokens")).cast("long"),
+        )
+        .select("source", "n_docs", "n_tokens", "weight", "planned_tokens")
+    )
+
+
+MIXING_ORACLE = rf"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split_regex(text, '\s+'))) AS n_tokens
+  FROM documents GROUP BY 1
+), ns AS (SELECT count(*) AS n_sources FROM per_source),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         round(least(1.0, (CAST({MIX_BUDGET_TOKENS} AS DOUBLE) / n_sources)
+                          / n_tokens), 6) AS weight
+  FROM per_source CROSS JOIN ns
+)
+SELECT source, n_docs, n_tokens, weight,
+       CAST(floor(weight * n_tokens) AS BIGINT) AS planned_tokens
+FROM w
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("corpus_decontaminate", corpus_decontaminate, DECONTAMINATE_ORACLE),
+    QueryDef(
+        "corpus_repetition_signals",
+        corpus_repetition_signals,
+        REPETITION_ORACLE,
+    ),
+    QueryDef("corpus_split_assign", corpus_split_assign, SPLIT_ASSIGN_ORACLE),
+    QueryDef("corpus_mixing_weights", corpus_mixing_weights, MIXING_ORACLE),
+]

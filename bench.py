@@ -80,6 +80,10 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_audio_energy",
     "dq_benford_check",
+    "corpus_decontaminate",
+    "corpus_repetition_signals",
+    "corpus_split_assign",
+    "corpus_mixing_weights",
 ]
 
 
