@@ -26,7 +26,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
@@ -285,6 +285,228 @@ FROM w
 """
 
 
+CTX_TOKENS = 64  # packed training-sequence length (2048/4096 in prod;
+# 64 so the 55-token synthetic docs actually straddle boundaries)
+PACK_STREAMS = 8  # independent packing streams == writer tasks at scale
+
+
+def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (the tokenizer→trainer step):
+    docs are hashed into PACK_STREAMS independent streams, ordered by a
+    content-stable key, concatenated, and chopped into CTX_TOKENS
+    sequences; emits per-stream packing stats (sequences produced,
+    boundary-straddling docs, tail fill).
+
+    Scale: each stream is one window partition → one writer task; the
+    ONLY shuffle is the hash repartition to streams (at 100 TB you set
+    PACK_STREAMS to the cluster's write parallelism and every stream
+    packs independently — no global order, no driver involvement).
+    Integer-exact: offsets are cumulative int sums, chop is int div."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % PACK_STREAMS
+        ).alias("stream"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        d.select(
+            "stream",
+            "n_tok",
+            (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start"),
+        )
+        .withColumn("first_seq", F.floor(F.col("start") / CTX_TOKENS))
+        .withColumn(
+            "last_seq",
+            F.floor((F.col("start") + F.col("n_tok") - 1) / CTX_TOKENS),
+        )
+    )
+    return packed.groupBy("stream").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        (F.floor((F.sum("n_tok") - 1) / CTX_TOKENS) + 1).alias("n_sequences"),
+        F.sum((F.col("last_seq") > F.col("first_seq")).cast("int")).alias(
+            "n_boundary_docs"
+        ),
+        F.max(F.col("last_seq") - F.col("first_seq") + 1).alias("max_doc_spans"),
+        (
+            F.sum("n_tok")
+            - F.floor((F.sum("n_tok") - 1) / CTX_TOKENS) * CTX_TOKENS
+        ).alias("tail_fill_tokens"),
+    )
+
+
+PACKING_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(text, '\s+')) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % {PACK_STREAMS} AS stream,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+), p AS (
+  SELECT stream, n_tok,
+         sum(n_tok) OVER (PARTITION BY stream ORDER BY ord, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS start
+  FROM d
+), q AS (
+  SELECT stream, n_tok,
+         CAST(floor(CAST(start AS DOUBLE) / {CTX_TOKENS}) AS BIGINT) AS first_seq,
+         CAST(floor(CAST(start + n_tok - 1 AS DOUBLE) / {CTX_TOKENS}) AS BIGINT)
+           AS last_seq
+  FROM p
+)
+SELECT stream,
+       count(*) AS n_docs,
+       sum(n_tok) AS n_tokens,
+       CAST(floor(CAST(sum(n_tok) - 1 AS DOUBLE) / {CTX_TOKENS}) AS BIGINT) + 1
+         AS n_sequences,
+       sum(CAST(last_seq > first_seq AS INT)) AS n_boundary_docs,
+       max(last_seq - first_seq + 1) AS max_doc_spans,
+       sum(n_tok)
+         - (CAST(floor(CAST(sum(n_tok) - 1 AS DOUBLE) / {CTX_TOKENS}) AS BIGINT))
+           * {CTX_TOKENS} AS tail_fill_tokens
+FROM q GROUP BY stream
+"""
+
+VOCAB_TOP_K = 32  # in-vocabulary set: top-K tokens by global frequency
+OOV_NUM, OOV_DEN = 1, 4  # flag docs with >= 25% out-of-vocab tokens
+
+
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary (UNK-rate) filter: global term frequencies pick
+    the top-K vocabulary (deterministic (count, token) rank); each doc
+    reports its OOV token fraction with an exact-rational flag.
+
+    Scale: the vocab is the classic tiny-side broadcast (a real
+    tokenizer vocab is 32-256k entries ~ a few MB); per-doc counting is
+    map-side against the broadcast set, and the only wide shuffle is
+    the global tf aggregation — with map-side partial aggregation its
+    reduce input is bounded by |vocab| per task, not corpus size."""
+    toks = _token_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("l").alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("tok"))
+            ),
+        )
+        .filter(F.col("rnk") <= VOCAB_TOP_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tok"), 6).alias("oov_rate"),
+            (F.col("n_oov") * OOV_DEN >= F.col("n_tok") * OOV_NUM)
+            .cast("int")
+            .alias("flag_oov"),
+        )
+    )
+
+
+OOV_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+    FROM toks GROUP BY tok
+  ) WHERE rnk <= {VOCAB_TOP_K}
+)
+SELECT t.doc_id,
+       count(*) AS n_tok,
+       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * {OOV_DEN}
+            >= count(*) * {OOV_NUM} AS INT) AS flag_oov
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
+BPE_TOP_PAIRS = 10  # merge candidates to emit (one BPE training step)
+
+
+def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: corpus-wide adjacent character-pair
+    frequencies (weighted by word frequency), emitting the top merge
+    candidates with a deterministic (freq DESC, pair ASC) rank — the
+    inner loop of byte-pair-encoding tokenizer training.
+
+    Scale: the word-frequency table (distinct words) is orders of
+    magnitude smaller than the corpus, so pair explosion runs on the
+    compressed representation — the same trick real BPE trainers use.
+    Two keyed aggregations (word tf, then pair sum), both map-side
+    combinable; the top-K is a tiny single-partition sort of the pair
+    vocabulary, not the data."""
+    words = (
+        _token_arrays(spark, sf_dir)
+        .select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "f",
+    )
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("freq"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("pair"))),
+        )
+        .filter(F.col("rnk") <= BPE_TOP_PAIRS)
+    )
+    return ranked.select("rnk", "pair", "freq")
+
+
+BPE_ORACLE = rf"""
+WITH wf AS (
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+  ) GROUP BY w HAVING len(w) >= 2
+), pairs AS (
+  SELECT w[i:i+1] AS pair, f
+  FROM wf CROSS JOIN range(1, 64) t(i)
+  WHERE i <= len(w) - 1
+), ranked AS (
+  SELECT pair, sum(f) AS freq,
+         row_number() OVER (ORDER BY sum(f) DESC, pair) AS rnk
+  FROM pairs GROUP BY pair
+)
+SELECT rnk, pair, freq FROM ranked WHERE rnk <= {BPE_TOP_PAIRS}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("corpus_decontaminate", corpus_decontaminate, DECONTAMINATE_ORACLE),
     QueryDef(
@@ -294,4 +516,7 @@ QUERY_DEFS = [
     ),
     QueryDef("corpus_split_assign", corpus_split_assign, SPLIT_ASSIGN_ORACLE),
     QueryDef("corpus_mixing_weights", corpus_mixing_weights, MIXING_ORACLE),
+    QueryDef("corpus_sequence_packing", corpus_sequence_packing, PACKING_ORACLE),
+    QueryDef("corpus_oov_rate", corpus_oov_rate, OOV_ORACLE),
+    QueryDef("corpus_bpe_pair_stats", corpus_bpe_pair_stats, BPE_ORACLE),
 ]

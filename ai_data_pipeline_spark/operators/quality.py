@@ -263,8 +263,50 @@ FROM counts c CROSS JOIN tot JOIN exp ON c.digit = exp.digit
 """
 
 
+K_ANON = 5  # minimum group size for the quasi-identifier partition
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (privacy gate before a dataset release): group
+    by the quasi-identifier tuple (nation, market segment), flag every
+    equivalence class smaller than K_ANON, and carry the class's share
+    of the table in exact per-million fixed point.
+
+    Scale: one map-side-combined aggregation on the QI tuple; the
+    global row count rides along as a broadcast scalar. Skewed QI
+    combinations don't matter — output cardinality is the QI domain."""
+    c = load_table(spark, sf_dir, "customer")
+    total = c.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            (F.col("class_size") < K_ANON).cast("int").alias("flag_below_k"),
+            F.floor(F.col("class_size") * 1_000_000 / F.col("n_total")).alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+K_ANON_ORACLE = f"""
+WITH total AS (SELECT count(*) AS n_total FROM customer)
+SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+       CAST(count(*) < {K_ANON} AS INT) AS flag_below_k,
+       CAST(floor(CAST(count(*) * 1000000 AS DOUBLE) / n_total) AS BIGINT)
+         AS share_ppm
+FROM customer CROSS JOIN total
+GROUP BY c_nationkey, c_mktsegment, n_total
+"""
+
+
 QUERY_DEFS = [
     QueryDef("dq_benford_check", dq_benford_check, _benford_oracle()),
+    QueryDef("dq_k_anonymity", dq_k_anonymity, K_ANON_ORACLE),
     QueryDef("dq_checks", dq_checks, DQ_ORACLE),
     QueryDef("q_stratified_sample", q_stratified_sample, STRATIFIED_ORACLE),
     QueryDef("schema_drift", schema_drift, _drift_oracle()),

@@ -514,8 +514,68 @@ WITH vecs AS (
     return base + f"\nSELECT vec_id, cell FROM {final_assign}"
 
 
+def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (the 4×
+    memory-compression step before a 100 TB ANN index is servable):
+    global per-dimension min/max, then code = floor((x-min)*255 /
+    (max-min)); emits per-dimension code-distribution stats.
+
+    Scale: the per-dim stats aggregate is tiny (EMB_DIM rows — a
+    map-side-combined shuffle whose reduce input is EMB_DIM×tasks);
+    the stats table broadcasts back so encoding itself is map-side and
+    streaming. The same double-precision formula runs in both engines,
+    so codes are compared exactly (summed, not sampled)."""
+    x = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    )
+    stats = x.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    codes = x.join(F.broadcast(stats), "dim").select(
+        "dim",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                ((F.col("x") - F.col("mn")) * 255) / (F.col("mx") - F.col("mn"))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("code"),
+    )
+    return codes.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("code").alias("min_code"),
+        F.max("code").alias("max_code"),
+        F.countDistinct("code").alias("n_distinct_codes"),
+        F.sum("code").alias("sum_codes"),
+    )
+
+
+QUANTIZE_ORACLE = f"""
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, {EMB_DIM} + 1) t(i)
+), stats AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim
+), codes AS (
+  SELECT x.dim,
+         CAST(CASE WHEN mx > mn
+              THEN floor(((x - mn) * 255) / (mx - mn))
+              ELSE 0 END AS BIGINT) AS code
+  FROM x JOIN stats ON x.dim = stats.dim
+)
+SELECT dim, count(*) AS n_vecs, min(code) AS min_code, max(code) AS max_code,
+       count(DISTINCT code) AS n_distinct_codes, sum(code) AS sum_codes
+FROM codes GROUP BY dim
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
+    QueryDef("emb_scalar_quantize", emb_scalar_quantize, QUANTIZE_ORACLE),
     QueryDef("emb_kmeans_fixed_point", emb_kmeans_fixed_point, _kmeans_oracle()),
     QueryDef("emb_label_centroids", emb_label_centroids, EMB_CENTROID_ORACLE),
     QueryDef("ann_lsh_buckets", ann_lsh_buckets, _lsh_oracle()),

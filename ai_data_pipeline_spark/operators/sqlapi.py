@@ -43,6 +43,28 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+# Recursive CTE (Spark 4 WITH RECURSIVE == DuckDB's): a synthetic
+# decimal-digit forest over real customer keys (parent = k div 10, roots
+# = single-digit keys) walked to transitive closure, rolled up by depth.
+# Scale note: Spark executes each recursion step as one distributed
+# join against the previous level (UnionLoop) — level width, not total
+# closure size, bounds memory; depth here is ~log10(keys) ≈ 6 at 100 TB.
+RECURSIVE_CHAIN_SQL_PORTABLE = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth
+  FROM customer WHERE c_custkey <= 9
+  UNION ALL
+  SELECT c.c_custkey AS k, ch.root AS root, ch.depth + 1 AS depth
+  FROM customer c JOIN chain ch
+    ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = ch.k
+  WHERE c.c_custkey > 9
+)
+SELECT depth, count(*) AS n_nodes, count(DISTINCT root) AS n_roots,
+       min(k) AS min_key, max(k) AS max_key
+FROM chain GROUP BY depth
+"""
+
+
 def _sql_query(sql: str, tables: list[str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in tables:
@@ -63,5 +85,10 @@ QUERY_DEFS = [
         "sql_grouping_sets",
         _sql_query(GROUPING_SETS_SQL_PORTABLE, ["lineitem"]),
         GROUPING_SETS_SQL_PORTABLE,
+    ),
+    QueryDef(
+        "sql_recursive_closure",
+        _sql_query(RECURSIVE_CHAIN_SQL_PORTABLE, ["customer"]),
+        RECURSIVE_CHAIN_SQL_PORTABLE,
     ),
 ]

@@ -395,12 +395,46 @@ FROM events a JOIN events b
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the events stream joined to
+    the static customer dimension (user_id = c_custkey), rolled up per
+    market segment. The static side is re-read per micro-batch and
+    broadcast — the canonical dimension-enrichment topology: STATELESS
+    (no join state accumulates, unlike stream-stream), so it scales to
+    unbounded streams with memory bounded by the dim table. On finite
+    input it equals the batch join, which is the oracle."""
+    from ai_data_pipeline_spark.catalog import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = read_events_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # exact distinct is a batch-only aggregate on streams; the
+        # streaming idiom is approx_count_distinct or a chained
+        # (segment, user) pre-agg — kept out to keep this stateless-ish
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return run_to_completion(agg, "drv_stream_enrich")
+
+
+STREAM_ENRICH_ORACLE = """
+SELECT c_mktsegment AS segment, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
 def streaming_query_defs():
     """QueryDefs for __spark_entry__ (local import avoids a cycle)."""
     from ai_data_pipeline_spark.registry import QueryDef
 
     return [
         QueryDef("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
+        QueryDef("stream_static_enrich", stream_static_enrich, STREAM_ENRICH_ORACLE),
         QueryDef("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE),
         QueryDef(
             "stream_stateful_user_counts",

@@ -84,6 +84,12 @@ HEADLINE = [
     "corpus_repetition_signals",
     "corpus_split_assign",
     "corpus_mixing_weights",
+    "corpus_sequence_packing",
+    "corpus_oov_rate",
+    "sql_recursive_closure",
+    "emb_scalar_quantize",
+    "corpus_bpe_pair_stats",
+    "dq_k_anonymity",
 ]
 
 

@@ -250,3 +250,41 @@ def test_q11_single_lineitem_scan(spark):
 
     plan = _plan(q11_important_parts(spark, SF_DIR))
     assert plan.count("FileScan parquet") <= 2  # reused subplan may re-list
+
+
+def test_sequence_packing_single_exchange(spark):
+    """Packing's groupBy(stream) must reuse the window's
+    hashpartitioning(stream) — one shuffle total, so at 100 TB the only
+    data movement is the initial spray into packing streams."""
+    from ai_data_pipeline_spark.operators.corpus import corpus_sequence_packing
+
+    plan = _plan(corpus_sequence_packing(spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_corpus_broadcast_joins(spark):
+    """Decontamination's benchmark-gram set and the OOV vocab are
+    tiny-side broadcasts; neither query may fall back to a sort-merge
+    join of the corpus against them."""
+    from ai_data_pipeline_spark.operators.corpus import (
+        corpus_decontaminate,
+        corpus_oov_rate,
+    )
+
+    for fn in (corpus_decontaminate, corpus_oov_rate):
+        plan = _plan(fn(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 1
+        assert "SortMergeJoin" not in plan
+
+
+def test_quantize_broadcasts_dim_stats(spark):
+    """Scalar quantization joins every (vec, dim) element against the
+    EMB_DIM-row stats table — must broadcast, and both aggregations
+    must have map-side partial phases."""
+    from ai_data_pipeline_spark.operators.similarity import emb_scalar_quantize
+
+    plan = _plan(emb_scalar_quantize(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
