@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 # kind ∈ {int, long, double, string, timestamp, vector}
 TABLES: dict[str, list[tuple[str, str]]] = {
@@ -86,19 +86,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Pandas-written parquet may carry TIMESTAMP(NANOS) columns, which Spark
     does not read natively; we read them as raw nanosecond longs
-    (legacy.parquet.nanosAsLong) and convert to microsecond timestamps,
+    (legacy.parquet.nanosAsLong) and convert to microsecond timestamps.
+    Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) columns are inferred as
+    TIMESTAMP_NTZ by Spark 4; we cast those back to TIMESTAMP (session TZ is
+    UTC, so the wall-clock values are unchanged and oracle parity holds),
     keeping the catalog schema (TABLES) authoritative.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    declared = dict(TABLES.get(name, []))
     for field in df.schema.fields:
-        declared = dict(TABLES.get(name, []))
-        if declared.get(field.name) == "timestamp" and isinstance(
-            field.dataType, LongType
-        ):
+        if declared.get(field.name) != "timestamp":
+            continue
+        if isinstance(field.dataType, LongType):
             df = df.withColumn(
                 field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
             )
+        elif isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -112,8 +112,8 @@ WITH fences AS (
 SELECT c.c_mktsegment,
   ROUND(MIN(q1), 6) AS q1,
   ROUND(MIN(q3), 6) AS q3,
-  SUM(CASE WHEN c_acctbal < q1 - 1.5 * (q3 - q1)
-            OR c_acctbal > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS n_outliers,
+  CAST(SUM(CASE WHEN c_acctbal < q1 - 1.5 * (q3 - q1)
+            OR c_acctbal > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
   COUNT(*) AS n_rows
 FROM customer c JOIN fences f ON c.c_mktsegment = f.c_mktsegment
 GROUP BY 1
@@ -164,10 +164,10 @@ WITH fp AS (
 )
 SELECT fp.event_type,
   MIN(n) AS n_rows,
-  SUM(CASE WHEN abs(CAST(v_fp AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+  CAST(SUM(CASE WHEN abs(CAST(v_fp AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
             > {float(ZSCORE_CUT)} * sqrt(CAST(s2 AS DOUBLE) / n
               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-      THEN 1 ELSE 0 END) AS n_outliers
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM fp JOIN mom ON fp.event_type = mom.event_type
 GROUP BY 1
 """

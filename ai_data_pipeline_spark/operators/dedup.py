@@ -100,9 +100,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # No broadcast hints: `sizes` has corpus cardinality (one row per doc),
+    # which does NOT fit in a broadcast at 100 TB. Let AQE choose — it
+    # picks broadcast at test scale and falls back to shuffle join at
+    # cluster scale, which is the correct plan in both regimes.
     out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .filter(NGRAM_DEN * F.col("inter") >= NGRAM_NUM * F.col("un"))
     )

@@ -96,9 +96,9 @@ WITH hx AS (
     coalesce(list_sum([{_hexpair_to_int('h', 'i')} for i in range(1, length(h)+1, 2)]), 0) AS byte_sum
   FROM hx
 )
-SELECT source, count(*) AS n_docs, sum(n_bytes) AS sum_bytes,
+SELECT source, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
        min(first_byte) AS min_first_byte, max(last_byte) AS max_last_byte,
-       sum(byte_sum) AS sum_byte_sum
+       CAST(sum(byte_sum) AS BIGINT) AS sum_byte_sum
 FROM feats GROUP BY source
 """
 
@@ -161,10 +161,10 @@ WITH hx AS (
 SELECT doc_id, n AS n_bytes,
   (n + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS n_frames,
   ((n + {FRAME_BYTES - 1}) // {FRAME_BYTES} + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS n_sampled,
-  coalesce(list_sum([ (16*(instr('0123456789ABCDEF', substr(h, i, 1))-1)
+  CAST(coalesce(list_sum([ (16*(instr('0123456789ABCDEF', substr(h, i, 1))-1)
                       + (instr('0123456789ABCDEF', substr(h, i+1, 1))-1))
                      for i in range(1, length(h)+1, 2)
-                     if ((((i-1)//2) // {FRAME_BYTES}) % {FRAME_STRIDE} = 0) ]), 0) AS sampled_sum
+                     if ((((i-1)//2) // {FRAME_BYTES}) % {FRAME_STRIDE} = 0) ]), 0) AS BIGINT) AS sampled_sum
 FROM hx
 """
 
@@ -241,10 +241,10 @@ WITH hx AS (
   FROM samples GROUP BY 1, 2
 ), per_doc AS (
   SELECT doc_id,
-         sum(n_in_frame) AS n_samples,
+         CAST(sum(n_in_frame) AS BIGINT) AS n_samples,
          count(*) AS n_frames,
-         sum(energy) AS total_energy,
-         max(energy) AS max_energy
+         CAST(sum(energy) AS BIGINT) AS total_energy,
+         CAST(max(energy) AS BIGINT) AS max_energy
   FROM frames GROUP BY 1
 ), peak AS (
   SELECT doc_id, frame AS peak_frame FROM (

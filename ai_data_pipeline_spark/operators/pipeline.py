@@ -52,8 +52,8 @@ WITH quality AS (
   ) WHERE rk = 1
 )
 SELECT lang, count(*) AS n_docs,
-       sum(length(text)) AS sum_chars,
-       sum(len(regexp_extract_all(text, '{TOKEN_RX_SQL}', 0))) AS sum_tokens
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(len(regexp_extract_all(text, '{TOKEN_RX_SQL}', 0))) AS BIGINT) AS sum_tokens
 FROM deduped GROUP BY lang
 """
 

@@ -95,15 +95,15 @@ SELECT 'orders_custkey_fk',
 FROM orders
 UNION ALL
 SELECT 'lineitem_shipdate_notnull',
-       SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), count(*)
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
 FROM lineitem
 UNION ALL
 SELECT 'lineitem_discount_domain',
-       SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), count(*)
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT), count(*)
 FROM lineitem
 UNION ALL
 SELECT 'lineitem_quantity_positive',
-       SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), count(*)
+       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT), count(*)
 FROM lineitem
 """
 
@@ -192,7 +192,7 @@ def _drift_oracle() -> str:
     def side(tag: str, pred: str) -> str:
         rows = " UNION ALL ".join(
             f"SELECT '{c}' AS column_name, count(*) AS n_{tag}, "
-            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls_{tag}, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_{tag}, "
             f"count(DISTINCT {c}) AS dist_{tag} FROM events WHERE {pred}"
             for c in DRIFT_COLS
         )

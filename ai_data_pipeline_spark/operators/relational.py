@@ -211,8 +211,8 @@ WITH e AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ), numbered AS (
   SELECT user_id, ts_us,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,
@@ -233,7 +233,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_EVENTS_JSON_ORACLE = r"""
 SELECT event_type,
-  SUM(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS sum_k,
+  CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
   count(CASE WHEN regexp_extract(props, '"k":\s*(-?\d+)', 1) <> '' THEN 1 END) AS n_with_k
 FROM events GROUP BY event_type
 """

@@ -272,57 +272,83 @@ SELECT q_id, vec_id, cosine, rk FROM (
 NEAR_DUP_COS = 0.4  # report threshold (data max ~0.51 — no exact dups planted)
 
 
+DEDUP_EMB_BLOCKS = 8  # pair-blocks; at scale ~sqrt(2·cluster cores)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     cosine >= NEAR_DUP_COS.
 
-    This is the exact-verification primitive of embedding dedup. At test
-    scale the corpus is small so it runs as a single broadcast
-    block-nested-loop join (no shuffle of pairs); at 100 TB the candidate
-    set comes from the sign-LSH buckets (ann_lsh_buckets) or IVF cells
-    (ann_ivf) and this same verify join runs per-bucket — linear, not
-    quadratic.
+    Exact all-pairs via a distributed block-matrix join (the classic
+    O(n²/B) decomposition): vectors hash into DEDUP_EMB_BLOCKS blocks,
+    the B·(B+1)/2 unordered block pairs join, and each block pair runs
+    one vectorized numpy kernel. Nothing is collected to the driver and
+    no single task sees more than two blocks — at 100 TB you raise
+    DEDUP_EMB_BLOCKS so blocks stay executor-sized, and the replication
+    cost is O(n·B), the known optimum for exact all-pairs. The LSH/IVF
+    tiers (ann_lsh_buckets / ann_ivf) are the sub-quadratic approximate
+    path; this operator is the exact verify primitive.
     """
     e = _vectors(spark, sf_dir)
-    # Build side: broadcast the full corpus matrix to every task (500×64
-    # floats here; at scale this is the per-bucket candidate set). Pair
-    # generation happens INSIDE the numpy kernel — the quadratic pair
-    # relation never materializes in the JVM or crosses Arrow; only
-    # surviving pairs come back.
-    rows = e.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    bc = spark.sparkContext.broadcast((ids, mat))
+    blocks = (
+        e.select((F.col("vec_id") % DEDUP_EMB_BLOCKS).alias("blk"), "vec_id", "v")
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("vecs"))
+    )
+    block_pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("a.vecs").alias("va"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("b.vecs").alias("vb"),
+        )
+        .repartition(DEDUP_EMB_BLOCKS * (DEDUP_EMB_BLOCKS + 1) // 2)
+    )
     # Kernel prefilter uses a small slack below the threshold on the RAW
     # cosine; the exact decision (half-up 6 dp round, >= threshold) is
     # re-applied Spark-side so semantics match the oracle bit-for-bit.
     raw_cut = NEAR_DUP_COS - 1e-6
 
     def gen(it):
-        ids_b, B = bc.value
-        nB = np.sqrt(_fold_dot(B, B))
         for pdf in it:
-            if len(pdf) == 0:
-                continue
-            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
-            A = _stack(pdf["v"])
-            nA = np.sqrt(_fold_dot(A, A))
-            # (N, M) dot accumulated as a sequential fold over dims —
-            # per-pair IEEE order identical to the oracle's list_reduce.
-            acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
-            for i in range(EMB_DIM):
-                acc += A[:, i : i + 1] * B[:, i]
-            cos = acc / (nA[:, None] * nB[None, :])
-            keep = (ids_a[:, None] < ids_b[None, :]) & (cos >= raw_cut)
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_a": ids_a[ai], "vec_b": ids_b[bi], "raw_cos": cos[ai, bi]}
-            )
+            for va, vb, same in zip(
+                pdf["va"], pdf["vb"], (pdf["blk_a"] == pdf["blk_b"])
+            ):
+                ids_a = np.array([r["vec_id"] for r in va], dtype=np.int64)
+                A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in va])
+                ids_b = np.array([r["vec_id"] for r in vb], dtype=np.int64)
+                B = np.stack([np.asarray(r["v"], dtype=np.float64) for r in vb])
+                nA = np.sqrt(_fold_dot(A, A))
+                nB = np.sqrt(_fold_dot(B, B))
+                # (N, M) dot accumulated as a sequential fold over dims —
+                # per-pair IEEE order identical to the oracle's list_reduce
+                # (commutative per-term products, same summation order both
+                # orientations, so emitting min/max ids is bit-stable).
+                acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+                for i in range(EMB_DIM):
+                    acc += A[:, i : i + 1] * B[:, i]
+                cos = acc / (nA[:, None] * nB[None, :])
+                if same:
+                    # same block appears once: keep one orientation
+                    keep = (ids_a[:, None] < ids_b[None, :]) & (cos >= raw_cut)
+                else:
+                    # cross-block pair rows exist once; either orientation
+                    # may hold the smaller id — keep both, emit (min, max)
+                    keep = (ids_a[:, None] != ids_b[None, :]) & (cos >= raw_cut)
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ids_a[ai], ids_b[bi]),
+                        "vec_b": np.maximum(ids_a[ai], ids_b[bi]),
+                        "raw_cos": cos[ai, bi],
+                    }
+                )
 
-    # no repartition: the kernel is vectorized (N×M numpy per batch), so
-    # the corpus's natural partitioning supplies the parallelism at scale;
-    # fanning 500 test rows over 32 python workers only adds overhead.
-    pairs = e.mapInPandas(gen, schema="vec_a long, vec_b long, raw_cos double")
+    pairs = block_pairs.mapInPandas(
+        gen, schema="vec_a long, vec_b long, raw_cos double"
+    )
     return (
         pairs.select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
@@ -397,7 +423,7 @@ WITH dims AS (
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS fp
   FROM embeddings
 )
-SELECT label, dim, count(*) AS n_vecs, sum(fp) AS sum_fp
+SELECT label, dim, count(*) AS n_vecs, CAST(sum(fp) AS BIGINT) AS sum_fp
 FROM dims GROUP BY label, dim
 """
 
@@ -568,7 +594,7 @@ WITH x AS (
   FROM x JOIN stats ON x.dim = stats.dim
 )
 SELECT dim, count(*) AS n_vecs, min(code) AS min_code, max(code) AS max_code,
-       count(DISTINCT code) AS n_distinct_codes, sum(code) AS sum_codes
+       count(DISTINCT code) AS n_distinct_codes, CAST(sum(code) AS BIGINT) AS sum_codes
 FROM codes GROUP BY dim
 """
 

@@ -432,7 +432,7 @@ WITH stepped AS (
 ), agg AS (
   SELECT user_id,
          SUM(CAST(value_fp AS DECIMAL(38,0)) * dt_us) AS weighted_sum_fp,
-         SUM(dt_us) AS total_us
+         CAST(SUM(dt_us) AS BIGINT) AS total_us
   FROM stepped WHERE dt_us IS NOT NULL
   GROUP BY user_id
 )

@@ -86,9 +86,11 @@ WITH per_doc AS (
   FROM documents
 )
 SELECT lang, source, count(*) AS n_docs,
-  SUM(n_chars_m) AS sum_chars, SUM(n_tokens) AS sum_tokens,
-  SUM(n_ws_tokens) AS sum_ws_tokens, SUM(n_punct) AS sum_punct,
-  SUM(n_stop_en) AS sum_stop_en,
+  CAST(SUM(n_chars_m) AS BIGINT) AS sum_chars,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(SUM(n_ws_tokens) AS BIGINT) AS sum_ws_tokens,
+  CAST(SUM(n_punct) AS BIGINT) AS sum_punct,
+  CAST(SUM(n_stop_en) AS BIGINT) AS sum_stop_en,
   round(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_chars_m), 6) AS tokens_per_char
 FROM per_doc GROUP BY lang, source
 """

@@ -63,7 +63,7 @@ def udaf_sum_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDAF_ORACLE = """
 SELECT l_returnflag,
-       SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sum_sq_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq_qty,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """
@@ -92,7 +92,7 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT d.doc_id,
                count(*) AS n_tokens,
-               sum(CASE WHEN t.is_long THEN 1 ELSE 0 END) AS n_long,
+               CAST(sum(CASE WHEN t.is_long THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
                min(CASE WHEN t.is_long THEN t.pos END) AS first_long_pos
         FROM docs_udtf_src d, LATERAL adp_tokenize(d.text) t
         GROUP BY d.doc_id
@@ -108,7 +108,7 @@ WITH toks AS (
   FROM documents
 )
 SELECT doc_id, count(*) AS n_tokens,
-       SUM(CASE WHEN length(token) >= {LONG_TOKEN_LEN} THEN 1 ELSE 0 END) AS n_long,
+       CAST(SUM(CASE WHEN length(token) >= {LONG_TOKEN_LEN} THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
        MIN(CASE WHEN length(token) >= {LONG_TOKEN_LEN} THEN pos END) AS first_long_pos
 FROM toks WHERE token <> ''
 GROUP BY doc_id

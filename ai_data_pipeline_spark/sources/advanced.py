@@ -139,7 +139,7 @@ WITH src AS (
          'cat_' || CAST(range % 7 AS VARCHAR) AS category
   FROM range({PYDS_ROWS})
 )
-SELECT category, count(*) AS n, sum(score) AS sum_score,
+SELECT category, count(*) AS n, CAST(sum(score) AS BIGINT) AS sum_score,
        min(id) AS min_id, max(id) AS max_id
 FROM src GROUP BY category
 """
@@ -224,7 +224,7 @@ WITH src AS (
          'cat_' || CAST(range % 7 AS VARCHAR) AS category
   FROM range({PYDS_STREAM_ROWS})
 )
-SELECT category, count(*) AS n, sum(score) AS sum_score, sum(id) AS sum_id
+SELECT category, count(*) AS n, CAST(sum(score) AS BIGINT) AS sum_score, CAST(sum(id) AS BIGINT) AS sum_id
 FROM src GROUP BY category
 """
 

@@ -80,7 +80,7 @@ def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CSV_ROUNDTRIP_ORACLE = """
-SELECT count(*) AS n_rows, sum(c_custkey) AS sum_key,
+SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS sum_key,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
        count(DISTINCT c_mktsegment) AS n_segments,
        count(DISTINCT c_name) AS n_names
@@ -109,10 +109,10 @@ def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSONL_ROUNDTRIP_ORACLE = """
-SELECT count(*) AS n_rows, sum(o_orderkey) AS sum_key,
+SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
        count(DISTINCT o_orderstatus) AS n_status,
-       sum(CAST(epoch(o_orderdate) AS BIGINT)) AS sum_date_epoch
+       CAST(sum(CAST(epoch(o_orderdate) AS BIGINT)) AS BIGINT) AS sum_date_epoch
 FROM orders
 """
 
@@ -138,10 +138,10 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORC_ROUNDTRIP_ORACLE = """
-SELECT count(*) AS n_rows, sum(l_orderkey) AS sum_key,
+SELECT count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
        count(DISTINCT l_returnflag) AS n_flags,
-       sum(CAST(epoch(l_shipdate) AS BIGINT)) AS sum_ship_epoch
+       CAST(sum(CAST(epoch(l_shipdate) AS BIGINT)) AS BIGINT) AS sum_ship_epoch
 FROM lineitem
 """
 
@@ -176,10 +176,10 @@ def partitioned_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PARTITIONED_ROUNDTRIP_ORACLE = f"""
-SELECT count(*) AS n_rows, sum(event_id) AS sum_id,
+SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_id,
        count(DISTINCT user_id) AS n_users,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-       sum(epoch_us(ts)) AS sum_ts_us
+       CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_ts_us
 FROM events
 WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{PART_DATE_LO}' AND '{PART_DATE_HI}'
 """

@@ -12,10 +12,10 @@ equally late but still admitted).
 stream_topk_per_window covers the one aggregation shape streaming can't
 express directly (rank over a streaming agg is disallowed): the
 standard production pattern is windowed agg → foreachBatch upsert into
-a keyed store → rank over the store. Here the store is a driver-side
-dict (the memory-sink equivalent); at 100 TB it is a key-value/Delta
-table written per micro-batch — the plan shape (bounded per-batch
-update output, keyed merge, rank over the compact store) is identical.
+a keyed store → rank over the store. The store here is an append-only
+parquet log keyed by (window, event_type, batch_id) with last-writer-
+wins resolution at read time — the same executor-side merge topology as
+a Delta MERGE at 100 TB; nothing is collected to the driver.
 """
 
 from __future__ import annotations
@@ -59,17 +59,17 @@ def _three_batch_source_dir(spark: SparkSession, sf_dir: str) -> str:
         (F.max(F.unix_micros("ts")) - LATE_CUTOFF_HOURS * 3600 * 1_000_000).alias("c")
     ).collect()[0]["c"]
     tmp = tempfile.mkdtemp(prefix="adp_late_")
-    # Files are written with the raw nanos `ts` longs the streaming
-    # reader expects (EVENTS_SCHEMA mirrors the parquet layout).
+    # Files are written with the NTZ `ts` the streaming reader expects
+    # (EVENTS_SCHEMA mirrors the driver parquet layout).
     raw = events.select(
         "event_id",
-        (F.unix_micros("ts") * 1000).alias("ts"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
         "user_id",
         "event_type",
         "value",
         "props",
     )
-    late = F.col("ts") < cutoff * 1000
+    late = F.unix_micros(F.col("ts").cast("timestamp")) < cutoff
     parts = [
         raw.filter(~late),
         raw.filter(late & (F.col("event_id") % 2 == 0)),
@@ -98,7 +98,6 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counts only grow; values are ≥ 0); the oracle aggregates the
     on-time and even-id-late subsets — the odd-id-late rows must be
     absent, which is the semantic under test."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = _three_batch_source_dir(spark, sf_dir)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -107,7 +106,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("latestFirst", False)
         .load(src)
     )
-    events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         events.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "5 minutes"), "event_type")
@@ -161,13 +160,18 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    store: dict[tuple[int, str], int] = {}
+    store = tempfile.mkdtemp(prefix="adp_topk_") + "/store"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # per-batch update output is bounded by |windows|x|event types|;
-        # at scale this collect becomes a keyed MERGE into a table
-        for r in batch_df.collect():
-            store[(r["win_start_sec"], r["event_type"])] = r["n_events"]
+        # keyed MERGE stand-in: append this batch's update rows (each
+        # carries the full new per-key aggregate, so replays are
+        # idempotent under last-writer-wins); rows never touch the
+        # driver — executors write straight to the store.
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(store)
+        )
 
     q = (
         agg.writeStream.outputMode("update")
@@ -176,14 +180,19 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    rows = [
-        (win, et, n) for (win, et), n in sorted(store.items())
-    ]
-    final = spark.createDataFrame(
-        rows, schema="win_start_sec long, event_type string, n_events long"
-    )
     from pyspark.sql import Window as W
 
+    # last-writer-wins per key: the highest batch_id carries the final
+    # aggregate (counts only grow across update-mode emissions)
+    latest = W.partitionBy("win_start_sec", "event_type").orderBy(
+        F.desc("batch_id")
+    )
+    final = (
+        spark.read.parquet(store)
+        .withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .select("win_start_sec", "event_type", "n_events")
+    )
     w = W.partitionBy("win_start_sec").orderBy(
         F.desc("n_events"), F.asc("event_type")
     )
@@ -245,7 +254,7 @@ WITH wm AS (
   FROM events GROUP BY 1, 2
 ), hourly AS (
   SELECT fs - (fs % 3600) AS hour_start, event_type,
-         sum(n5) AS n_events, max(n5) AS peak_5min
+         CAST(sum(n5) AS BIGINT) AS n_events, max(n5) AS peak_5min
   FROM five GROUP BY 1, 2
 )
 SELECT hour_start, event_type, n_events, peak_5min

@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (parquet NANOS)
+        T.StructField("ts", T.TimestampNTZType()),  # parquet TIMESTAMP(MICROS, adj=false)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -33,15 +33,15 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet (one file =
-    one micro-batch under availableNow); nanos handled as in catalog."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    one micro-batch under availableNow); NTZ normalized as in catalog
+    (session TZ is UTC, so the cast preserves wall-clock values)."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -57,7 +57,21 @@ def _norm(v):
 
 def assert_query_matches_oracle(spark_df, duck_con, sql, check_values=True):
     """Mirror of the driver's t2 check: row count + column names +
-    order-insensitive exact value comparison."""
+    order-insensitive exact value comparison.
+
+    Also rejects HUGEINT oracle output columns: DuckDB's arrow export
+    maps HUGEINT to float64, so the driver's value-hash mismatches
+    Spark's int64 even when values are equal (the r02/r03 hash-fail
+    artifact). fetchall() returns Python ints and would hide it here —
+    check the declared types instead."""
+    hugeint_cols = [
+        c for c, t, *_ in duck_con.execute(f"DESCRIBE {sql}").fetchall()
+        if "HUGEINT" in t.upper()
+    ]
+    assert not hugeint_cols, (
+        f"oracle emits HUGEINT columns {hugeint_cols}; wrap in "
+        f"CAST(... AS BIGINT) or the driver hash will mismatch"
+    )
     scols = sorted(spark_df.columns)
     srows = [tuple(_norm(r[c]) for c in scols) for r in spark_df.collect()]
 

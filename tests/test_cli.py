@@ -1,0 +1,45 @@
+"""Smoke tests for the ``python -m ai_data_pipeline_spark`` CLI — the
+reference's declared-but-unshipped surface (pyproject.toml:63-64)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+from tests.conftest import SF_DIR
+
+
+def test_cli_profile_smoke(tmp_path):
+    out = tmp_path / "profile_out"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ai_data_pipeline_spark",
+            "profile",
+            f"{SF_DIR}/region.parquet",
+            "--cpus",
+            "2",
+            "-o",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "profile written" in r.stdout
+    import duckdb
+
+    rows = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()
+    assert rows[0] == 2  # region has 2 columns
+
+
+def test_cli_bad_command_exits_nonzero():
+    r = subprocess.run(
+        [sys.executable, "-m", "ai_data_pipeline_spark", "nonsense"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert r.returncode != 0
