@@ -41,12 +41,24 @@ def er_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     block on (nation, segment, name-prefix), score with levenshtein <= 2,
     keep the best match per dirty record."""
     c = load_table(spark, sf_dir, "customer")
-    dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
-        F.col("c_custkey").alias("dirty_id"),
-        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("dirty_name"),
-        F.col("c_nationkey").alias("d_nation"),
-        F.col("c_mktsegment").alias("d_segment"),
+    # The testdata parquet is one row group → one scan task; without the
+    # repartition every in-block levenshtein runs serially in that task.
+    # At cluster scale the scan has real parallelism and this exchange
+    # is a cheap width-normalizer of the (small) dirty side.
+    dirty = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("dirty_id"),
+            F.expr("substr(c_name, 1, length(c_name) - 1)").alias("dirty_name"),
+            F.col("c_nationkey").alias("d_nation"),
+            F.col("c_mktsegment").alias("d_segment"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # Bounded-band levenshtein (threshold arg): O(threshold·n) per pair
+    # instead of O(n·m), returning -1 above the cutoff — the admitted
+    # distances are identical to the unbounded form, which is what the
+    # (threshold-less) DuckDB oracle computes after its <= filter.
     cand = dirty.join(
         c,
         (F.col("d_nation") == F.col("c_nationkey"))
@@ -55,10 +67,10 @@ def er_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("dirty_name", 1, ER_PREFIX_LEN)
             == F.substring("c_name", 1, ER_PREFIX_LEN)
         ),
-    ).withColumn("dist", F.levenshtein("dirty_name", "c_name"))
+    ).withColumn("dist", F.levenshtein("dirty_name", "c_name", ER_MAX_DIST))
     w = W.partitionBy("dirty_id").orderBy(F.asc("dist"), F.asc("c_custkey"))
     return (
-        cand.filter(F.col("dist") <= ER_MAX_DIST)
+        cand.filter((F.col("dist") >= 0) & (F.col("dist") <= ER_MAX_DIST))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(

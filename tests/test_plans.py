@@ -288,3 +288,33 @@ def test_quantize_broadcasts_dim_stats(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_embedding_dedup_no_driver_collect(spark):
+    """dedup_embedding_cosine must run as the distributed block-pair
+    matrix join: the pair kernel is a MapInPandas over the joined block
+    relation — no CollectLimit/driver materialization in the plan, and
+    the block self-join may broadcast (B rows) but never sort-merge."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        dedup_embedding_cosine,
+    )
+
+    df = dedup_embedding_cosine(spark, SF_DIR)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CollectLimit" not in plan
+
+
+def test_er_linkage_blocked_broadcast_join(spark):
+    """er_fuzzy_linkage's candidate join must be an equi-join on the
+    blocking keys (broadcast at this dim size) with levenshtein only as
+    a residual join condition — a cross/nested-loop join would mean the
+    blocking keys stopped reaching the join planner."""
+    from ai_data_pipeline_spark.operators.linkage import er_fuzzy_linkage
+
+    plan = _plan(er_fuzzy_linkage(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan  # residual condition, inside the block
