@@ -449,6 +449,65 @@ GROUP BY t.doc_id
 """
 
 
+DOMAIN_CAP_DOCS = 60  # max docs kept per source (per-domain quota)
+
+
+def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (the C4/RefinedWeb anti-domination
+    step): cap each source at DOMAIN_CAP_DOCS documents, choosing
+    survivors by content-stable md5-of-key order so the kept set is
+    deterministic and survives re-sharding/appends (rand() does not).
+    Emits the per-source keep/drop accounting the mixing pass consumes.
+
+    Scale: one window per source (hash-partitioned; no global sort) over
+    a metadata-narrow projection — the text column is never shuffled;
+    at 100 TB the same window runs per registered-domain with millions
+    of partitions, each independently."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tok"),
+    ).withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("rk") <= DOMAIN_CAP_DOCS).cast("long")).alias("n_kept"),
+        F.sum((F.col("rk") > DOMAIN_CAP_DOCS).cast("long")).alias("n_dropped"),
+        F.sum(
+            F.when(F.col("rk") <= DOMAIN_CAP_DOCS, F.col("n_tok")).otherwise(0)
+        ).alias("kept_tokens"),
+        F.min(F.when(F.col("rk") <= DOMAIN_CAP_DOCS, F.col("doc_id"))).alias(
+            "min_kept_doc_id"
+        ),
+        F.max(F.when(F.col("rk") <= DOMAIN_CAP_DOCS, F.col("doc_id"))).alias(
+            "max_kept_doc_id"
+        ),
+    )
+
+
+DOMAIN_CAPS_ORACLE = rf"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         len(string_split_regex(text, '\s+')) AS n_tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CAST(rk <= {DOMAIN_CAP_DOCS} AS INT)) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(rk > {DOMAIN_CAP_DOCS} AS INT)) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN rk <= {DOMAIN_CAP_DOCS} THEN n_tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       min(CASE WHEN rk <= {DOMAIN_CAP_DOCS} THEN doc_id END) AS min_kept_doc_id,
+       max(CASE WHEN rk <= {DOMAIN_CAP_DOCS} THEN doc_id END) AS max_kept_doc_id
+FROM ranked GROUP BY source
+"""
+
+
 BPE_TOP_PAIRS = 10  # merge candidates to emit (one BPE training step)
 
 
@@ -519,4 +578,5 @@ QUERY_DEFS = [
     QueryDef("corpus_sequence_packing", corpus_sequence_packing, PACKING_ORACLE),
     QueryDef("corpus_oov_rate", corpus_oov_rate, OOV_ORACLE),
     QueryDef("corpus_bpe_pair_stats", corpus_bpe_pair_stats, BPE_ORACLE),
+    QueryDef("corpus_domain_caps", corpus_domain_caps, DOMAIN_CAPS_ORACLE),
 ]

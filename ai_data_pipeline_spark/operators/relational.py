@@ -80,8 +80,11 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01")
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # no hint on orders: it is a FACT table (scales with lineitem), so
+    # the hint would force an executor-OOM broadcast at cluster scale;
+    # AQE still picks broadcast at test scale from runtime sizes.
     joined = l.join(
-        F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")
+        o, F.col("l_orderkey") == F.col("o_orderkey")
     ).join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
     grouped = joined.groupBy(
         "l_orderkey",

@@ -291,8 +291,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is exact and engine-independent (tf/df ordering is identical
     to tf/ln(N/df) ordering for fixed N; no floating logs to mismatch).
     Scale: tokenize+explode is map-side; tf is one shuffle on
-    (doc, term); df is a broadcast-joined per-term aggregate (terms
-    table ≪ corpus); the final top-K is a window on doc_id."""
+    (doc, term); the df join carries NO broadcast hint — vocabulary
+    grows with the corpus (Heaps' law: billions of distinct terms at
+    100 TB, typos/URLs included), so AQE must be free to choose
+    broadcast at small scale and a term-keyed shuffle join (df_ is
+    already partitioned by term from its groupBy) at cluster scale;
+    the final top-K is a window on doc_id."""
     d = load_table(spark, sf_dir, "documents")
     terms = d.select(
         "doc_id",
@@ -300,7 +304,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("term") >= MIN_TERM_LEN)
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
+    scored = tf.join(df_, "term").withColumn(
         "score", F.expr("(tf * 1000000) div df")
     )
     w = W.partitionBy("doc_id").orderBy(

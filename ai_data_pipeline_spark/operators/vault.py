@@ -8,8 +8,8 @@ Spark-first (SURVEY.md §7.1 M5):
 
 - FK inference: name-suffix candidate pairs checked by value containment
   — ``orphans = count(child left-anti-join parent)``; a candidate with
-  zero orphans is declared an FK. Anti-joins broadcast the parent's
-  distinct key when small; Catalyst picks the join strategy above that.
+  zero orphans is declared an FK. No broadcast hints: AQE broadcasts
+  dim-sized parents and shuffle-anti-joins fact-sized ones.
 - Hubs: distinct business keys + sha256 hash key (deterministic across
   engines: both emit lowercase hex).
 - Links: unit-of-work between hubs (customer↔orders), hashed composite.
@@ -51,7 +51,11 @@ def fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         parent = load_table(spark, sf_dir, parent_t).select(
             F.col(parent_c).alias("k")
         ).distinct()
-        orphans = child.join(F.broadcast(parent), "k", "left_anti").count()
+        # no broadcast hint: parent key sets are dim-sized for some
+        # candidates but FACT-sized for others (l_orderkey -> orders at
+        # 100 TB); AQE broadcasts the small ones and keeps a shuffled
+        # anti-join for the big ones — the correct plan in both cases
+        orphans = child.join(parent, "k", "left_anti").count()
         n_child = child.count()
         rows.append((child_t, child_c, parent_t, parent_c, n_child, orphans, orphans == 0))
     return spark.createDataFrame(
