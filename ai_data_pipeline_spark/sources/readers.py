@@ -147,6 +147,8 @@ FROM lineitem
 
 
 PART_DATE_LO, PART_DATE_HI = "2024-01-10", "2024-01-12"
+TS_CHECKSUM_PRIME = 1_000_000_007  # modular ts checksum: per-row residue
+# < 2^30, summed in DECIMAL(38,0) — exact at any corpus size
 
 
 def partitioned_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,12 +168,19 @@ def partitioned_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(tmp).filter(
         F.col("event_date").cast("string").between(PART_DATE_LO, PART_DATE_HI)
     )
+    # ts checksum is modular: raw epoch-micros (~1.7e15 each) overflow a
+    # long sum beyond ~5000 rows, so sum the mod-prime residues in
+    # decimal (exact at any row count) and reduce once more at the end —
+    # scale-safe where sum(unix_micros) is not (caught at sf0.1).
+    p = F.lit(TS_CHECKSUM_PRIME)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("event_id").alias("sum_id"),
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
-        F.sum(F.unix_micros("ts")).alias("sum_ts_us"),
+        F.pmod(F.sum(F.pmod(F.unix_micros("ts"), p).cast("decimal(38,0)")), p.cast("decimal(38,0)"))
+        .cast("long")
+        .alias("ts_checksum"),
     )
 
 
@@ -179,7 +188,8 @@ PARTITIONED_ROUNDTRIP_ORACLE = f"""
 SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_id,
        count(DISTINCT user_id) AS n_users,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-       CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_ts_us
+       CAST(sum(epoch_us(ts) % {TS_CHECKSUM_PRIME}) % {TS_CHECKSUM_PRIME} AS BIGINT)
+         AS ts_checksum
 FROM events
 WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{PART_DATE_LO}' AND '{PART_DATE_HI}'
 """
