@@ -135,10 +135,14 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = e.select(
         "event_type", F.floor(F.col("value") * 1000).alias("v_fp")
     )
+    # moment sums in DECIMAL(38,0): v_fp^2 is ~1e12 per row, so a LONG
+    # sum overflows around 1e7 rows per group (ANSI mode throws) — the
+    # decimal accumulator is exact at any scale and casts to double
+    # identically for values < 2^53
     mom = fp.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("v_fp").alias("s1"),
-        F.sum(F.col("v_fp") * F.col("v_fp")).alias("s2"),
+        F.sum(F.col("v_fp").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("v_fp") * F.col("v_fp")).cast("decimal(38,0)")).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n")
     var = F.col("s2").cast("double") / F.col("n") - mean * mean

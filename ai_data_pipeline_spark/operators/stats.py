@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from ai_data_pipeline_spark.catalog import load_table
 from ai_data_pipeline_spark.registry import QueryDef
 
-# (name, column, fixed-point scale) — scales keep n·sum(x²) < 2⁶³ at 10⁹ rows
+# (name, column, fixed-point scale). Moment sums and the n·sp − s·s
+# products accumulate in DECIMAL(38,0): at 100 TB lineitem (~10¹² rows)
+# n·sum(x²) reaches ~10²⁹, far past 2⁶³ — long accumulators would throw
+# ARITHMETIC_OVERFLOW under ANSI mode. Decimal is exact; the one final
+# cast to double matches the oracle's HUGEINT→DOUBLE rounding for all
+# driver-checked scales (< 2⁵³).
 CORR_METRICS = [
     ("quantity", "l_quantity", 10),
     ("discount", "l_discount", 1000),
@@ -51,14 +56,15 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, col, scale in CORR_METRICS
         ]
     )
-    aggs = [F.count(F.lit(1)).alias("n")]
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
     names = [m[0] for m in CORR_METRICS]
     for x in names:
-        aggs.append(F.sum(F.col(x)).alias(f"s_{x}"))
-        aggs.append(F.sum(F.col(x) * F.col(x)).alias(f"ss_{x}"))
+        aggs.append(F.sum(F.col(x).cast(dec)).alias(f"s_{x}"))
+        aggs.append(F.sum((F.col(x) * F.col(x)).cast(dec)).alias(f"ss_{x}"))
     for i, x in enumerate(names):
         for y in names[i + 1 :]:
-            aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"sp_{x}_{y}"))
+            aggs.append(F.sum((F.col(x) * F.col(y)).cast(dec)).alias(f"sp_{x}_{y}"))
     mom = fp.agg(*aggs)
     pairs = None
     for i, x in enumerate(names):
@@ -74,7 +80,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double"))),
                     6,
                 ).alias("pearson_r"),
-                F.col("n").alias("n_rows"),
+                F.col("n").cast("long").alias("n_rows"),
             )
             pairs = row if pairs is None else pairs.unionByName(row)
     return pairs
@@ -124,8 +130,12 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(col_tot), "l_linestatus")
         .crossJoin(F.broadcast(total))
         .withColumn(
+            # marginal product in decimal: row_tot·col_tot ~ 10²⁴ at
+            # 100 TB — a long multiply would overflow (ANSI throws)
             "expected",
-            (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("total"),
+            (F.col("row_tot").cast("decimal(38,0)") * F.col("col_tot"))
+            .cast("double")
+            / F.col("total"),
         )
         .withColumn(
             "cell_chi2",
