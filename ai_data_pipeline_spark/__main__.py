@@ -53,7 +53,59 @@ def _build_parser() -> argparse.ArgumentParser:
     prof.add_argument(
         "--cpus", type=int, default=None, help="local[N] parallelism"
     )
+    job = sub.add_parser(
+        "job",
+        help="profile-and-save: profile a table, persist the profile + "
+        "summary as parquet and emit Data Vault DDL (the reference's "
+        "upload -> classify -> persist lifecycle, .env.example:8-29)",
+    )
+    job.add_argument("path", help="table path (parquet file/dir, csv, json)")
+    job.add_argument("outdir", help="output directory for the job artifacts")
+    job.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "csv", "json", "orc"],
+        help="input format (default: parquet)",
+    )
+    job.add_argument("--approx", action="store_true", help="HLL distinct tier")
+    job.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
     return p
+
+
+def _read(spark, fmt: str, path: str):
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    return reader.format(fmt).load(path)
+
+
+def _run_job(spark, args) -> int:
+    """upload → classify → persist: profile parquet + summary parquet +
+    generated Data Vault DDL under one output directory."""
+    import os
+
+    from ai_data_pipeline_spark.operators.vault import profile_to_dv_ddl
+    from ai_data_pipeline_spark.profiling.profiler import (
+        profile_summary,
+        profile_table,
+    )
+
+    df = _read(spark, args.format, args.path)
+    prof = profile_table(df, exact_distinct=not args.approx)
+    os.makedirs(args.outdir, exist_ok=True)
+    prof.write.mode("overwrite").parquet(os.path.join(args.outdir, "profile.parquet"))
+    profile_summary(prof).write.mode("overwrite").parquet(
+        os.path.join(args.outdir, "summary.parquet")
+    )
+    table_name = (
+        os.path.basename(args.path.rstrip("/")).rsplit(".", 1)[0] or "table"
+    )
+    ddl = profile_to_dv_ddl(prof.collect(), table_name)  # metadata-sized
+    ddl_path = os.path.join(args.outdir, "vault_ddl.sql")
+    with open(ddl_path, "w") as fh:
+        fh.write(";\n".join(ddl) + ";\n")
+    print(f"job artifacts written to {args.outdir} (profile.parquet, summary.parquet, vault_ddl.sql)")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -66,10 +118,9 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("adp-cli", cpus=args.cpus)
     try:
-        reader = spark.read
-        if args.format == "csv":
-            reader = reader.option("header", "true").option("inferSchema", "true")
-        df = reader.format(args.format).load(args.path)
+        if args.command == "job":
+            return _run_job(spark, args)
+        df = _read(spark, args.format, args.path)
         prof = profile_table(df, exact_distinct=not args.approx)
         if args.summary:
             prof = profile_summary(prof)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ai_data_pipeline_spark.catalog import load_table
 from ai_data_pipeline_spark.operators.dedup import DEDUP_NGRAM_ORACLE, dedup_ngram_jaccard
 from ai_data_pipeline_spark.registry import QueryDef
+from ai_data_pipeline_spark.session import session_scoped_cache
 
 CC_MAX_ITERS = 20
 
@@ -38,18 +39,18 @@ CC_MAX_ITERS = 20
 # subtree once per branch per query (~5× the work — the top line of
 # BENCH_r02). One eager localCheckpoint computes it once per
 # (session, sf_dir) and every branch reads the materialized blocks.
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Cached per live session (weak-keyed — see session.session_scoped_cache).
 
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = (
+    cache = session_scoped_cache(spark, "clustering_pairs")
+    if sf_dir not in cache:
+        cache[sf_dir] = (
             dedup_ngram_jaccard(spark, sf_dir)
             .select("doc_a", "doc_b")
             .localCheckpoint()
         )
-    return _PAIRS_CACHE[key]
+    return cache[sf_dir]
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
 from ai_data_pipeline_spark.registry import QueryDef
+from ai_data_pipeline_spark.session import session_scoped_cache
 
 DECON_N = 5  # tokens per contamination shingle (13 in prod; 5 so the
 # synthetic 55-token docs actually collide — same plan shape)
@@ -65,20 +66,20 @@ def _grams_duck(n: int) -> str:
 # repetition, oov, bpe); one eager localCheckpoint per (session, sf_dir)
 # tokenizes once and every consumer reads the materialized blocks —
 # the shared intermediate a real curation pipeline persists between
-# stages.
-_TOKENS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# stages. Cached per live session (weak-keyed — see
+# session.session_scoped_cache).
 
 
 def _token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _TOKENS_CACHE:
-        _TOKENS_CACHE[key] = (
+    cache = session_scoped_cache(spark, "corpus_tokens")
+    if sf_dir not in cache:
+        cache[sf_dir] = (
             load_table(spark, sf_dir, "documents")
             .select("doc_id", F.split(F.col("text"), r"\s+").alias("l"))
             .repartition(spark.sparkContext.defaultParallelism)
             .localCheckpoint()
         )
-    return _TOKENS_CACHE[key]
+    return cache[sf_dir]
 
 
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,7 +462,13 @@ GROUP BY t.doc_id
 """
 
 
-DOMAIN_CAP_DOCS = 60  # max docs kept per source (per-domain quota)
+DOMAIN_CAP_DOCS = 20  # max docs kept per source (per-domain quota;
+# below the ~25 docs/source of sf0.01 so the drop path is exercised by
+# the driver oracle, not just the keep-everything branch)
+
+
+DOMAIN_CAP_BUCKET_HEX = 2  # md5-prefix bucket width (256 buckets; raise
+# to 4 at petabyte domain sizes so candidate sets stay ~n/65536 + cap)
 
 
 def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,32 +478,58 @@ def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and survives re-sharding/appends (rand() does not).
     Emits the per-source keep/drop accounting the mixing pass consumes.
 
-    Scale: one window per source (hash-partitioned; no global sort) over
-    a metadata-narrow projection — the text column is never shuffled;
-    at 100 TB the same window runs per registered-domain with millions
-    of partitions, each independently."""
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    ranked = d.select(
+    Scale: the naive plan (row_number over PARTITION BY source) puts a
+    dominant domain's entire row set on one reducer — the exact corpus
+    shape the cap exists for. Instead, a two-pass exact-rank cutoff:
+    (1) count docs per (source, md5-prefix bucket) — map-side
+    combinable, 256 rows/domain; a running sum over those 256 rows
+    finds the bucket holding the cap-th doc; (2) broadcast the cutoff
+    table and keep only docs in buckets ≤ cutoff, so the per-domain
+    ordering window runs over ~n/256 + cap candidate rows instead of n
+    — bounded regardless of domain skew (deterministic, not sampled:
+    the bucket cumsum is an exact rank bound). The text column is never
+    shuffled; kept-set accounting joins back to the tiny per-domain
+    count table."""
+    d = load_table(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
         F.size(F.split(F.col("text"), r"\s+")).alias("n_tok"),
-    ).withColumn("rk", F.row_number().over(w))
-    return ranked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("rk") <= DOMAIN_CAP_DOCS).cast("long")).alias("n_kept"),
-        F.sum((F.col("rk") > DOMAIN_CAP_DOCS).cast("long")).alias("n_dropped"),
-        F.sum(
-            F.when(F.col("rk") <= DOMAIN_CAP_DOCS, F.col("n_tok")).otherwise(0)
-        ).alias("kept_tokens"),
-        F.min(F.when(F.col("rk") <= DOMAIN_CAP_DOCS, F.col("doc_id"))).alias(
-            "min_kept_doc_id"
-        ),
-        F.max(F.when(F.col("rk") <= DOMAIN_CAP_DOCS, F.col("doc_id"))).alias(
-            "max_kept_doc_id"
-        ),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn(
+        "bkt", F.conv(F.substring("h", 1, DOMAIN_CAP_BUCKET_HEX), 16, 10).cast("int")
+    )
+    bcounts = d.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.partitionBy("source").orderBy("bkt")  # ≤ 256 rows/domain
+    cum = bcounts.withColumn("cum", F.sum("bn").over(wb))
+    cutoff = (
+        cum.filter(F.col("cum") >= DOMAIN_CAP_DOCS)
+        .groupBy("source")
+        .agg(F.min("bkt").alias("cut_bkt"))
+    )
+    totals = bcounts.groupBy("source").agg(F.sum("bn").alias("n_docs"))
+    # cut_bkt is NULL for under-cap domains → keep every bucket
+    thr = totals.join(cutoff, "source", "left")
+    cand = d.join(F.broadcast(thr.select("source", "cut_bkt")), "source").filter(
+        F.col("cut_bkt").isNull() | (F.col("bkt") <= F.col("cut_bkt"))
+    )
+    wk = Window.partitionBy("source").orderBy("h", "doc_id")  # bounded input
+    kept = cand.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= DOMAIN_CAP_DOCS
+    )
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").alias("kept_tokens"),
+        F.min("doc_id").alias("min_kept_doc_id"),
+        F.max("doc_id").alias("max_kept_doc_id"),
+    )
+    return totals.join(kept_stats, "source").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        "kept_tokens",
+        "min_kept_doc_id",
+        "max_kept_doc_id",
     )
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
 from ai_data_pipeline_spark.registry import QueryDef
+from ai_data_pipeline_spark.session import session_scoped_cache
 
 MINHASH_K = 12
 MINHASH_BAND_R = 3  # rows per band -> 4 bands
@@ -75,13 +76,14 @@ FROM documents GROUP BY text
 # dedup_minhash_lsh; one eager localCheckpoint per (session, sf_dir)
 # computes the CPU-heavy split+explode once and every consumer reads the
 # materialized blocks — the "shared materialized intermediate" a real
-# dedup pipeline would persist between its candidate stages.
-_SHINGLES_CACHE: dict[tuple[int, str], DataFrame] = {}
+# dedup pipeline would persist between its candidate stages. Cached per
+# live session (weak-keyed — see session.session_scoped_cache).
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _SHINGLES_CACHE:
+    cache = session_scoped_cache(spark, "dedup_shingles")
+    key = sf_dir
+    if key not in cache:
         # Testdata parquet is a single row group -> one scan task;
         # shingling is CPU-bound string work, so spread it across all
         # cores first. The repartition exchange also materializes the
@@ -92,10 +94,10 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.split(F.col("text"), r"\s+").alias("l"))
             .repartition(spark.sparkContext.defaultParallelism)
         )
-        _SHINGLES_CACHE[key] = d.select(
+        cache[key] = d.select(
             "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
         ).localCheckpoint()
-    return _SHINGLES_CACHE[key]
+    return cache[key]
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

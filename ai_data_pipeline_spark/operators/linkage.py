@@ -81,6 +81,11 @@ def er_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle deliberately does NOT repeat the name-prefix blocking
+# predicate: it is the unblocked spec (levenshtein <= 2 within the
+# nation × segment block). The driver's comparison against the blocked
+# Spark plan therefore PROVES the prefix blocking is lossless on this
+# data, instead of assuming it on both sides.
 ER_ORACLE = f"""
 WITH dirty AS (
   SELECT c_custkey AS dirty_id,
@@ -93,7 +98,6 @@ WITH dirty AS (
   FROM dirty d
   JOIN customer c
     ON d.d_nation = c.c_nationkey AND d.d_segment = c.c_mktsegment
-   AND substr(d.dirty_name, 1, {ER_PREFIX_LEN}) = substr(c.c_name, 1, {ER_PREFIX_LEN})
   WHERE levenshtein(d.dirty_name, c.c_name) <= {ER_MAX_DIST}
 )
 SELECT dirty_id, c_custkey AS matched_custkey, dist FROM (

@@ -400,10 +400,15 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dt_us").isNotNull())
     # weighted_sum_fp stays DECIMAL end-to-end: Java's decimal→double
     # cast is not correctly rounded above 2^53 (BigDecimal.doubleValue),
-    # so a 21-digit integer cast in-engine can differ from DuckDB by an
-    # ulp; emitting the exact decimal sidesteps the cast entirely. The
-    # twa ratio divides through 10^6-scaled decimals (exact) before the
-    # one deterministic double division.
+    # so a 21-digit value pushed through double can differ from DuckDB
+    # by an ulp (the r4 hash miss). The average is therefore emitted as
+    # twa_fp = floor(weighted_sum_fp / total_us) — exact integer
+    # micro-value-units, no double anywhere in the hashed output.
+    # Implemented as (a - a % b) / b: the decimal remainder and
+    # subtraction are exact, the division then has an integer quotient
+    # (≤ 10^6·max(value), far inside long range), so the decimal
+    # division is lossless and engine-identical. value ≥ 0 in this
+    # domain, so truncating division and floor coincide.
     return stepped.groupBy("user_id").agg(
         F.sum(F.col("value_fp").cast("decimal(38,0)") * F.col("dt_us")).alias(
             "weighted_sum_fp"
@@ -413,12 +418,12 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "weighted_sum_fp",
         "total_us",
-        # the double cast here may differ by an ulp per engine (see
-        # above) — a 1e-16 relative wobble that round-to-6dp absorbs
-        F.round(
-            F.col("weighted_sum_fp").cast("double") / F.col("total_us") / 1_000_000,
-            6,
-        ).alias("twa"),
+        (
+            (F.col("weighted_sum_fp") - F.col("weighted_sum_fp") % F.col("total_us"))
+            / F.col("total_us")
+        )
+        .cast("long")
+        .alias("twa_fp"),
     )
 
 
@@ -437,7 +442,8 @@ WITH stepped AS (
   GROUP BY user_id
 )
 SELECT user_id, weighted_sum_fp, total_us,
-       round(CAST(weighted_sum_fp AS DOUBLE) / total_us / 1000000, 6) AS twa
+       CAST(CAST(weighted_sum_fp AS HUGEINT) // CAST(total_us AS HUGEINT)
+            AS BIGINT) AS twa_fp
 FROM agg
 """
 

@@ -204,6 +204,43 @@ def _dv_ddl_oracle() -> str:
     return f"SELECT * FROM (VALUES {values}) t(object_name, ddl)"
 
 
+# Semantic data_type → warehouse column type for generated DV DDL.
+_DV_TYPE = {"numeric": "DOUBLE", "date": "TIMESTAMP", "boolean": "BOOLEAN"}
+
+
+def profile_to_dv_ddl(profile_rows, table_name: str) -> list[str]:
+    """Data Vault 2.0 DDL generated from a profile relation — the
+    reference's declared-but-empty generator intent (README.md:2
+    "Data Vault 2.0 Generation", pyproject.toml:9, core/generators/
+    zero bytes; SURVEY.md §2.8): hub keyed on the detected primary-key
+    column, satellite carrying the descriptive remainder with a
+    hashdiff, suggested (snake_case) names throughout. Driver-side pure
+    function over the metadata-sized profile (one row per column)."""
+    rows = sorted(profile_rows, key=lambda r: r["column_name"])
+    pk = next((r for r in rows if r["is_primary_key"]), None)
+    ddl: list[str] = []
+    if pk is not None:
+        bk_type = _DV_TYPE.get(pk["data_type"], "STRING")
+        ddl.append(
+            f"CREATE TABLE hub_{table_name} (hub_{table_name}_hk CHAR(64) "
+            f"PRIMARY KEY, {pk['suggested_name']}_bk {bk_type} NOT NULL, "
+            "load_dts TIMESTAMP, record_source STRING)"
+        )
+    desc = [r for r in rows if pk is None or r["column_name"] != pk["column_name"]]
+    cols = ", ".join(
+        f"{r['suggested_name']} {_DV_TYPE.get(r['data_type'], 'STRING')}"
+        for r in desc
+    )
+    key_col = (
+        f"hub_{table_name}_hk CHAR(64)" if pk is not None else "row_hk CHAR(64)"
+    )
+    ddl.append(
+        f"CREATE TABLE sat_{table_name} ({key_col}, hashdiff CHAR(64), "
+        f"{cols}, load_dts TIMESTAMP, record_source STRING)"
+    )
+    return ddl
+
+
 QUERY_DEFS = [
     QueryDef("fk_inference", fk_inference, _fk_oracle()),
     QueryDef("dv_hub_customer", dv_hub_customer, DV_HUB_ORACLE),

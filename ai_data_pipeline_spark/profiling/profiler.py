@@ -160,7 +160,12 @@ def _scalar_stats(
     level1 = level1.withColumn("render", render)
 
     n_distinct = (
-        F.count("render_l") if exact_distinct else F.approx_count_distinct("render_l")
+        F.count("render_l")
+        # rsd 0.02 (~2.7k registers, a few KB/column, still mergeable):
+        # keeps the sketch within the ±5% bound the property tests pin
+        # (default 0.05 measured 6.6% off on l_shipdate at sf0.001)
+        if exact_distinct
+        else F.approx_count_distinct("render_l", 0.02)
     )
     aggs = [
         F.sum("cnt").alias("n_total"),

@@ -10,8 +10,34 @@ any downstream engine.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import SparkSession
+
+# Session-scoped operator caches (shared materialized intermediates like
+# localCheckpoint'd shingle/token tables). Keyed WEAKLY on the live
+# SparkSession object — never on id(spark): CPython reuses ids after GC,
+# which could hand a new session a DataFrame bound to a dead context,
+# and id-keyed entries leak across sessions in long-lived processes
+# (CLI, pytest). Entries die with their session.
+_SESSION_CACHES: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def session_scoped_cache(spark: SparkSession, namespace: str) -> dict:
+    """Return a mutable dict cache bound to this SparkSession's lifetime.
+
+    A stopped-but-still-referenced session has its caches dropped on
+    access (its checkpointed blocks are gone with the context), so a
+    rebuild against the stopped session fails with Spark's own clear
+    error instead of returning stale handles."""
+    sc = spark.sparkContext
+    if getattr(sc, "_jsc", None) is None:  # context stopped
+        _SESSION_CACHES.pop(spark, None)
+    caches = _SESSION_CACHES.get(spark)
+    if caches is None:
+        caches = {}
+        _SESSION_CACHES[spark] = caches
+    return caches.setdefault(namespace, {})
 
 
 def get_spark(app_name: str = "ai_data_pipeline_spark", cpus: int | None = None) -> SparkSession:

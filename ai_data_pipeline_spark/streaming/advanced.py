@@ -25,11 +25,25 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ai_data_pipeline_spark.streaming.windows import (
-    EVENTS_SCHEMA,
     read_events_stream,
     run_to_completion,
+)
+
+# Schema of the three-batch source files _three_batch_source_dir writes
+# ITSELF (always NTZ by construction — independent of the driver
+# testdata's physical encoding, which windows._events_schema probes).
+_NTZ_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
 )
 
 LATE_CUTOFF_HOURS = 3  # second batch = everything older than max_ts - 3h
@@ -59,8 +73,7 @@ def _three_batch_source_dir(spark: SparkSession, sf_dir: str) -> str:
         (F.max(F.unix_micros("ts")) - LATE_CUTOFF_HOURS * 3600 * 1_000_000).alias("c")
     ).collect()[0]["c"]
     tmp = tempfile.mkdtemp(prefix="adp_late_")
-    # Files are written with the NTZ `ts` the streaming reader expects
-    # (EVENTS_SCHEMA mirrors the driver parquet layout).
+    # Files are written with an NTZ `ts` matching _NTZ_EVENTS_SCHEMA.
     raw = events.select(
         "event_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
@@ -100,7 +113,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent, which is the semantic under test."""
     src = _three_batch_source_dir(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_NTZ_EVENTS_SCHEMA)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", False)

@@ -19,29 +19,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),  # parquet TIMESTAMP(MICROS, adj=false)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(sf_dir: str) -> tuple[T.StructType, str]:
+    """Declared streaming schema + ts normalization mode, chosen by
+    probing the parquet physical type. The driver testdata's timestamp
+    encoding has already changed once between rounds (TIMESTAMP(NANOS)
+    → TIMESTAMP(MICROS, adj=false)); probing keeps the streaming path
+    robust to a re-encode either way, mirroring catalog.load_table's
+    dual normalization."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    unit = getattr(t, "unit", None)
+    tz = getattr(t, "tz", None)
+    if unit == "ns":
+        ts_field, mode = T.LongType(), "nanos"  # read raw ns longs
+    elif tz is None:
+        ts_field, mode = T.TimestampNTZType(), "ntz"
+    else:
+        ts_field, mode = T.TimestampType(), "utc"
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, mode
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet (one file =
-    one micro-batch under availableNow); NTZ normalized as in catalog
-    (session TZ is UTC, so the cast preserves wall-clock values)."""
+    one micro-batch under availableNow); ts normalized per the probed
+    physical encoding (session TZ is UTC, so wall-clock is preserved)."""
+    schema, mode = _events_schema(sf_dir)
+    if mode == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if mode == "nanos":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if mode == "ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

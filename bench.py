@@ -111,22 +111,28 @@ def main() -> None:
 
     timed_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in HEADLINE:
         # one untimed run to compile the plan (codegen happens once per
         # query shape and amortizes to zero at scale), then take the MIN
         # of `timed_reps` steady-state executions: this host throttles
         # CPU quota under sustained load, inflating single-shot wall
         # times 2-4x at random — min-of-N is the standard steady-state
-        # estimator under that noise. Caches are cleared so measured
-        # runs pay their own materialization.
+        # estimator under that noise. The FIRST timed rep is also kept
+        # (single-run estimator) so numbers stay comparable with the
+        # single-run baselines in BASELINE.md — both columns land in
+        # BENCH_SELF.json. Caches are cleared so measured runs pay
+        # their own materialization.
         qs[name](spark, sf_dir).count()
         best = None
         n = 0
-        for _ in range(timed_reps):
+        for rep in range(timed_reps):
             spark.catalog.clearCache()
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             dt = time.time() - t0
+            if rep == 0:
+                first_run[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
@@ -141,7 +147,34 @@ def main() -> None:
         "reps": timed_reps,
         "estimator": "min",
     }
-    print(json.dumps(out))
+    # Full-precision record with BOTH estimator columns, committed next
+    # to the code: the round driver keeps only the last 2000 chars of
+    # stdout, which truncated the r4 line — this file is the durable,
+    # fully comparable artifact (see BENCH_r04.json "tail").
+    full = dict(out)
+    full["queries_single_run"] = first_run
+    full["value_single_run"] = round(sum(first_run.values()), 3)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
+            "w",
+        ) as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the result
+    # stdout line must fit the driver's 2000-char tail buffer to parse;
+    # shrink deterministically if needed (full precision is in the file)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1990:
+        out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1990:
+        out.pop("reps", None)
+        out.pop("estimator", None)
+        out["metric"] = "headline_total"
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -43,3 +43,41 @@ def test_cli_bad_command_exits_nonzero():
         timeout=60,
     )
     assert r.returncode != 0
+
+
+def test_cli_job_profile_and_save(tmp_path):
+    """upload → classify → persist job: profile parquet, summary
+    parquet, and generated Data Vault DDL land in the output dir."""
+    out = tmp_path / "job_out"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ai_data_pipeline_spark",
+            "job",
+            f"{SF_DIR}/customer.parquet",
+            str(out),
+            "--cpus",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    n_cols = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/profile.parquet/*.parquet')"
+    ).fetchone()[0]
+    assert n_cols == 5  # customer has 5 columns
+    assert (
+        duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{out}/summary.parquet/*.parquet')"
+        ).fetchone()[0]
+        > 0
+    )
+    ddl = (out / "vault_ddl.sql").read_text()
+    assert "CREATE TABLE hub_customer" in ddl
+    assert "CREATE TABLE sat_customer" in ddl
+    assert "hashdiff CHAR(64)" in ddl

@@ -84,3 +84,94 @@ def test_domain_caps_deterministic_across_runs(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# ---- exactness bounds for the four rows-only (sketch-tier) queries ----
+# They have no DuckDB oracle by design; these tests pin their estimates
+# to the exact twins so "rows-only" still carries quantitative evidence.
+
+
+def test_hll_daily_users_within_5pct_of_exact(spark):
+    from ai_data_pipeline_spark.operators.temporal import (
+        q_daily_distinct_users,
+        q_daily_users_hll,
+    )
+
+    exact = {
+        r["day"]: r["daily_users"]
+        for r in q_daily_distinct_users(spark, SF_DIR).collect()
+    }
+    est = {
+        r["day"]: r["daily_users_est"]
+        for r in q_daily_users_hll(spark, SF_DIR).collect()
+    }
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        # rsd=0.02 → ±5% is 2.5σ; HLL++ is exact below its sparse cutoff
+        assert abs(est[day] - n) <= max(1, 0.05 * n)
+
+
+def test_percentile_approx_within_rank_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.operators.analytic import q_percentiles_approx
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    approx = {
+        r["l_returnflag"]: r for r in q_percentiles_approx(spark, SF_DIR).collect()
+    }
+    for flag, row in approx.items():
+        vals = sorted(
+            v["l_quantity"]
+            for v in l.filter(F.col("l_returnflag") == flag)
+            .select("l_quantity")
+            .collect()
+        )
+        n = len(vals)
+        tol = n // 1000 + 1  # percentile_approx rank error <= n/accuracy
+        for p, col in ((0.5, "p50_qty"), (0.95, "p95_qty")):
+            target = int(p * n)
+            lo = vals[max(0, target - tol - 1)]
+            hi = vals[min(n - 1, target + tol)]
+            assert lo <= row[col] <= hi, (flag, col, row[col], lo, hi)
+
+
+def test_profile_approx_distinct_within_5pct_of_exact(spark):
+    from ai_data_pipeline_spark.catalog import TABLES
+    from ai_data_pipeline_spark.profiling.profiler import profile_table
+
+    df = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["column_name"]: r["unique_count"]
+        for r in profile_table(df, TABLES["lineitem"]).collect()
+    }
+    approx = {
+        r["column_name"]: r["unique_count"]
+        for r in profile_table(df, TABLES["lineitem"], exact_distinct=False).collect()
+    }
+    assert set(approx) == set(exact)
+    for col, n in exact.items():
+        assert abs(approx[col] - n) <= max(1, 0.05 * n), (col, approx[col], n)
+
+
+def test_brp_lsh_pairs_are_true_near_pairs(spark):
+    """MLlib BRP-LSH has approximate RECALL but exact reported
+    distances and an exact threshold filter: every emitted pair must be
+    a true pair within the Euclidean threshold, with the distance equal
+    to the directly-computed one."""
+    from ai_data_pipeline_spark.operators.similarity import ann_mllib_brp
+
+    got = ann_mllib_brp(spark, SF_DIR).collect()
+    assert got, "LSH join returned no candidate pairs at test scale"
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows
+    }
+    for r in got:
+        d = float(np.linalg.norm(vecs[r["q_id"]] - vecs[r["vec_id"]]))
+        assert r["dist"] <= 12.0 + 1e-6
+        assert abs(r["dist"] - round(d, 6)) <= 2e-6, (r, d)

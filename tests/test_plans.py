@@ -318,3 +318,24 @@ def test_er_linkage_blocked_broadcast_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan  # residual condition, inside the block
+
+
+def test_domain_caps_no_unbounded_source_window(spark):
+    """corpus_domain_caps exists for corpora where one domain dominates;
+    its ranking window must never receive a domain's full row set. The
+    rewrite bounds it two ways, both visible in the plan: candidates are
+    pre-filtered through the broadcast bucket-cutoff join (cut_bkt), and
+    row_number-then-filter enables Spark's map-side WindowGroupLimit
+    (Partial), capping shuffle input at DOMAIN_CAP_DOCS rows per task."""
+    from ai_data_pipeline_spark.operators.corpus import corpus_domain_caps
+
+    plan = _plan(corpus_domain_caps(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "cut_bkt" in plan
+    assert "BroadcastHashJoin" in plan
+    # only the candidate branch reads text; the counting scans prune to
+    # (doc_id, source)
+    text_scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "text:string" in ln
+    ]
+    assert len(text_scans) == 1
