@@ -219,6 +219,8 @@ _UNPROVEN_PRIORITY = [
     "q7_nation_trade", "q_cheapest_supplier",
     # rewritten this round per VERDICT — must land green in r5
     "corpus_domain_caps", "multimodal_byte_features",
+    # new this round: the BPE encode step (train→apply loop closed)
+    "corpus_bpe_apply",
     # text analysis family
     "text_stats", "text_quality_flags", "text_lang_id",
     "text_fingerprint", "text_winnowing", "text_tfidf_top_terms",

@@ -611,6 +611,128 @@ SELECT rnk, pair, freq FROM ranked WHERE rnk <= {BPE_TOP_PAIRS}
 """
 
 
+BPE_SEP = "\x1f"  # unit-separator delimiter between BPE units (absent
+# from the corpus text; if it ever appeared, both engines would apply
+# the identical delimiter logic, so parity still holds)
+
+
+def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table (corpus_bpe_pair_stats) to
+    tokenize the corpus — the encode step that turns a trained merge
+    list into token counts, closing the tokenizer train→apply loop.
+
+    Semantics (engine-identical by construction): each word becomes a
+    delimiter-bounded unit sequence ("abc" → ␟a␟b␟c␟); merges apply in
+    rank order, each rank as TWO left-to-right non-overlapping plain
+    string-replace passes — the second pass catches an adjacent
+    occurrence whose shared delimiter the first replace consumed. Plain
+    replace() scans agree between Spark and DuckDB, so this documented
+    two-pass approximation of greedy BPE is exactly reproducible.
+    Output: per-language word/char/unit accounting with the achieved
+    units-per-char compression.
+
+    Scale: application runs over the distinct (lang, word) table (the
+    same corpus-compression trick training uses); each merge step
+    broadcasts ONE merge-table row — the model artifact — so the
+    corpus-sized relation is never reshuffled between steps, and the
+    merge table itself is localCheckpointed once instead of recomputing
+    the training aggregation per step."""
+    d = load_table(spark, sf_dir, "documents")
+    lang_words = (
+        d.select("lang", F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)  # the trained vocabulary's domain
+    )
+    merges = (
+        corpus_bpe_pair_stats(spark, sf_dir)
+        .select(
+            "rnk",
+            F.concat(
+                F.lit(BPE_SEP),
+                F.substring("pair", 1, 1),
+                F.lit(BPE_SEP),
+                F.substring("pair", 2, 1),
+                F.lit(BPE_SEP),
+            ).alias("pat"),
+            F.concat(F.lit(BPE_SEP), F.col("pair"), F.lit(BPE_SEP)).alias("rep"),
+        )
+        .localCheckpoint()  # 10 rows; avoids 10× re-training per step
+    )
+    spaced = lang_words.withColumn(
+        "s",
+        F.concat(F.regexp_replace("w", "(.)", BPE_SEP + "$1"), F.lit(BPE_SEP)),
+    )
+    for k in range(1, BPE_TOP_PAIRS + 1):
+        mk = merges.filter(F.col("rnk") == k).select("pat", "rep")
+        spaced = (
+            spaced.crossJoin(F.broadcast(mk))
+            .withColumn(
+                "s",
+                F.replace(
+                    F.replace("s", F.col("pat"), F.col("rep")),
+                    F.col("pat"),
+                    F.col("rep"),
+                ),
+            )
+            .drop("pat", "rep")
+        )
+    n_units = (
+        F.length("s") - F.length(F.replace("s", F.lit(BPE_SEP), F.lit(""))) - 1
+    )
+    return spaced.groupBy("lang").agg(
+        F.sum("f").alias("n_words"),
+        F.sum(F.col("f") * F.length("w")).alias("n_chars"),
+        F.sum(F.col("f") * n_units).alias("n_units"),
+        F.round(
+            F.sum(F.col("f") * n_units).cast("double")
+            / F.sum(F.col("f") * F.length("w")),
+            6,
+        ).alias("units_per_char"),
+    )
+
+
+BPE_APPLY_ORACLE = rf"""
+WITH RECURSIVE wf AS (
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+  ) GROUP BY w HAVING len(w) >= 2
+), ranked AS (
+  SELECT pair, row_number() OVER (ORDER BY sum(f) DESC, pair) AS rnk
+  FROM (
+    SELECT w[i:i+1] AS pair, f FROM wf CROSS JOIN range(1, 64) t(i)
+    WHERE i <= len(w) - 1
+  ) GROUP BY pair
+), merges AS (
+  SELECT rnk,
+         '{BPE_SEP}' || pair[1:1] || '{BPE_SEP}' || pair[2:2] || '{BPE_SEP}' AS pat,
+         '{BPE_SEP}' || pair || '{BPE_SEP}' AS rep
+  FROM ranked WHERE rnk <= {BPE_TOP_PAIRS}
+), lw AS (
+  SELECT lang, w, count(*) AS f FROM (
+    SELECT lang, unnest(string_split_regex(text, '\s+')) AS w FROM documents
+  ) GROUP BY lang, w HAVING len(w) >= 2
+), rec AS (
+  SELECT lang, w, f, 0 AS step,
+         regexp_replace(w, '(.)', '{BPE_SEP}\1', 'g') || '{BPE_SEP}' AS s
+  FROM lw
+  UNION ALL
+  SELECT r.lang, r.w, r.f, r.step + 1,
+         replace(replace(r.s, m.pat, m.rep), m.pat, m.rep)
+  FROM rec r JOIN merges m ON m.rnk = r.step + 1
+)
+SELECT lang,
+       CAST(sum(f) AS BIGINT) AS n_words,
+       CAST(sum(f * len(w)) AS BIGINT) AS n_chars,
+       CAST(sum(f * (len(s) - len(replace(s, '{BPE_SEP}', '')) - 1)) AS BIGINT)
+         AS n_units,
+       round(CAST(sum(f * (len(s) - len(replace(s, '{BPE_SEP}', '')) - 1)) AS DOUBLE)
+             / sum(f * len(w)), 6) AS units_per_char
+FROM rec WHERE step = {BPE_TOP_PAIRS}
+GROUP BY lang
+"""
+
+
 QUERY_DEFS = [
     QueryDef("corpus_decontaminate", corpus_decontaminate, DECONTAMINATE_ORACLE),
     QueryDef(
@@ -623,5 +745,6 @@ QUERY_DEFS = [
     QueryDef("corpus_sequence_packing", corpus_sequence_packing, PACKING_ORACLE),
     QueryDef("corpus_oov_rate", corpus_oov_rate, OOV_ORACLE),
     QueryDef("corpus_bpe_pair_stats", corpus_bpe_pair_stats, BPE_ORACLE),
+    QueryDef("corpus_bpe_apply", corpus_bpe_apply, BPE_APPLY_ORACLE),
     QueryDef("corpus_domain_caps", corpus_domain_caps, DOMAIN_CAPS_ORACLE),
 ]

@@ -7,7 +7,7 @@ steps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
@@ -22,23 +22,30 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filter (length gate) → exact dedup (keep min doc_id per
     distinct text) → per-language corpus stats.
 
-    Single scan; dedup is one keyed shuffle on the content hash; the
-    final rollup is a low-cardinality aggregation. At 100 TB the dedup
-    key would be the md5 of text (shuffle 16-byte keys, not documents) —
-    done here too so the plan is the scale plan."""
+    Single scan; per-document stats (length, token count) are computed
+    BEFORE the dedup shuffle, so the exchange carries (hash, doc_id,
+    lang, two longs) — never the document text — and the dedup itself
+    is a hash aggregation (map-side partial combine, no sort), not a
+    row_number window. Duplicates have identical text, so the stats of
+    the kept min-doc_id row equal any group member's; struct-min picks
+    the representative deterministically. That is the 100 TB plan:
+    text stays in the scan stage, shuffles move ~40-byte rows."""
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    quality = d.filter(F.length("text") >= MIN_CHARS)
-    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
-        quality.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-    )
     n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RX), F.lit(0)))
-    return deduped.groupBy("lang").agg(
+    rows = d.filter(F.length("text") >= MIN_CHARS).select(
+        F.md5("text").alias("h"),
+        F.struct(
+            F.col("doc_id"), F.col("lang"), F.length("text").alias("n_chars"),
+            n_tokens.alias("n_tok"),
+        ).alias("s"),
+    )
+    deduped = rows.groupBy("h").agg(F.min("s").alias("s"))  # min doc_id wins
+    return deduped.groupBy("s.lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("text")).alias("sum_chars"),
-        F.sum(n_tokens).alias("sum_tokens"),
+        F.sum("s.n_chars").alias("sum_chars"),
+        F.sum("s.n_tok").alias("sum_tokens"),
     )
 
 

@@ -339,3 +339,16 @@ def test_domain_caps_no_unbounded_source_window(spark):
         ln for ln in plan.splitlines() if "ReadSchema" in ln and "text:string" in ln
     ]
     assert len(text_scans) == 1
+
+
+def test_clean_corpus_dedup_is_hash_agg_not_window(spark):
+    """pipeline_clean_corpus dedups via groupBy(content hash) with
+    struct-min, so the plan must show map-side partial aggregation and
+    NO row_number window (the old shape sorted full documents inside a
+    window partition). Per-row stats are computed pre-shuffle, so text
+    never crosses an exchange."""
+    from ai_data_pipeline_spark.operators.pipeline import clean_corpus
+
+    plan = _plan(clean_corpus(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine of the kept-row struct
