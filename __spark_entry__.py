@@ -219,16 +219,18 @@ _UNPROVEN_PRIORITY = [
     "q7_nation_trade", "q_cheapest_supplier",
     # rewritten this round per VERDICT — must land green in r5
     "corpus_domain_caps", "multimodal_byte_features",
-    # new this round: the BPE encode step (train→apply loop closed)
-    "corpus_bpe_apply",
+    # new this round: the BPE encode step (train→apply loop closed) and
+    # the token-rarity quality signal
+    "corpus_bpe_apply", "corpus_token_rarity",
     # text analysis family
     "text_stats", "text_quality_flags", "text_lang_id",
     "text_fingerprint", "text_winnowing", "text_tfidf_top_terms",
     "text_vocab_top_terms",
     # multimodal
     "multimodal_frame_sample", "multimodal_audio_energy",
-    # ANN / embedding family
-    "ann_cosine_topk", "ann_lsh_buckets", "ann_ivf",
+    # ANN / embedding family (ann_rerank new this round: two-stage
+    # multi-probe LSH → exact re-rank)
+    "ann_cosine_topk", "ann_lsh_buckets", "ann_rerank", "ann_ivf",
     "dedup_embedding_cosine", "emb_kmeans_fixed_point",
     "emb_label_centroids", "emb_scalar_quantize",
     # UDF surface

@@ -611,6 +611,76 @@ SELECT rnk, pair, freq FROM ranked WHERE rnk <= {BPE_TOP_PAIRS}
 """
 
 
+# docs whose mean token corpus-frequency falls below NUM/DEN of the
+# corpus-wide mean are rarity-flagged (scale-free, exact rational)
+RARITY_PCT_NUM, RARITY_PCT_DEN = 99, 100
+
+
+def corpus_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal (the CCNet-style "how ordinary is
+    this document's vocabulary" filter, with exact integer arithmetic
+    instead of an LM): per document, the sum and mean of the corpus-wide
+    term frequency of each token occurrence. Boilerplate/common-word
+    documents score high; rare-token (OCR garbage, wrong-language,
+    codes) documents score low. The flag compares the doc mean against
+    99% of the corpus mean as a decimal cross-product — scale-free (an
+    absolute cutoff drifts with corpus size) and float-free (the
+    products can pass 2^63 at corpus scale, hence decimal(38,0)).
+
+    Scale: one keyed aggregation builds the global tf table; the
+    corpus-mean numerator Σtf² and denominator Σtf reduce from that
+    same table (two longs, broadcast back); the corpus streams through
+    a token-keyed join against tf (the identical shape corpus_oov_rate
+    uses), and the per-doc rollup is a doc_id-keyed agg."""
+    toks = _token_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("l").alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    dec = "decimal(38,0)"
+    glob = tf.agg(
+        F.sum("tf").alias("g_n"),
+        F.sum(F.col("tf").cast(dec) * F.col("tf")).alias("g_sum"),
+    )
+    per_doc = toks.join(tf, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"), F.sum("tf").alias("sum_tf")
+    )
+    return per_doc.crossJoin(F.broadcast(glob)).select(
+        "doc_id",
+        "n_tok",
+        "sum_tf",
+        F.round(F.col("sum_tf") / F.col("n_tok"), 6).alias("mean_tf"),
+        (
+            F.col("sum_tf").cast(dec) * F.col("g_n") * RARITY_PCT_DEN
+            < F.col("n_tok").cast(dec) * F.col("g_sum") * RARITY_PCT_NUM
+        )
+        .cast("int")
+        .alias("flag_rare"),
+    )
+
+
+RARITY_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+), tf AS (
+  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+), gtot AS (
+  SELECT CAST(sum(tf) AS DECIMAL(38,0)) AS g_n,
+         CAST(sum(CAST(tf AS DECIMAL(38,0)) * tf) AS DECIMAL(38,0)) AS g_sum
+  FROM tf
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tok, CAST(sum(tf) AS BIGINT) AS sum_tf
+  FROM toks t JOIN tf USING (tok)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tok, sum_tf,
+       round(CAST(sum_tf AS DOUBLE) / n_tok, 6) AS mean_tf,
+       CAST(CAST(sum_tf AS DECIMAL(38,0)) * g_n * {RARITY_PCT_DEN}
+            < CAST(n_tok AS DECIMAL(38,0)) * g_sum * {RARITY_PCT_NUM} AS INT)
+         AS flag_rare
+FROM per_doc CROSS JOIN gtot
+"""
+
+
 BPE_SEP = "\x1f"  # unit-separator delimiter between BPE units (absent
 # from the corpus text; if it ever appeared, both engines would apply
 # the identical delimiter logic, so parity still holds)
@@ -746,5 +816,6 @@ QUERY_DEFS = [
     QueryDef("corpus_oov_rate", corpus_oov_rate, OOV_ORACLE),
     QueryDef("corpus_bpe_pair_stats", corpus_bpe_pair_stats, BPE_ORACLE),
     QueryDef("corpus_bpe_apply", corpus_bpe_apply, BPE_APPLY_ORACLE),
+    QueryDef("corpus_token_rarity", corpus_token_rarity, RARITY_ORACLE),
     QueryDef("corpus_domain_caps", corpus_domain_caps, DOMAIN_CAPS_ORACLE),
 ]

@@ -269,6 +269,80 @@ SELECT q_id, vec_id, cosine, rk FROM (
 """
 
 
+def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the canonical ANN serving plan: candidate
+    generation via multi-probe sign-LSH (each query probes its own
+    bucket plus all Hamming-distance-1 neighbors, 1 + LSH_BITS probe
+    buckets), then exact cosine re-rank of the candidates only, top-k
+    per query with the candidate count exposed (recall diagnostics).
+
+    Scale: the corpus is bucketed once by the deterministic hyperplane
+    signature (a projection — no shuffle until the bucket equi-join);
+    the probe table is |queries|×(1+LSH_BITS) rows and broadcasts; the
+    re-rank kernel touches only candidates, i.e. |corpus|·probes/2^bits
+    in expectation instead of |corpus|×|queries|. A corpus vector has
+    exactly one bucket and a query's probe buckets are distinct, so no
+    pair is scored twice."""
+    e = _vectors(spark, sf_dir)
+    bucketed = e.select("vec_id", "v", _lsh_bucket_udf("v").alias("bucket"))
+    corpus = bucketed.filter(F.col("vec_id") >= N_QUERIES)
+    flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(LSH_BITS)])
+    probes = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(flips).alias("flip"),
+            "bucket",
+        )
+        .select(
+            "q_id", "qv", F.col("bucket").bitwiseXOR(F.col("flip")).alias("pb")
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(probes), F.col("bucket") == F.col("pb")
+    ).select("q_id", "vec_id", F.round(_cosine_udf("v", "qv"), 6).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("n_cand", F.count(F.lit(1)).over(W.partitionBy("q_id")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rk", "n_cand")
+    )
+
+
+def _ann_rerank_oracle() -> str:
+    bucket_terms = []
+    for j in range(LSH_BITS):
+        coefs = [_plane_coef(j, i) for i in range(EMB_DIM)]
+        dot = " + ".join(f"v[{i + 1}]*({c}.0)" for i, c in enumerate(coefs))
+        bucket_terms.append(f"CASE WHEN ({dot}) > 0 THEN {2**j} ELSE 0 END")
+    bucket = " + ".join(bucket_terms)
+    flips = ", ".join(str(1 << j) for j in range(LSH_BITS))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, ({bucket}) AS bucket FROM e
+), probes AS (
+  SELECT vec_id AS q_id, v AS qv, xor(bucket, flip) AS pb
+  FROM bucketed CROSS JOIN (SELECT unnest([0, {flips}]) AS flip)
+  WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT p.q_id, c.vec_id, round({_cos_sql("c.v", "p.qv")}, 6) AS cosine
+  FROM bucketed c JOIN probes p ON c.bucket = p.pb
+  WHERE c.vec_id >= {N_QUERIES}
+)
+SELECT q_id, vec_id, cosine, rk, n_cand FROM (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rk,
+         count(*) OVER (PARTITION BY q_id) AS n_cand
+  FROM cand
+) WHERE rk <= {TOP_K}
+"""
+
+
 NEAR_DUP_COS = 0.4  # report threshold (data max ~0.51 — no exact dups planted)
 
 
@@ -605,6 +679,7 @@ QUERY_DEFS = [
     QueryDef("emb_kmeans_fixed_point", emb_kmeans_fixed_point, _kmeans_oracle()),
     QueryDef("emb_label_centroids", emb_label_centroids, EMB_CENTROID_ORACLE),
     QueryDef("ann_lsh_buckets", ann_lsh_buckets, _lsh_oracle()),
+    QueryDef("ann_rerank", ann_rerank, _ann_rerank_oracle()),
     QueryDef("ann_ivf", ann_ivf, _ann_ivf_oracle()),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_ORACLE),
     QueryDef("ann_mllib_brp", ann_mllib_brp, None),  # rows-only (see docstring)
