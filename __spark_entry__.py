@@ -226,8 +226,10 @@ _UNPROVEN_PRIORITY = [
     "text_stats", "text_quality_flags", "text_lang_id",
     "text_fingerprint", "text_winnowing", "text_tfidf_top_terms",
     "text_vocab_top_terms",
-    # multimodal
+    # multimodal (image tiles/phash new this round: 2D pooling + image
+    # near-dup signature)
     "multimodal_frame_sample", "multimodal_audio_energy",
+    "multimodal_image_tiles", "multimodal_image_phash",
     # ANN / embedding family (ann_rerank new this round: two-stage
     # multi-probe LSH → exact re-rank)
     "ann_cosine_topk", "ann_lsh_buckets", "ann_rerank", "ann_ivf",
@@ -238,8 +240,9 @@ _UNPROVEN_PRIORITY = [
     # SQL API
     "sql_q1_portable", "sql_top_segments", "sql_grouping_sets",
     "sql_recursive_closure",
-    # data-quality family
+    # data-quality family (dq_referential_integrity new this round)
     "dq_benford_check", "dq_k_anonymity", "dq_checks",
+    "dq_referential_integrity",
     "q_stratified_sample", "schema_drift", "pii_redact",
     # named in VERDICT: semi/anti/set-ops/cube and remaining relational
     "q_semi_join", "q_anti_join", "q_set_ops", "q_cube_revenue",

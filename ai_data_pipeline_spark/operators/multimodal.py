@@ -190,6 +190,132 @@ FROM hx
 """
 
 
+IMG_W = 64  # pseudo-image width in bytes (row-major)
+IMG_H = 64  # rows; payloads crop/zero-pad to IMG_W*IMG_H
+TILE_GRID = 4  # 4x4 tiles → 16 tile sums per image
+
+
+def _image_tile_batches(it):
+    """2D tile pooling over opaque payloads: bytes as a row-major
+    IMG_W×IMG_H uint8 grid (cropped / zero-padded — the letterbox
+    convention), reduced to TILE_GRID² per-tile sums. This is the
+    pooling/resize access pattern an image pipeline runs after decode,
+    with the decode stubbed (no codecs in this container) and the
+    layout math real. Vectorized: one reshape+sum per image."""
+    import numpy as np
+
+    n_px = IMG_W * IMG_H
+    th, tw = IMG_H // TILE_GRID, IMG_W // TILE_GRID
+    for pdf in it:
+        out = {"doc_id": [], "tile": [], "px_sum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(payload[:n_px], dtype=np.uint8).astype(np.int64)
+            if len(a) < n_px:
+                a = np.pad(a, (0, n_px - len(a)))
+            sums = (
+                a.reshape(IMG_H, IMG_W)
+                .reshape(TILE_GRID, th, TILE_GRID, tw)
+                .sum(axis=(1, 3))
+                .reshape(-1)
+            )
+            out["doc_id"].extend([doc_id] * (TILE_GRID * TILE_GRID))
+            out["tile"].extend(range(TILE_GRID * TILE_GRID))
+            out["px_sum"].extend(int(s) for s in sums)
+        yield pd.DataFrame(out)
+
+
+def image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal tile pooling: binary payload → 4×4 grid of tile sums
+    (exact integers). documents.text bytes stand in for decoded pixel
+    buffers; a real decoder slots in front of the same kernel."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(
+        _image_tile_batches, schema="doc_id long, tile int, px_sum long"
+    )
+
+
+def _tile_expr() -> str:
+    tw, th = IMG_W // TILE_GRID, IMG_H // TILE_GRID
+    return (
+        f"((pos // {IMG_W}) // {th}) * {TILE_GRID} + (pos % {IMG_W}) // {tw}"
+    )
+
+
+IMAGE_TILES_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+), bytes AS (
+  SELECT doc_id, (unnest(range(1, least(length(h), {2 * IMG_W * IMG_H}) + 1, 2)) - 1) // 2 AS pos, h
+  FROM hx
+), px AS (
+  SELECT doc_id, pos, {_hexpair_to_int('h', '2*pos + 1')} AS b FROM bytes
+), tiles AS (
+  SELECT doc_id, {_tile_expr()} AS tile, CAST(sum(b) AS BIGINT) AS px_sum
+  FROM px GROUP BY 1, 2
+), grid AS (
+  SELECT d.doc_id, t.tile FROM documents d
+  CROSS JOIN (SELECT unnest(range({TILE_GRID * TILE_GRID})) AS tile) t
+)
+SELECT g.doc_id, CAST(g.tile AS INT) AS tile, coalesce(t.px_sum, 0) AS px_sum
+FROM grid g LEFT JOIN tiles t ON g.doc_id = t.doc_id AND g.tile = t.tile
+"""
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style image near-dup signature: bit j of the
+    16-bit signature is set iff tile j's pixel sum exceeds the image
+    mean (tile_sum · n_tiles > total_sum — an exact integer
+    comparison, no float means). Images sharing a signature are
+    near-dup candidates — the image analog of SimHash text dedup, and
+    the standard cheap screen before pairwise image comparison at
+    100 TB (groupBy on a 16-bit key: one keyed shuffle).
+
+    Composed from the tile relation (one mapInPandas pass), a
+    16-row-per-doc window for the image total, and a per-doc rollup on
+    the same doc_id partitioning."""
+    from pyspark.sql import Window
+
+    tiles = image_tiles(spark, sf_dir)
+    n_tiles = TILE_GRID * TILE_GRID
+    wt = Window.partitionBy("doc_id")  # 16 rows per partition
+    flagged = tiles.withColumn("total_sum", F.sum("px_sum").over(wt)).withColumn(
+        "bit",
+        F.when(
+            F.col("px_sum") * n_tiles > F.col("total_sum"),
+            F.expr("shiftleft(1L, tile)"),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("bit").alias("phash"), F.min("total_sum").alias("total_sum")
+    )
+
+
+IMAGE_PHASH_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+), bytes AS (
+  SELECT doc_id, (unnest(range(1, least(length(h), {2 * IMG_W * IMG_H}) + 1, 2)) - 1) // 2 AS pos, h
+  FROM hx
+), px AS (
+  SELECT doc_id, pos, {_hexpair_to_int('h', '2*pos + 1')} AS b FROM bytes
+), tiles AS (
+  SELECT doc_id, {_tile_expr()} AS tile, CAST(sum(b) AS BIGINT) AS px_sum
+  FROM px GROUP BY 1, 2
+), flagged AS (
+  SELECT doc_id, tile, px_sum,
+         sum(px_sum) OVER (PARTITION BY doc_id) AS total_sum
+  FROM tiles
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN px_sum * {TILE_GRID * TILE_GRID} > total_sum
+                     THEN (1 << tile) ELSE 0 END) AS BIGINT) AS phash,
+       CAST(min(total_sum) AS BIGINT) AS total_sum
+FROM flagged GROUP BY doc_id
+"""
+
+
 def decode_audio(payload: bytes, sample_rate: int = 16_000):
     """STUB: real audio decode requires ffmpeg/soundfile (not in this
     container). audio_energy below exercises the identical plumbing on
@@ -284,4 +410,6 @@ QUERY_DEFS = [
     QueryDef("multimodal_byte_features", byte_features, BYTE_FEATURES_ORACLE),
     QueryDef("multimodal_frame_sample", frame_sample, FRAME_SAMPLE_ORACLE),
     QueryDef("multimodal_audio_energy", audio_energy, AUDIO_ENERGY_ORACLE),
+    QueryDef("multimodal_image_tiles", image_tiles, IMAGE_TILES_ORACLE),
+    QueryDef("multimodal_image_phash", image_phash, IMAGE_PHASH_ORACLE),
 ]

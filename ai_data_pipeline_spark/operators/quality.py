@@ -304,10 +304,72 @@ GROUP BY c_nationkey, c_mktsegment, n_total
 """
 
 
+# (child table, FK column, parent table, PK column) — the declared
+# relational skeleton of the testdata (TESTDATA.md); dq check counts
+# orphans per edge.
+_FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the schema's FK graph: for each
+    child→parent edge, the child row count and the number of orphan
+    rows (FK values with no parent). The complement of fk_inference —
+    that DISCOVERS the edges, this ENFORCES them, which is the check a
+    warehouse DQ gate runs per load.
+
+    Scale: each edge is a left-anti join from the child to the parent's
+    distinct keys — dimension parents broadcast, fact-fact edges (e.g.
+    lineitem→orders) shuffle on the join key exactly once; per-edge
+    results are single rows unioned into a metadata-sized relation."""
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        orphans = c.join(p, c[fk] == p[pk], "left_anti")
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("relationship"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def _ref_integrity_oracle() -> str:
+    selects = []
+    for child, fk, parent, pk in _FK_EDGES:
+        selects.append(
+            f"SELECT '{child}.{fk}->{parent}.{pk}' AS relationship, "
+            f"(SELECT count(*) FROM {child}) AS n_child, "
+            f"(SELECT count(*) FROM {child} c WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS n_orphans"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERY_DEFS = [
     QueryDef("dq_benford_check", dq_benford_check, _benford_oracle()),
     QueryDef("dq_k_anonymity", dq_k_anonymity, K_ANON_ORACLE),
     QueryDef("dq_checks", dq_checks, DQ_ORACLE),
     QueryDef("q_stratified_sample", q_stratified_sample, STRATIFIED_ORACLE),
     QueryDef("schema_drift", schema_drift, _drift_oracle()),
+    QueryDef(
+        "dq_referential_integrity",
+        dq_referential_integrity,
+        _ref_integrity_oracle(),
+    ),
 ]
