@@ -325,23 +325,47 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     that DISCOVERS the edges, this ENFORCES them, which is the check a
     warehouse DQ gate runs per load.
 
-    Scale: each edge is a left-anti join from the child to the parent's
-    distinct keys — dimension parents broadcast, fact-fact edges (e.g.
-    lineitem→orders) shuffle on the join key exactly once; per-edge
-    results are single rows unioned into a metadata-sized relation."""
-    parts = []
+    Scale: ONE scan per child table regardless of how many edges leave
+    it — every parent's distinct key set left-joins in (dimension
+    parents broadcast, fact-fact edges shuffle on the key once) and a
+    single aggregation counts rows plus per-edge null parents; the
+    per-edge rows then unpivot from that one stats row. The naive
+    shape (an anti-join + a count scan per edge) reads the fact table
+    2× per edge — 6× lineitem at this schema."""
+    by_child: dict[str, list[tuple[str, str, str]]] = {}
     for child, fk, parent, pk in _FK_EDGES:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(pk).distinct()
-        orphans = c.join(p, c[fk] == p[pk], "left_anti")
-        parts.append(
-            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
-                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-            ).select(
-                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("relationship"),
-                "n_child",
-                "n_orphans",
+        by_child.setdefault(child, []).append((fk, parent, pk))
+    parts = []
+    for child, edges in by_child.items():
+        df = load_table(spark, sf_dir, child).select(
+            *{fk for fk, _, _ in edges}
+        )
+        for i, (fk, parent, pk) in enumerate(edges):
+            p = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk{i}"))
+                .distinct()
             )
+            df = df.join(p, F.col(fk) == F.col(f"__pk{i}"), "left")
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            *[
+                F.sum(F.col(f"__pk{i}").isNull().cast("long")).alias(f"o{i}")
+                for i in range(len(edges))
+            ],
+        )
+        # one explode, not one select per edge — a per-edge select would
+        # re-execute the join/agg subtree once per union branch
+        edge_structs = [
+            F.struct(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("relationship"),
+                F.col("n_child"),
+                F.col(f"o{i}").alias("n_orphans"),
+            )
+            for i, (fk, parent, pk) in enumerate(edges)
+        ]
+        parts.append(
+            stats.select(F.explode(F.array(*edge_structs)).alias("s")).select("s.*")
         )
     out = parts[0]
     for p_ in parts[1:]:
