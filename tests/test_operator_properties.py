@@ -175,3 +175,85 @@ def test_brp_lsh_pairs_are_true_near_pairs(spark):
         d = float(np.linalg.norm(vecs[r["q_id"]] - vecs[r["vec_id"]]))
         assert r["dist"] <= 12.0 + 1e-6
         assert abs(r["dist"] - round(d, 6)) <= 2e-6, (r, d)
+
+
+# ---- round-5 operator invariants (independent of the DuckDB oracle) ----
+
+
+def test_ann_rerank_scores_are_exact_and_bounded(spark):
+    """Two-stage retrieval may miss candidates (approximate recall) but
+    must never fabricate scores: every emitted cosine equals the
+    directly-computed exact cosine for that pair, ranks are within
+    TOP_K, and candidate counts never exceed the corpus size."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_rerank,
+    )
+
+    rows = ann_rerank(spark, SF_DIR).collect()
+    assert rows, "multi-probe LSH returned no candidates at test scale"
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    n_corpus = sum(1 for v in emb if v >= N_QUERIES)
+
+    def cos(a, b):
+        # sequential fold, same op order as the kernel
+        acc = na = nb = 0.0
+        for i in range(len(a)):
+            acc += a[i] * b[i]
+            na += a[i] * a[i]
+            nb += b[i] * b[i]
+        return acc / (na**0.5 * nb**0.5)
+
+    for r in rows:
+        assert 1 <= r["rk"] <= TOP_K
+        assert 1 <= r["n_cand"] <= n_corpus
+        want = round(cos(emb[r["q_id"]], emb[r["vec_id"]]), 6)
+        assert abs(r["cosine"] - want) <= 1e-6, (r, want)
+
+
+def test_image_phash_matches_direct_computation(spark):
+    """The 16-bit signature and total must equal a direct numpy
+    recomputation from the raw bytes (crop/pad to 64x64, 4x4 tiles,
+    bit j set iff tile_sum*16 > total_sum)."""
+    from ai_data_pipeline_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        TILE_GRID,
+        image_phash,
+    )
+
+    got = {r["doc_id"]: r for r in image_phash(spark, SF_DIR).collect()}
+    docs = (
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    )
+    assert set(got) == {r["doc_id"] for r in docs}
+    n_px = IMG_W * IMG_H
+    th, tw = IMG_H // TILE_GRID, IMG_W // TILE_GRID
+    for r in docs:
+        a = np.frombuffer(r["text"].encode()[:n_px], dtype=np.uint8).astype(
+            np.int64
+        )
+        if len(a) < n_px:
+            a = np.pad(a, (0, n_px - len(a)))
+        sums = (
+            a.reshape(IMG_H, IMG_W)
+            .reshape(TILE_GRID, th, TILE_GRID, tw)
+            .sum(axis=(1, 3))
+            .reshape(-1)
+        )
+        total = int(sums.sum())
+        phash = sum(
+            1 << j
+            for j in range(TILE_GRID * TILE_GRID)
+            if int(sums[j]) * TILE_GRID * TILE_GRID > total
+        )
+        row = got[r["doc_id"]]
+        assert row["total_sum"] == total
+        assert row["phash"] == phash
+        assert 0 <= row["phash"] < (1 << TILE_GRID * TILE_GRID)
