@@ -352,3 +352,40 @@ def test_clean_corpus_dedup_is_hash_agg_not_window(spark):
     plan = _plan(clean_corpus(spark, SF_DIR))
     assert "Window" not in plan
     assert "partial_min" in plan  # map-side combine of the kept-row struct
+
+
+def test_ann_rerank_broadcasts_probes_no_cartesian(spark):
+    """Two-stage retrieval joins the corpus buckets against the tiny
+    probe table — must be a broadcast equi-join on the bucket, never a
+    cartesian/nested-loop over the corpus."""
+    from ai_data_pipeline_spark.operators.similarity import ann_rerank
+
+    plan = _plan(ann_rerank(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_referential_integrity_single_scan_per_child(spark):
+    """The FK audit must scan each child table once (edges grouped per
+    child, parents left-joined in) — no cartesian products, and the
+    three lineitem edges must not triple-scan lineitem."""
+    from ai_data_pipeline_spark.operators.quality import (
+        dq_referential_integrity,
+    )
+
+    plan = _plan(dq_referential_integrity(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1  # one child scan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_rarity_partial_agg_and_broadcast_totals(spark):
+    """The tf table must build with map-side partial aggregation and
+    the two global totals must reach the per-doc rows via a broadcast
+    (one row), not a shuffle."""
+    from ai_data_pipeline_spark.operators.corpus import corpus_token_rarity
+
+    plan = _plan(corpus_token_rarity(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
