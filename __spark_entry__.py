@@ -252,6 +252,10 @@ _UNPROVEN_PRIORITY = [
     "q_upsert_merge", "q_salted_join_revenue", "q_event_funnel",
     "pipeline_clean_corpus", "text_feature_hashing",
     "sketch_countmin_users", "sketch_bloom_filter_join",
+    # new in round 5: semantic dedup (SemDeDup cells), banded-Hamming
+    # image near-dup pairs, source boilerplate, temperature mixing
+    "dedup_semantic", "multimodal_image_phash_pairs",
+    "corpus_boilerplate_ngrams", "corpus_temperature_mix",
     # source roundtrips last (family already has driver-green twins)
     "orc_roundtrip_lineitem", "partitioned_roundtrip_events",
     "binfile_ingest_documents", "pyds_synthetic_agg", "pyds_stream_agg",

@@ -803,8 +803,179 @@ GROUP BY lang
 """
 
 
+BOILER_N = 2  # bigram unit (synthetic vocab is small -> bigrams recur)
+BOILER_NUM, BOILER_DEN = 1, 5  # boilerplate: gram in >= 20% of source docs
+
+
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level boilerplate detection (RefinedWeb/C4 intent: nav
+    bars, license footers, and template text recur across most pages of
+    a domain and should not count as content): an n-gram is boilerplate
+    for a source when it appears in >= 30% of that source's documents;
+    each document reports what fraction of its gram occurrences are
+    boilerplate, plus a flag at >= 30% boilerplate mass.
+
+    Scale shape: raw text leaves the scan only as the compressed
+    (doc, gram, count) relation; doc-frequency is a keyed agg per
+    (source, gram); the per-source doc totals are a tiny broadcast; the
+    boilerplate gram set is per-source small (template text, not
+    content) and joins back compressed — no window over a whole source,
+    no driver collect."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    grams = _token_arrays(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(l) - {BOILER_N - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(l, i, {BOILER_N})))"
+            )
+        ).alias("gram"),
+    )
+    occ = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    occ_src = occ.join(docs, "doc_id")
+    src_sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        occ_src.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(src_sizes), "source")
+        .filter(F.col("df") * BOILER_DEN >= F.col("n_docs") * BOILER_NUM)
+        .select("source", "gram")
+    )
+    hits = (
+        occ_src.join(boiler, ["source", "gram"])
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_boiler"))
+    )
+    totals = occ_src.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_grams")
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(F.coalesce("n_boiler", F.lit(0)) / F.col("n_grams"), 6).alias(
+                "boiler_frac"
+            ),
+            (
+                F.coalesce("n_boiler", F.lit(0)) * BOILER_DEN
+                >= F.col("n_grams") * BOILER_NUM
+            )
+            .cast("int")
+            .alias("flag_boilerplate"),
+        )
+    )
+
+
+BOILERPLATE_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest([array_to_string(l[i:i+{BOILER_N - 1}], ' ')
+                 for i in range(1, greatest(len(l)-{BOILER_N - 1}, 1)+1)]) AS gram
+  FROM toks
+), occ AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+), occ_src AS (
+  SELECT o.doc_id, d.source, o.gram, o.c
+  FROM occ o JOIN documents d ON o.doc_id = d.doc_id
+), src_sizes AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), boiler AS (
+  SELECT g.source, g.gram
+  FROM (SELECT source, gram, count(*) AS df
+        FROM occ_src GROUP BY 1, 2) g
+  JOIN src_sizes s ON g.source = s.source
+  WHERE g.df * {BOILER_DEN} >= s.n_docs * {BOILER_NUM}
+), hits AS (
+  SELECT o.doc_id, CAST(sum(o.c) AS BIGINT) AS n_boiler
+  FROM occ_src o JOIN boiler b ON o.source = b.source AND o.gram = b.gram
+  GROUP BY 1
+), totals AS (
+  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_grams
+  FROM occ_src GROUP BY 1, 2
+)
+SELECT t.doc_id, t.source, t.n_grams,
+       coalesce(h.n_boiler, 0) AS n_boiler,
+       round(CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / t.n_grams, 6)
+         AS boiler_frac,
+       CAST(coalesce(h.n_boiler, 0) * {BOILER_DEN}
+            >= t.n_grams * {BOILER_NUM} AS INT) AS flag_boilerplate
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/multi-domain
+    sampling rule of mT5/XLM-R, tau = 0.5): a source's sampling share is
+    proportional to n_tokens^tau, which up-weights small sources
+    relative to proportional sampling while keeping large sources
+    dominant. sqrt(bigint) is correctly-rounded IEEE in both engines, so
+    freezing it to integer micro-units (floor(sqrt(n)*1e6)) makes every
+    downstream ratio integer-exact and engine-identical — the same
+    fixed-point discipline as emb_kmeans_fixed_point.
+
+    Scale: one keyed agg to per-source token counts (map-side partials),
+    a 1-row broadcast total, map-side share arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("n_tokens"),
+    )
+    weighted = per_source.withColumn(
+        "sqrt_fp",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000).cast("long"),
+    )
+    total = weighted.agg(F.sum("sqrt_fp").alias("total_fp"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "sqrt_fp",
+            F.floor(F.col("sqrt_fp") * 1_000_000 / F.col("total_fp"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.floor(
+                F.lit(MIX_BUDGET_TOKENS)
+                * (F.col("sqrt_fp") * 1_000_000 / F.col("total_fp"))
+                / 1_000_000
+            )
+            .cast("long")
+            .alias("planned_tokens"),
+        )
+    )
+
+
+TEMPERATURE_MIX_ORACLE = rf"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), weighted AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS sqrt_fp
+  FROM per_source
+), tot AS (SELECT CAST(sum(sqrt_fp) AS BIGINT) AS total_fp FROM weighted)
+SELECT source, n_docs, n_tokens, sqrt_fp,
+       CAST(floor(sqrt_fp * 1000000.0 / total_fp) AS BIGINT) AS share_ppm,
+       CAST(floor({MIX_BUDGET_TOKENS} * (sqrt_fp * 1000000.0 / total_fp)
+                  / 1000000.0) AS BIGINT) AS planned_tokens
+FROM weighted CROSS JOIN tot
+"""
+
+
 QUERY_DEFS = [
     QueryDef("corpus_decontaminate", corpus_decontaminate, DECONTAMINATE_ORACLE),
+    QueryDef(
+        "corpus_boilerplate_ngrams", corpus_boilerplate_ngrams, BOILERPLATE_ORACLE
+    ),
+    QueryDef("corpus_temperature_mix", corpus_temperature_mix, TEMPERATURE_MIX_ORACLE),
     QueryDef(
         "corpus_repetition_signals",
         corpus_repetition_signals,

@@ -406,8 +406,133 @@ FROM per_doc d JOIN peak p ON d.doc_id = p.doc_id
 """
 
 
+PHASH_BANDS = 4  # 16-bit signature -> 4 bands x 4 bits
+PHASH_BAND_BITS = 4
+PHASH_HAM_MAX = 3  # with 4 bands, any pair at Hamming <= 3 shares a band
+SEG_BITS = 16  # content-adaptive signature segments
+
+
+def _seg_sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Content-adaptive 16-bit signature: the payload splits into
+    SEG_BITS equal byte segments (boundaries scale with the payload, so
+    every bit covers real content — unlike the fixed-canvas tile hash,
+    whose zero-padded tiles are constant across documents); bit j is set
+    iff segment j's byte sum exceeds the payload mean (exact integer
+    cross-product test). One np.add.reduceat per row."""
+    import numpy as np
+
+    for pdf in it:
+        doc_ids = pdf["doc_id"].to_numpy()
+        sigs = np.zeros(len(doc_ids), dtype=np.int64)
+        for r, payload in enumerate(pdf["payload"]):
+            n = len(payload)
+            if n == 0:
+                continue
+            a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            # segment of byte pos is pos*SEG_BITS // n, so segment j
+            # starts at ceil(j*n / SEG_BITS)
+            offs = -((np.arange(SEG_BITS, dtype=np.int64) * -n) // SEG_BITS)
+            sums = np.add.reduceat(a, np.minimum(offs, n - 1))
+            # reduceat yields a[off] (not 0) for empty segments — mask
+            ends = np.append(offs[1:], n)
+            sums[offs >= ends] = 0
+            total = int(a.sum())
+            bits = (sums * SEG_BITS > total).astype(np.int64)
+            sigs[r] = int((bits << np.arange(SEG_BITS)).sum())
+        yield pd.DataFrame({"doc_id": doc_ids, "phash": sigs})
+
+
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via banded Hamming join on a
+    perceptual signature — the LSH-banding trick applied to images:
+    split the 16-bit signature into PHASH_BANDS bands; by pigeonhole,
+    any pair within Hamming distance PHASH_HAM_MAX (< #bands) agrees
+    exactly on at least one band, so an equi-join on (band, band_value)
+    generates every true candidate without an all-pairs product.
+    Candidates are deduped (a pair can share several bands) and
+    verified with an exact ``bit_count(xor)`` popcount.
+
+    Scale: one keyed shuffle on the (band, value) key instead of O(n²)
+    comparisons; at 100 TB you widen the signature (64-bit) and the
+    bands so per-bucket membership stays executor-sized — same plan
+    shape. The signature itself is one mapInPandas scan (content-
+    adaptive segments, see _seg_sig_batches — the fixed-canvas tile
+    hash of ``image_phash`` is near-constant on short payloads and
+    would degenerate to all-pairs)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    sig = d.mapInPandas(_seg_sig_batches, schema="doc_id long, phash long")
+    bands = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(F.array(*[F.lit(j) for j in range(PHASH_BANDS)])).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(phash, band * {PHASH_BAND_BITS}) & {2**PHASH_BAND_BITS - 1}"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(pa ^ pb)"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+IMAGE_PHASH_PAIRS_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents
+), bytes AS (
+  SELECT doc_id, n, (unnest(range(1, length(h) + 1, 2)) - 1) // 2 AS pos, h
+  FROM hx
+), px AS (
+  SELECT doc_id, (pos * {SEG_BITS}) // n AS seg,
+         {_hexpair_to_int('h', '2*pos + 1')} AS b
+  FROM bytes
+), segs AS (
+  SELECT doc_id, seg, CAST(sum(b) AS BIGINT) AS seg_sum FROM px GROUP BY 1, 2
+), flagged AS (
+  SELECT doc_id, seg, seg_sum,
+         sum(seg_sum) OVER (PARTITION BY doc_id) AS total_sum
+  FROM segs
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN seg_sum * {SEG_BITS} > total_sum
+                       THEN (1 << seg) ELSE 0 END) AS BIGINT) AS phash
+  FROM flagged GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_BAND_BITS})) & {2**PHASH_BAND_BITS - 1} AS band_val
+  FROM sig CROSS JOIN (SELECT unnest(range({PHASH_BANDS})) AS band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_MAX}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("multimodal_byte_features", byte_features, BYTE_FEATURES_ORACLE),
+    QueryDef("multimodal_image_phash_pairs", image_phash_pairs, IMAGE_PHASH_PAIRS_ORACLE),
     QueryDef("multimodal_frame_sample", frame_sample, FRAME_SAMPLE_ORACLE),
     QueryDef("multimodal_audio_energy", audio_energy, AUDIO_ENERGY_ORACLE),
     QueryDef("multimodal_image_tiles", image_tiles, IMAGE_TILES_ORACLE),

@@ -673,8 +673,99 @@ FROM codes GROUP BY dim
 """
 
 
+SEMDEDUP_COS = 0.35  # within-cell keep threshold (data max ~0.49 in-cell)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space into cells, compare pairs ONLY within a cell, and
+    drop every vector that has a lower-id cell-mate above the cosine
+    threshold — the representative kept per duplicate group is the
+    minimum id.
+
+    Scale shape: this is the production alternative to exact all-pairs
+    (``dedup_embedding_cosine``) — clustering bounds the quadratic term
+    to cell size. Centroids are the same deterministic stand-in as
+    ``ann_ivf`` (first N_CELLS corpus vectors; at 100 TB they come from
+    MLlib KMeans on a sample) and broadcast; the corpus streams once
+    through assignment (map-side, no shuffle), then shuffles once on
+    cell_id for the within-cell self-join. A skewed mega-cell falls back
+    to the block-pair decomposition of ``dedup_embedding_cosine`` within
+    the cell. Output: one row per vector with its cell, keep/drop
+    decision, the keeper it duplicates (min lower-id neighbor above
+    threshold), and how many lower-id near-dups it has.
+    """
+    e = _vectors(spark, sf_dir)
+    cents = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+    wa = W.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cell_id", _cosine_udf("v", "cv").alias("c_cos"))
+        .withColumn("crk", F.row_number().over(wa))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_pairs = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("lo_id"),
+            F.round(_cosine_udf("a.v", "b.v"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_COS)
+        .groupBy("vec_id")
+        .agg(
+            F.min("lo_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dup_lower"),
+        )
+    )
+    return assigned.join(dup_pairs, "vec_id", "left").select(
+        "vec_id",
+        "cell_id",
+        F.col("keeper_id").isNull().alias("kept"),
+        "keeper_id",
+        F.coalesce("n_dup_lower", F.lit(0)).alias("n_dup_lower"),
+    )
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+), assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT e.vec_id, e.v, cents.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos_sql("v", "cv")} DESC, cell_id ASC) AS crk
+    FROM e CROSS JOIN cents
+  ) WHERE crk = 1
+), dup_pairs AS (
+  SELECT vec_id, min(lo_id) AS keeper_id, count(*) AS n_dup_lower FROM (
+    SELECT b.vec_id, a.vec_id AS lo_id,
+           round({_cos_sql("a.v", "b.v")}, 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  ) WHERE cosine >= {SEMDEDUP_COS} GROUP BY vec_id
+)
+SELECT s.vec_id, s.cell_id, d.keeper_id IS NULL AS kept, d.keeper_id,
+       coalesce(d.n_dup_lower, 0) AS n_dup_lower
+FROM assigned s LEFT JOIN dup_pairs d ON s.vec_id = d.vec_id
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
+    QueryDef("dedup_semantic", dedup_semantic, _semdedup_oracle()),
     QueryDef("emb_scalar_quantize", emb_scalar_quantize, QUANTIZE_ORACLE),
     QueryDef("emb_kmeans_fixed_point", emb_kmeans_fixed_point, _kmeans_oracle()),
     QueryDef("emb_label_centroids", emb_label_centroids, EMB_CENTROID_ORACLE),

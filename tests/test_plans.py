@@ -389,3 +389,52 @@ def test_token_rarity_partial_agg_and_broadcast_totals(spark):
     plan = _plan(corpus_token_rarity(spark, SF_DIR))
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semdedup_broadcasts_centroids_joins_on_cell(spark):
+    """SemDeDup's assignment stage broadcasts the centroid table over a
+    single corpus stream; the within-cell pair stage must be an
+    equi-join keyed on cell_id — never an unkeyed nested loop over the
+    whole corpus (the cell key is what bounds the quadratic term)."""
+    from ai_data_pipeline_spark.operators.similarity import dedup_semantic
+
+    plan = _plan(dedup_semantic(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # centroid broadcast (tiny)
+    assert "CartesianProduct" not in plan
+    assert "cell_id" in plan  # pair join carries the cell equi-key
+
+
+def test_phash_pairs_band_equi_join_no_cartesian(spark):
+    """The banded Hamming join must generate candidates via an
+    equi-join on (band, band_val) — no all-pairs product anywhere, and
+    one mapInPandas signature scan feeding both sides."""
+    from ai_data_pipeline_spark.operators.multimodal import image_phash_pairs
+
+    plan = _plan(image_phash_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "band_val" in plan
+
+
+def test_boilerplate_no_source_window_broadcast_sizes(spark):
+    """Boilerplate detection must never put a whole source in one task:
+    no Window over source; the per-source doc totals and the boilerplate
+    gram set join back via hash joins with map-side partial aggs."""
+    from ai_data_pipeline_spark.operators.corpus import (
+        corpus_boilerplate_ngrams,
+    )
+
+    plan = _plan(corpus_boilerplate_ngrams(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastExchange" in plan  # src_sizes is broadcast
+
+
+def test_temperature_mix_broadcast_total(spark):
+    """The 1-row grand total must reach per-source rows via broadcast,
+    and the per-source token agg must have map-side partials."""
+    from ai_data_pipeline_spark.operators.corpus import corpus_temperature_mix
+
+    plan = _plan(corpus_temperature_mix(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_sum" in plan
