@@ -256,6 +256,12 @@ _UNPROVEN_PRIORITY = [
     # image near-dup pairs, source boilerplate, temperature mixing
     "dedup_semantic", "multimodal_image_phash_pairs",
     "corpus_boilerplate_ngrams", "corpus_temperature_mix",
+    # new in round 5 (second batch): JL random projection, PQ encode,
+    # sentence-level dedup, incremental-ingest dedup, encoding audit,
+    # exactly-once streaming parquet sink
+    "emb_random_projection", "emb_pq_encode", "dedup_sentences",
+    "dedup_incremental", "text_encoding_audit", "stream_sink_parquet",
+    "ann_ivf_pq", "q_cdc_apply", "q_interval_sweep",
     # source roundtrips last (family already has driver-green twins)
     "orc_roundtrip_lineitem", "partitioned_roundtrip_events",
     "binfile_ingest_documents", "pyds_synthetic_agg", "pyds_stream_agg",

@@ -398,8 +398,146 @@ HAVING count(DISTINCT doc_id) > 1
 """
 
 
+SENT_MIN_CHARS = 20  # ignore trivial fragments (C4 keeps >= 3-word lines)
+SENT_DUP_NUM, SENT_DUP_DEN = 3, 10  # flag docs with >= 30% duplicated sentences
+
+
+def dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level duplicate detection across the corpus (the C4 /
+    RefinedWeb line-dedup stage: boilerplate sentences — cookie notices,
+    navigation text — recur across documents and must be stripped before
+    training). Splits each document into sentences, normalizes
+    (lower+trim, fragments < SENT_MIN_CHARS chars ignored), and counts
+    per document how many of its distinct sentences also appear in at
+    least one OTHER document. Emits per-doc totals, the duplicated-
+    sentence count, an exact-rational dup fraction, and a flag.
+
+    Scale shape: sentences are md5-hashed immediately, so the global
+    sentence-frequency aggregation and the join back to documents
+    shuffle 32-hex keys, never sentence text; both stages are linear
+    keyed shuffles with map-side partials. The per-sentence doc-count
+    table is data-scaled (NOT broadcast); at 100 TB both sides
+    hash-partition on the digest — the standard two-pass line-dedup
+    plan (count pass, annotate pass)."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\.\s+")).alias("s"),
+        )
+        .select("doc_id", F.lower(F.trim(F.col("s"))).alias("s"))
+        .filter(F.length("s") >= SENT_MIN_CHARS)
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    freq = sents.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sents.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup_sents"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_sents",
+        "n_dup_sents",
+        F.round(F.col("n_dup_sents") / F.col("n_sents"), 6).alias("dup_sent_frac"),
+        (F.col("n_dup_sents") * SENT_DUP_DEN >= F.col("n_sents") * SENT_DUP_NUM)
+        .cast("int")
+        .alias("flag_boilerplate_heavy"),
+    )
+
+
+DEDUP_SENTENCES_ORACLE = rf"""
+WITH sents AS (
+  SELECT DISTINCT doc_id, md5(s) AS h FROM (
+    SELECT doc_id, lower(trim(unnest(string_split_regex(text, '\.\s+')))) AS s
+    FROM documents
+  ) WHERE length(s) >= {SENT_MIN_CHARS}
+), freq AS (
+  SELECT h, count(*) AS n_docs FROM sents GROUP BY h
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_sents,
+         CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sents
+  FROM sents JOIN freq USING (h) GROUP BY doc_id
+)
+SELECT doc_id, n_sents, n_dup_sents,
+       round(CAST(n_dup_sents AS DOUBLE) / n_sents, 6) AS dup_sent_frac,
+       CAST(n_dup_sents * {SENT_DUP_DEN} >= n_sents * {SENT_DUP_NUM} AS INT)
+         AS flag_boilerplate_heavy
+FROM per_doc
+"""
+
+
+INCR_BATCH_MOD = 10  # doc_id % 10 == 0 plays the newly arrived shard
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a newly arrived batch (doc_id %
+    INCR_BATCH_MOD == 0 stands in for today's crawl shard) is deduped
+    against the existing corpus AND within itself — the steady-state
+    shape of a production pipeline, where re-deduping the full corpus
+    per arrival is unaffordable. A batch doc is dropped if its
+    normalized content hash already exists in the base corpus, or if a
+    lower-id batch doc has the same hash; emits the decision plus the
+    base-duplicate count per doc.
+
+    Scale shape: the base side reduces to its distinct digest set via a
+    linear groupBy (never broadcast — base is the 100 TB corpus), then
+    equi-joins the batch on the digest. The within-batch keeper choice
+    is a min-per-digest aggregate joined back — two keyed shuffles of
+    hash-sized rows, text never shuffled. In production the base digest
+    set is the persisted dedup index this operator maintains."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    )
+    batch = d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    base = d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    base_counts = base.groupBy("h").agg(F.count(F.lit(1)).alias("n_base_dups"))
+    batch_min = batch.groupBy("h").agg(F.min("doc_id").alias("first_batch_id"))
+    return (
+        batch.join(base_counts, "h", "left")
+        .join(batch_min, "h")
+        .select(
+            "doc_id",
+            F.coalesce("n_base_dups", F.lit(0)).alias("n_base_dups"),
+            (F.col("doc_id") > F.col("first_batch_id")).cast("int").alias(
+                "dup_within_batch"
+            ),
+            (
+                (F.coalesce("n_base_dups", F.lit(0)) == 0)
+                & (F.col("doc_id") == F.col("first_batch_id"))
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+), batch AS (SELECT * FROM d WHERE doc_id % {INCR_BATCH_MOD} = 0),
+base AS (SELECT * FROM d WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+base_counts AS (SELECT h, count(*) AS n_base_dups FROM base GROUP BY h),
+batch_min AS (SELECT h, min(doc_id) AS first_batch_id FROM batch GROUP BY h)
+SELECT b.doc_id,
+       coalesce(bc.n_base_dups, 0) AS n_base_dups,
+       CAST(b.doc_id > bm.first_batch_id AS INT) AS dup_within_batch,
+       CAST(coalesce(bc.n_base_dups, 0) = 0
+            AND b.doc_id = bm.first_batch_id AS INT) AS keep
+FROM batch b
+LEFT JOIN base_counts bc ON b.h = bc.h
+JOIN batch_min bm ON b.h = bm.h
+"""
+
+
 QUERY_DEFS = [
     QueryDef("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
+    QueryDef("dedup_sentences", dedup_sentences, DEDUP_SENTENCES_ORACLE),
+    QueryDef("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_ORACLE),
     QueryDef("dedup_chunk_passages", dedup_chunk_passages, DEDUP_CHUNK_ORACLE),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle()),

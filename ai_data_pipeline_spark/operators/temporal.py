@@ -518,8 +518,71 @@ FROM hist
 """
 
 
+def q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval concurrency via sweep-line: how many order lines are
+    "in flight" (ordered but not yet shipped) on each calendar day —
+    the classic overlapping-intervals aggregate (concurrent sessions,
+    active loans, beds occupied) that naive SQL answers with an
+    O(n·days) range join.
+
+    Sweep-line decomposition: each interval contributes +1 on its start
+    day and -1 the day after it ends; the daily concurrency is the
+    running sum of deltas. The heavy stage — reducing n intervals to
+    per-day deltas — is a keyed aggregate with map-side partials, so
+    100 TB of intervals collapse to a calendar-sized relation (bounded
+    by days, not rows) BEFORE the only ordered window runs; that final
+    running sum is over the tiny date relation, which is why the
+    single-partition window is safe here (and only here)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("ord_d")
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select("ord_d", "ship_d")
+    deltas = (
+        j.select(F.col("ord_d").alias("d"), F.lit(1).alias("ns"), F.lit(0).alias("ne"))
+        .unionByName(
+            j.select(
+                F.date_add("ship_d", 1).alias("d"),
+                F.lit(0).alias("ns"),
+                F.lit(1).alias("ne"),
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("ns").alias("n_start"), F.sum("ne").alias("n_end"))
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return deltas.select(
+        "d",
+        "n_start",
+        "n_end",
+        F.sum(F.col("n_start") - F.col("n_end")).over(w).alias("in_flight"),
+    )
+
+
+Q_INTERVAL_SWEEP_ORACLE = """
+WITH j AS (
+  SELECT CAST(o_orderdate AS DATE) AS ord_d, CAST(l_shipdate AS DATE) AS ship_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), deltas AS (
+  SELECT d, CAST(sum(ns) AS BIGINT) AS n_start, CAST(sum(ne) AS BIGINT) AS n_end
+  FROM (
+    SELECT ord_d AS d, 1 AS ns, 0 AS ne FROM j
+    UNION ALL
+    SELECT ship_d + 1, 0, 1 FROM j
+  ) GROUP BY d
+)
+SELECT d, n_start, n_end,
+       CAST(sum(n_start - n_end) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS in_flight
+FROM deltas
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
+    QueryDef("q_interval_sweep", q_interval_sweep, Q_INTERVAL_SWEEP_ORACLE),
     QueryDef("q_scd2_status_history", q_scd2_status_history, Q_SCD2_ORACLE),
     QueryDef("q_event_transitions", q_event_transitions, Q_TRANSITIONS_ORACLE),
     QueryDef("q_time_weighted_avg", q_time_weighted_avg, Q_TWA_ORACLE),

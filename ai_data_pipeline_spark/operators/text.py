@@ -381,8 +381,78 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+MOJI_NONASCII_NUM, MOJI_NONASCII_DEN = 1, 4  # flag if > 25% non-ASCII
+
+
+def encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-anomaly audit (the mojibake / binary-contamination gate
+    a crawl corpus needs before tokenization): per (lang, source) slice,
+    counts of U+FFFD replacement characters (lossy decode markers),
+    C0 control characters (binary leakage), and non-ASCII codepoints,
+    plus how many docs trip each signal and an exact-rational
+    high-non-ASCII flag count.
+
+    All three counters use the same length-minus-stripped formula in
+    both engines (codepoint semantics are identical), so the aggregate
+    is hash-exact. Scale: one narrow regex pass over the scan, then a
+    tiny (lang, source)-keyed aggregate with map-side partials — scan
+    speed at any corpus size."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n_chars = F.length("text")
+    n_repl = n_chars - F.length(F.regexp_replace("text", "�", ""))
+    n_ctrl = n_chars - F.length(
+        F.regexp_replace("text", r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    )
+    n_nonascii = n_chars - F.length(F.regexp_replace("text", r"[^\x00-\x7f]", ""))
+    per_doc = d.select(
+        "lang",
+        "source",
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_repl"),
+        n_ctrl.alias("n_ctrl"),
+        n_nonascii.alias("n_nonascii"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_repl").alias("sum_repl_chars"),
+        F.sum("n_ctrl").alias("sum_ctrl_chars"),
+        F.sum("n_nonascii").alias("sum_nonascii_chars"),
+        F.sum((F.col("n_repl") > 0).cast("long")).alias("n_docs_repl"),
+        F.sum((F.col("n_ctrl") > 0).cast("long")).alias("n_docs_ctrl"),
+        F.sum(
+            (
+                F.col("n_nonascii") * MOJI_NONASCII_DEN
+                > F.col("n_chars") * MOJI_NONASCII_NUM
+            ).cast("long")
+        ).alias("n_docs_high_nonascii"),
+    )
+
+
+ENCODING_AUDIT_ORACLE = rf"""
+WITH per_doc AS (
+  SELECT lang, source, length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '�', '', 'g')) AS n_repl,
+    length(text) - length(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS n_ctrl,
+    length(text) - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) AS n_nonascii
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(n_repl) AS BIGINT) AS sum_repl_chars,
+  CAST(sum(n_ctrl) AS BIGINT) AS sum_ctrl_chars,
+  CAST(sum(n_nonascii) AS BIGINT) AS sum_nonascii_chars,
+  CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_repl,
+  CAST(sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_ctrl,
+  CAST(sum(CASE WHEN n_nonascii * {MOJI_NONASCII_DEN} > n_chars * {MOJI_NONASCII_NUM}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_high_nonascii
+FROM per_doc GROUP BY lang, source
+"""
+
+
 QUERY_DEFS = [
     QueryDef("text_stats", text_stats, _text_stats_oracle()),
+    QueryDef("text_encoding_audit", encoding_audit, ENCODING_AUDIT_ORACLE),
     QueryDef("text_quality_flags", quality_score, QUALITY_ORACLE),
     QueryDef("text_lang_id", lang_id, _lang_id_oracle()),
     QueryDef("text_fingerprint", doc_fingerprint, FINGERPRINT_ORACLE),

@@ -103,6 +103,14 @@ HEADLINE = [
     "multimodal_image_phash_pairs",
     "corpus_boilerplate_ngrams",
     "corpus_temperature_mix",
+    "emb_random_projection",
+    "emb_pq_encode",
+    "dedup_sentences",
+    "dedup_incremental",
+    "text_encoding_audit",
+    "ann_ivf_pq",
+    "q_cdc_apply",
+    "q_interval_sweep",
 ]
 
 

@@ -446,3 +446,327 @@ def test_temperature_mix_fixed_point_identities(spark):
     total_ppm = sum(r["share_ppm"] for r in rows)
     assert 10**6 - len(rows) <= total_ppm <= 10**6
     assert sum(r["planned_tokens"] for r in rows) <= MIX_BUDGET_TOKENS
+
+
+def test_random_projection_matches_numpy(spark):
+    """Every projected value must equal a direct numpy recomputation:
+    floor(x*1e6) fixed-point vectors times the deterministic ±1 sign
+    matrix."""
+    import math
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        _RP_SIGNS,
+        RP_DIM,
+        emb_random_projection,
+    )
+
+    emb = {
+        r["vec_id"]: [int(math.floor(float(x) * 1_000_000)) for x in r["embedding"]]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    got = {
+        (r["vec_id"], r["out_dim"]): r["proj_fp"]
+        for r in emb_random_projection(spark, SF_DIR).collect()
+    }
+    assert len(got) == len(emb) * RP_DIM
+    for (vid, j), proj in got.items():
+        want = sum(s * x for s, x in zip(_RP_SIGNS[j], emb[vid]))
+        assert proj == want, (vid, j, proj, want)
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    """Every (vector, subspace) code must be the true integer-L2 argmin
+    over the deterministic codebook (ties to the lowest code), and the
+    reported distortion the true minimum."""
+    import math
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        emb_pq_encode,
+    )
+
+    emb = {
+        r["vec_id"]: [int(math.floor(float(x) * 1_000_000)) for x in r["embedding"]]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    sub = lambda v, m: v[m * PQ_SUB : (m + 1) * PQ_SUB]  # noqa: E731
+    book = {
+        (m, c): sub(emb[N_QUERIES + c], m)
+        for c in range(PQ_K)
+        for m in range(PQ_M)
+    }
+    got = {
+        (r["vec_id"], r["m"]): (r["code"], r["dist_fp"])
+        for r in emb_pq_encode(spark, SF_DIR).collect()
+    }
+    assert len(got) == len(emb) * PQ_M
+    for (vid, m), (code, dist) in got.items():
+        dists = [
+            sum((a - b) * (a - b) for a, b in zip(sub(emb[vid], m), book[(m, c)]))
+            for c in range(PQ_K)
+        ]
+        best = min(dists)
+        assert dist == best, (vid, m)
+        assert code == dists.index(best), (vid, m)  # index() is first-min = lowest code
+
+
+def test_sentence_dedup_direct_recompute(spark):
+    """Per-doc sentence totals and duplicate counts must equal a direct
+    Python recomputation (split, normalize, global doc-frequency)."""
+    import re
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.dedup import (
+        SENT_MIN_CHARS,
+        dedup_sentences,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    per_doc = {
+        did: {
+            s.lower().strip()
+            for s in re.split(r"\.\s+", text)
+            if len(s.lower().strip()) >= SENT_MIN_CHARS
+        }
+        for did, text in docs.items()
+    }
+    df = Counter(s for sents in per_doc.values() for s in sents)
+    got = {
+        r["doc_id"]: (r["n_sents"], r["n_dup_sents"])
+        for r in dedup_sentences(spark, SF_DIR).collect()
+    }
+    want_docs = {d for d, sents in per_doc.items() if sents}
+    assert set(got) == want_docs
+    for did in want_docs:
+        n_dup = sum(1 for s in per_doc[did] if df[s] > 1)
+        assert got[did] == (len(per_doc[did]), n_dup), did
+
+
+def test_incremental_dedup_decisions(spark):
+    """Keep/drop decisions must equal a direct recomputation: a batch
+    doc is kept iff its normalized text has no base twin and it is the
+    lowest-id batch holder of that content."""
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        dedup_incremental,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    )
+    norm = {r["doc_id"]: r["text"].lower().strip() for r in rows}
+    batch = {d: t for d, t in norm.items() if d % INCR_BATCH_MOD == 0}
+    base_counts = Counter(
+        t for d, t in norm.items() if d % INCR_BATCH_MOD != 0
+    )
+    first_batch = {}
+    for d in sorted(batch):
+        first_batch.setdefault(batch[d], d)
+    got = {
+        r["doc_id"]: (r["n_base_dups"], r["dup_within_batch"], r["keep"])
+        for r in dedup_incremental(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(batch)
+    for d, t in batch.items():
+        want = (
+            base_counts[t],
+            int(d > first_batch[t]),
+            int(base_counts[t] == 0 and d == first_batch[t]),
+        )
+        assert got[d] == want, d
+
+
+def test_encoding_audit_direct_recompute(spark):
+    """Slice counters must equal a direct Python recomputation over the
+    raw text (codepoint-level)."""
+    from ai_data_pipeline_spark.operators.text import (
+        MOJI_NONASCII_DEN,
+        MOJI_NONASCII_NUM,
+        encoding_audit,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "documents")
+        .select("lang", "source", "text")
+        .collect()
+    )
+    agg = {}
+    for r in rows:
+        t = r["text"]
+        n_repl = t.count("�")
+        n_ctrl = sum(
+            1 for ch in t if ord(ch) < 0x20 and ch not in ("\t", "\n", "\r")
+        )
+        n_na = sum(1 for ch in t if ord(ch) > 0x7F)
+        key = (r["lang"], r["source"])
+        a = agg.setdefault(key, [0, 0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n_repl
+        a[2] += n_ctrl
+        a[3] += n_na
+        a[4] += int(n_repl > 0)
+        a[5] += int(n_ctrl > 0)
+        a[6] += int(n_na * MOJI_NONASCII_DEN > len(t) * MOJI_NONASCII_NUM)
+    got = {
+        (r["lang"], r["source"]): [
+            r["n_docs"],
+            r["sum_repl_chars"],
+            r["sum_ctrl_chars"],
+            r["sum_nonascii_chars"],
+            r["n_docs_repl"],
+            r["n_docs_ctrl"],
+            r["n_docs_high_nonascii"],
+        ]
+        for r in encoding_audit(spark, SF_DIR).collect()
+    }
+    assert got == agg
+
+
+def test_ivf_pq_matches_full_python_recompute(spark):
+    """End-to-end IVF-PQ recompute in pure Python: cell assignment,
+    PQ codes, probe lists, ADC scores, shortlist, exact re-rank — every
+    emitted row (both distances and the rank) must match."""
+    import math
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        IVFPQ_RERANK,
+        N_CELLS,
+        N_PROBE,
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        TOP_K,
+        ann_ivf_pq,
+    )
+
+    emb = {
+        r["vec_id"]: [int(math.floor(float(x) * 1_000_000)) for x in r["embedding"]]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    l2 = lambda a, b: sum((x - y) * (x - y) for x, y in zip(a, b))  # noqa: E731
+    sub = lambda v, m: v[m * PQ_SUB : (m + 1) * PQ_SUB]  # noqa: E731
+    cents = {c: emb[N_QUERIES + c] for c in range(N_CELLS)}
+    book = {
+        (m, c): sub(emb[N_QUERIES + c], m)
+        for c in range(PQ_K)
+        for m in range(PQ_M)
+    }
+    corpus = [v for v in emb if v >= N_QUERIES]
+    qids = [v for v in emb if v < N_QUERIES]
+    assigned = {
+        vid: min(cents, key=lambda c: (l2(emb[vid], cents[c]), c))
+        for vid in corpus
+    }
+    codes = {
+        (vid, m): min(
+            range(PQ_K), key=lambda c: (l2(sub(emb[vid], m), book[(m, c)]), c)
+        )
+        for vid in corpus
+        for m in range(PQ_M)
+    }
+    want = {}
+    for q in qids:
+        probed = sorted(cents, key=lambda c: (l2(emb[q], cents[c]), c))[:N_PROBE]
+        cand = [v for v in corpus if assigned[v] in probed]
+        approx = {
+            v: sum(l2(sub(emb[q], m), book[(m, codes[(v, m)])]) for m in range(PQ_M))
+            for v in cand
+        }
+        short = sorted(cand, key=lambda v: (approx[v], v))[:IVFPQ_RERANK]
+        ranked = sorted(short, key=lambda v: (l2(emb[q], emb[v]), v))[:TOP_K]
+        for rk, v in enumerate(ranked, 1):
+            want[(q, v)] = (approx[v], l2(emb[q], emb[v]), rk)
+    got = {
+        (r["q_id"], r["vec_id"]): (r["approx_dist_fp"], r["exact_dist_fp"], r["rk"])
+        for r in ann_ivf_pq(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_cdc_apply_decisions_match_python(spark):
+    """Full CDC apply recompute in Python: latest-seq-wins per key,
+    deletes removed, inserts added, updates overwrite."""
+    from ai_data_pipeline_spark.operators.maintenance import (
+        UPSERT_NEW_KEY_OFFSET,
+        q_cdc_apply,
+    )
+
+    base = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    # change log: (key -> (seq, op, price)), max seq wins
+    log = {}
+    for k, p in base.items():
+        if k % 7 == 0:
+            log[k] = (1, "U", p + 10)
+        if k % 21 == 0:
+            log[k] = (2, "D", None)
+        if k % 11 == 0:
+            log[k + UPSERT_NEW_KEY_OFFSET] = (1, "I", p)
+    want = {}
+    for k, p in base.items():
+        seq_op = log.get(k)
+        if seq_op is None:
+            want[k] = (p, "-")
+        elif seq_op[1] != "D":
+            want[k] = (seq_op[2], seq_op[1])
+    for k, (seq, op, p) in log.items():
+        if k not in base and op != "D":
+            want[k] = (p, op)
+    got = {
+        r["o_orderkey"]: (r["o_totalprice"], r["last_op"])
+        for r in q_cdc_apply(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_interval_sweep_matches_python(spark):
+    """Daily in-flight counts must equal a direct Python sweep over the
+    joined (order date, ship date) intervals."""
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.temporal import q_interval_sweep
+
+    import datetime as dt
+
+    l = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    o = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    starts, ends = Counter(), Counter()
+    for r in l:
+        starts[o[r["l_orderkey"]].date()] += 1
+        ends[r["l_shipdate"].date() + dt.timedelta(days=1)] += 1
+    days = sorted(set(starts) | set(ends))
+    got = {
+        r["d"]: (r["n_start"], r["n_end"], r["in_flight"])
+        for r in q_interval_sweep(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(days)
+    run = 0
+    for d in days:
+        run += starts[d] - ends[d]
+        assert got[d] == (starts[d], ends[d], run), d

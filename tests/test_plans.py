@@ -438,3 +438,90 @@ def test_temperature_mix_broadcast_total(spark):
     plan = _plan(corpus_temperature_mix(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "partial_sum" in plan
+
+
+def test_random_projection_is_map_only(spark):
+    """The JL projection must compile to a single narrow map over the
+    scan — the ±1 matrix is folded into the expression, so there is no
+    join, no shuffle, and no Python worker anywhere in the plan."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        emb_random_projection,
+    )
+
+    plan = _plan(emb_random_projection(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pq_encode_broadcast_codebook_no_cartesian(spark):
+    """PQ encode must broadcast the tiny codebook (an equi-join on the
+    subspace id — never a cartesian product) and aggregate the argmin
+    with map-side partials."""
+    from ai_data_pipeline_spark.operators.similarity import emb_pq_encode
+
+    plan = _plan(emb_pq_encode(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine of the argmin
+
+
+def test_sentence_dedup_shuffles_digests_not_text(spark):
+    """Both wide stages of the line-dedup plan must key on the md5
+    digest — sentence text never enters an exchange — and the
+    doc-frequency aggregate must have map-side partials."""
+    from ai_data_pipeline_spark.operators.dedup import dedup_sentences
+
+    plan = _plan(dedup_sentences(spark, SF_DIR))
+    assert "hashpartitioning(h#" in plan
+    assert "partial_count" in plan
+    assert "Window" not in plan
+
+
+def test_incremental_dedup_keyed_joins_no_cartesian(spark):
+    """Incremental dedup must resolve via digest-keyed joins and
+    map-side-combined aggregates; no cartesian products, no windows
+    (the keeper choice is a min-per-digest aggregate)."""
+    from ai_data_pipeline_spark.operators.dedup import dedup_incremental
+
+    plan = _plan(dedup_incremental(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_ivf_pq_broadcast_index_no_cartesian_on_corpus(spark):
+    """IVF-PQ must broadcast the small index structures (centroids,
+    codebook, ADC lookup table, query vectors); the candidate read is
+    an equi-join on the cell id; no cartesian product anywhere (the
+    centroid cross joins are broadcast-nested-loop over tiny sides)."""
+    from ai_data_pipeline_spark.operators.similarity import ann_ivf_pq
+
+    plan = _plan(ann_ivf_pq(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "cell" in plan
+
+
+def test_cdc_apply_no_window_keyed_merge(spark):
+    """The CDC winner-per-key must be a max_by aggregate with map-side
+    partials (no per-key Window), applied through one equi-join."""
+    from ai_data_pipeline_spark.operators.maintenance import q_cdc_apply
+
+    plan = _plan(q_cdc_apply(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial_max" in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_interval_sweep_aggregates_before_window(spark):
+    """The sweep's ordered window may only see the calendar-sized delta
+    relation: the interval reduction must be a hash aggregate with
+    map-side partials feeding a single window over `d`."""
+    from ai_data_pipeline_spark.operators.temporal import q_interval_sweep
+
+    plan = _plan(q_interval_sweep(spark, SF_DIR))
+    assert "partial_sum" in plan
+    # exactly one window operator, ordered by the date key
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
