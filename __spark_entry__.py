@@ -262,6 +262,8 @@ _UNPROVEN_PRIORITY = [
     "emb_random_projection", "emb_pq_encode", "dedup_sentences",
     "dedup_incremental", "text_encoding_audit", "stream_sink_parquet",
     "ann_ivf_pq", "q_cdc_apply", "q_interval_sweep",
+    "compaction_roundtrip_events", "schema_evolution_roundtrip",
+    "dedup_minhash_estimate", "text_readability",
     # source roundtrips last (family already has driver-green twins)
     "orc_roundtrip_lineitem", "partitioned_roundtrip_events",
     "binfile_ingest_documents", "pyds_synthetic_agg", "pyds_stream_agg",

@@ -276,6 +276,155 @@ WHERE {JACCARD_DEN}*inter >= {JACCARD_NUM}*(sa.sz + sb.sz - inter)
 """
 
 
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, put the
+    MinHash ESTIMATE of Jaccard (matching signature slices / k) next to
+    the EXACT Jaccard and their error — the calibration table that
+    tells you, before a 100 TB run, whether k=12 signatures are tight
+    enough for your dedup threshold or you need k=128. In production
+    the exact column comes from a verification sample; here the corpus
+    is small enough to verify every candidate, so the audit is
+    complete. All ratios are integer micro-units (floor division), so
+    the comparison is engine-exact. Same plan shape as
+    ``dedup_minhash_lsh`` (one shingle shuffle, banded candidate join);
+    the extra cost is only the slice-equality sum per pair."""
+    sh = _doc_shingles(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        "shingle",
+        F.concat(
+            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
+            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
+        ).alias("hh"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col("hh"), 1 + 5 * j, 5)).alias(f"m{j}")
+            for j in range(MINHASH_K)
+        ],
+        F.count(F.lit(1)).alias("sz"),
+        F.collect_set("shingle").alias("sset"),
+    ).cache()
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"m{b * MINHASH_BAND_R + r}")
+                                    for r in range(MINHASH_BAND_R)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bhash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("sset").alias("sset_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("sset").alias("sset_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(MINHASH_K)],
+    )
+    k_match = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(MINHASH_K)
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("k_match", k_match)
+        .withColumn("inter", F.size(F.array_intersect("sset_a", "sset_b")).cast("long"))
+        .withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "k_match",
+            F.expr(f"(k_match * 1000000) div {MINHASH_K}").alias("est_ppm"),
+            F.expr("(inter * 1000000) div un").alias("exact_ppm"),
+            F.abs(
+                F.expr(f"(k_match * 1000000) div {MINHASH_K}")
+                - F.expr("(inter * 1000000) div un")
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(substr(hh, {1 + 5 * j}, 5)) AS m{j}" for j in range(MINHASH_K)
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cc}) AS bhash FROM sig".format(
+            b=b,
+            cc=" || '|' || ".join(
+                f"m{b * MINHASH_BAND_R + r}" for r in range(MINHASH_BAND_R)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    k_match = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+    )
+    return rf"""
+WITH sh AS (
+  SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM {SHINGLES_DUCK_FROM}
+), shh AS (
+  SELECT doc_id, shingle,
+         md5('0|' || shingle) || md5('1|' || shingle) AS hh
+  FROM sh
+), sig AS (
+  SELECT doc_id, {sig_cols}, count(*) AS sz FROM shh GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST({k_match} AS BIGINT) AS k_match,
+       (CAST({k_match} AS BIGINT) * 1000000) // {MINHASH_K} AS est_ppm,
+       (inter * 1000000) // (sa.sz + sb.sz - inter) AS exact_ppm,
+       abs((CAST({k_match} AS BIGINT) * 1000000) // {MINHASH_K}
+           - (inter * 1000000) // (sa.sz + sb.sz - inter)) AS err_ppm
+FROM inter i
+JOIN sig sa ON sa.doc_id = i.doc_a
+JOIN sig sb ON sb.doc_id = i.doc_b
+"""
+
+
 SIMHASH_BITS = 16
 
 
@@ -541,5 +690,6 @@ QUERY_DEFS = [
     QueryDef("dedup_chunk_passages", dedup_chunk_passages, DEDUP_CHUNK_ORACLE),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle()),
+    QueryDef("dedup_minhash_estimate", dedup_minhash_estimate, _minhash_estimate_oracle()),
     QueryDef("dedup_simhash", dedup_simhash, _simhash_oracle()),
 ]

@@ -450,8 +450,80 @@ FROM per_doc GROUP BY lang, source
 """
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Flesch reading-ease per document — the readability
+    gate corpus curation uses to route text to the right training mix
+    (children's-book-simple vs academic). Words are alphabetic runs,
+    sentences are terminator-punctuation runs (min 1), syllables are
+    approximated by vowel groups (the standard heuristic). The score is
+    Flesch's 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word)
+    computed in integer micro-units with truncating division, so both
+    engines agree exactly; a 3-band difficulty label rides on top.
+
+    Scale: one narrow regex pass over the scan — no shuffle at all
+    until a consumer aggregates."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    s = F.lower(F.col("text"))
+    n_words = F.size(F.regexp_extract_all(s, F.lit("[a-z]+"), F.lit(0))).cast("long")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    n_syll = F.size(F.regexp_extract_all(s, F.lit("[aeiou]+"), F.lit(0))).cast("long")
+    per_doc = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.expr("(n_words * 1000) div n_sents")
+    spw = F.expr("(n_syll * 1000) div n_words")
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        wps.alias("wps_milli"),
+        spw.alias("spw_milli"),
+        (F.lit(206_835_000) - 1015 * wps - 84_600 * spw).alias("flesch_fp"),
+        F.when(
+            F.lit(206_835_000) - 1015 * wps - 84_600 * spw >= 60_000_000, "easy"
+        )
+        .when(F.lit(206_835_000) - 1015 * wps - 84_600 * spw >= 30_000_000, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    )
+
+
+TEXT_READABILITY_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_syll
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_words, n_sents, n_syll,
+         (n_words * 1000) // n_sents AS wps_milli,
+         (n_syll * 1000) // n_words AS spw_milli
+  FROM per_doc WHERE n_words > 0
+)
+SELECT doc_id, n_words, n_sents, n_syll, wps_milli, spw_milli,
+       206835000 - 1015 * wps_milli - 84600 * spw_milli AS flesch_fp,
+       CASE WHEN 206835000 - 1015 * wps_milli - 84600 * spw_milli >= 60000000
+              THEN 'easy'
+            WHEN 206835000 - 1015 * wps_milli - 84600 * spw_milli >= 30000000
+              THEN 'medium'
+            ELSE 'hard' END AS band
+FROM scored
+"""
+
+
 QUERY_DEFS = [
     QueryDef("text_stats", text_stats, _text_stats_oracle()),
+    QueryDef("text_readability", text_readability, TEXT_READABILITY_ORACLE),
     QueryDef("text_encoding_audit", encoding_audit, ENCODING_AUDIT_ORACLE),
     QueryDef("text_quality_flags", quality_score, QUALITY_ORACLE),
     QueryDef("text_lang_id", lang_id, _lang_id_oracle()),

@@ -195,8 +195,133 @@ WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{PART_DATE_LO}' AND '{PART_DATE_HI}'
 """
 
 
+COMPACT_SMALL_FILES = 64  # fragmented-ingest stand-in
+COMPACT_TARGET_FILES = 4  # post-compaction file count
+
+
+def compaction_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lake-maintenance job streaming ingest
+    makes necessary (a 100 TB table ingested in minute-batches fragments
+    into millions of KB-files whose open/seek overhead dominates scans).
+    Events are written fragmented into COMPACT_SMALL_FILES parquet
+    files, compacted by rewriting into COMPACT_TARGET_FILES, and read
+    back; the result row carries the measured file counts of both
+    layouts plus data checksums. The oracle pins the expected file
+    counts as constants and computes the same checksums over the raw
+    table — equality proves the rewrite both really compacted (file
+    counts) and lost nothing (checksums).
+
+    Scale: compaction is one shuffle-free coalesce per partition group;
+    at 100 TB it runs per date-partition with `maxRecordsPerFile`
+    sizing, same plan shape."""
+    import tempfile
+
+    src = load_table(spark, sf_dir, "events")
+    frag = tempfile.mkdtemp(prefix="adp_frag_") + "/t"
+    compact = tempfile.mkdtemp(prefix="adp_compact_") + "/t"
+    src.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(COMPACT_TARGET_FILES).write.mode(
+        "overwrite"
+    ).parquet(compact)
+
+    def _n_files(path: str) -> int:
+        import glob
+        import os
+
+        return len(glob.glob(os.path.join(path, "part-*.parquet")))
+
+    back = spark.read.parquet(compact)
+    p = F.lit(TS_CHECKSUM_PRIME)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_id"),
+        F.pmod(
+            F.sum(F.pmod(F.unix_micros("ts"), p).cast("decimal(38,0)")),
+            p.cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("ts_checksum"),
+        F.lit(_n_files(frag)).alias("n_files_fragmented"),
+        F.lit(_n_files(compact)).alias("n_files_compacted"),
+    )
+
+
+COMPACTION_ORACLE = f"""
+SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(sum(epoch_us(ts) % {TS_CHECKSUM_PRIME}) % {TS_CHECKSUM_PRIME} AS BIGINT)
+         AS ts_checksum,
+       {COMPACT_SMALL_FILES} AS n_files_fragmented,
+       {COMPACT_TARGET_FILES} AS n_files_compacted
+FROM events
+"""
+
+
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read — the lakehouse contract that lets a
+    pipeline add columns without rewriting history: batch 1 of orders
+    lands with (key, price), batch 2 adds a `priority` column;
+    `mergeSchema` unifies them on read, with batch-1 rows carrying NULL
+    for the late column. The aggregate pins row counts per batch, the
+    null count of the evolved column, and value checksums — proving
+    the union is lossless and the late column nulls exactly where the
+    writer predates it. Scale: schema merge is a footer-metadata
+    operation (per-file schemas union at planning time), so this costs
+    nothing extra at 100 TB — which is why additive evolution is THE
+    sanctioned way to widen a petabyte table."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    b1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    b2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    )
+    tmp = tempfile.mkdtemp(prefix="adp_evo_") + "/t"
+    b1.write.mode("overwrite").parquet(tmp + "/batch=1")
+    b2.write.mode("overwrite").parquet(tmp + "/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(tmp)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("batch") == 1).cast("long")).alias("n_batch1"),
+        F.sum(F.col("priority").isNull().cast("long")).alias("n_null_priority"),
+        F.countDistinct("priority").alias("n_priorities"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+WITH unioned AS (
+  SELECT o_orderkey, o_totalprice, NULL AS priority, 1 AS batch
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority, 2
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch1,
+       CAST(sum(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_priority,
+       count(DISTINCT priority) AS n_priorities,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM unioned
+"""
+
+
 QUERY_DEFS = [
     QueryDef("csv_roundtrip_customer", csv_roundtrip_customer, CSV_ROUNDTRIP_ORACLE),
+    QueryDef(
+        "compaction_roundtrip_events",
+        compaction_roundtrip_events,
+        COMPACTION_ORACLE,
+    ),
+    QueryDef(
+        "schema_evolution_roundtrip",
+        schema_evolution_roundtrip,
+        SCHEMA_EVOLUTION_ORACLE,
+    ),
     QueryDef("jsonl_roundtrip_orders", jsonl_roundtrip_orders, JSONL_ROUNDTRIP_ORACLE),
     QueryDef("orc_roundtrip_lineitem", orc_roundtrip_lineitem, ORC_ROUNDTRIP_ORACLE),
     QueryDef(

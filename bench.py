@@ -111,6 +111,8 @@ HEADLINE = [
     "ann_ivf_pq",
     "q_cdc_apply",
     "q_interval_sweep",
+    "dedup_minhash_estimate",
+    "text_readability",
 ]
 
 

@@ -770,3 +770,91 @@ def test_interval_sweep_matches_python(spark):
     for d in days:
         run += starts[d] - ends[d]
         assert got[d] == (starts[d], ends[d], run), d
+
+
+def test_minhash_estimate_matches_python(spark):
+    """Every audited pair's slice-match count, estimate, exact Jaccard,
+    and error must equal a direct Python recomputation from the raw
+    text (trigram shingles, double-md5 signature slices)."""
+    import hashlib
+
+    from ai_data_pipeline_spark.operators.dedup import (
+        MINHASH_BAND_R,
+        MINHASH_K,
+        dedup_minhash_estimate,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def shingles(text):
+        toks = [t for t in __import__("re").split(r"\s+", text)]
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    def sig(ss):
+        hh = [
+            hashlib.md5(("0|" + s).encode()).hexdigest()
+            + hashlib.md5(("1|" + s).encode()).hexdigest()
+            for s in ss
+        ]
+        return [min(h[5 * j : 5 * j + 5] for h in hh) for j in range(MINHASH_K)]
+
+    sh = {d: shingles(t) for d, t in docs.items()}
+    sg = {d: sig(s) for d, s in sh.items() if s}
+    rows = dedup_minhash_estimate(spark, SF_DIR).collect()
+    assert rows
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    for r in rows:
+        a, b = r["doc_a"], r["doc_b"]
+        k = sum(1 for j in range(MINHASH_K) if sg[a][j] == sg[b][j])
+        inter = len(sh[a] & sh[b])
+        un = len(sh[a] | sh[b])
+        assert r["k_match"] == k, (a, b)
+        assert r["est_ppm"] == k * 1_000_000 // MINHASH_K
+        assert r["exact_ppm"] == inter * 1_000_000 // un
+        assert r["err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])
+        # candidates share a band -> at least one full band of slices match
+        assert any(
+            all(sg[a][bb * MINHASH_BAND_R + j] == sg[b][bb * MINHASH_BAND_R + j]
+                for j in range(MINHASH_BAND_R))
+            for bb in range(n_bands)
+        )
+
+
+def test_readability_matches_python(spark):
+    """Flesch fixed-point scores must equal a direct Python recompute
+    (alpha-run words, terminator-run sentences, vowel-group syllables,
+    truncating division)."""
+    import re
+
+    from ai_data_pipeline_spark.operators.text import text_readability
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {r["doc_id"]: r for r in text_readability(spark, SF_DIR).collect()}
+    want_ids = {
+        d for d, t in docs.items() if re.findall(r"[a-z]+", t.lower())
+    }
+    assert set(got) == want_ids
+    for d in want_ids:
+        t = docs[d]
+        nw = len(re.findall(r"[a-z]+", t.lower()))
+        ns = max(len(re.findall(r"[.!?]+", t)), 1)
+        sy = len(re.findall(r"[aeiou]+", t.lower()))
+        wps, spw = nw * 1000 // ns, sy * 1000 // nw
+        fl = 206_835_000 - 1015 * wps - 84_600 * spw
+        band = "easy" if fl >= 60_000_000 else ("medium" if fl >= 30_000_000 else "hard")
+        r = got[d]
+        assert (
+            r["n_words"], r["n_sents"], r["n_syll"], r["wps_milli"],
+            r["spw_milli"], r["flesch_fp"], r["band"],
+        ) == (nw, ns, sy, wps, spw, fl, band), d
