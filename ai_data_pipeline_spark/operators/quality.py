@@ -385,8 +385,102 @@ def _ref_integrity_oracle() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+FANOUT_EDGES = [
+    # FK edges (parent unique) plus one deliberate many-to-many pair —
+    # the join every analyst eventually writes by accident
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("events", "user_id", "orders", "o_custkey"),  # m:n — explodes
+]
+FANOUT_FLAG_FACTOR = 2  # flag when est rows > factor × max(input sides)
+
+
+def dq_join_fanout_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion pre-check — the guard a query gateway runs BEFORE
+    admitting a join at 100 TB: for each candidate join edge, compute
+    both sides' per-key multiplicities and the EXACT join cardinality
+    Σₖ n_left(k)·n_right(k) from key-count sketches alone (never
+    executing the join), plus max multiplicities and a flag when the
+    estimate exceeds FANOUT_FLAG_FACTOR × the larger input. A
+    many-to-many edge (events.user_id ⋈ orders.o_custkey here) shows
+    the blowup the guard exists to catch.
+
+    Scale: per edge, two keyed count aggregates (map-side partials)
+    reduce each side to its distinct-key profile; the profiles join on
+    the key — work proportional to distinct keys, not rows, which is
+    the entire point: the 10¹⁴-row product is priced from two
+    relation-sized-in-keys inputs."""
+    parts = []
+    for lt, lk, rt, rk in FANOUT_EDGES:
+        lc = (
+            load_table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("nl"))
+        )
+        rc = (
+            load_table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("nr"))
+        )
+        prof = lc.join(rc, "k").agg(
+            F.coalesce(F.sum(F.col("nl") * F.col("nr")), F.lit(0)).alias(
+                "est_join_rows"
+            ),
+            F.coalesce(F.max("nl"), F.lit(0)).alias("max_left_mult"),
+            F.coalesce(F.max("nr"), F.lit(0)).alias("max_right_mult"),
+        )
+        totals_l = load_table(spark, sf_dir, lt).agg(
+            F.count(F.lit(1)).alias("n_left")
+        )
+        totals_r = load_table(spark, sf_dir, rt).agg(
+            F.count(F.lit(1)).alias("n_right")
+        )
+        parts.append(
+            prof.crossJoin(totals_l)
+            .crossJoin(totals_r)
+            .select(
+                F.lit(f"{lt}.{lk}x{rt}.{rk}").alias("edge"),
+                "n_left",
+                "n_right",
+                "est_join_rows",
+                "max_left_mult",
+                "max_right_mult",
+                (
+                    F.col("est_join_rows")
+                    > FANOUT_FLAG_FACTOR * F.greatest("n_left", "n_right")
+                )
+                .cast("int")
+                .alias("flag_explosive"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _fanout_oracle() -> str:
+    branches = []
+    for lt, lk, rt, rk in FANOUT_EDGES:
+        branches.append(f"""
+SELECT '{lt}.{lk}x{rt}.{rk}' AS edge,
+       (SELECT count(*) FROM {lt}) AS n_left,
+       (SELECT count(*) FROM {rt}) AS n_right,
+       coalesce(CAST(sum(nl * nr) AS BIGINT), 0) AS est_join_rows,
+       coalesce(max(nl), 0) AS max_left_mult,
+       coalesce(max(nr), 0) AS max_right_mult,
+       CAST(coalesce(CAST(sum(nl * nr) AS BIGINT), 0) >
+            {FANOUT_FLAG_FACTOR} * greatest((SELECT count(*) FROM {lt}),
+                                            (SELECT count(*) FROM {rt}))
+            AS INT) AS flag_explosive
+FROM (SELECT {lk} AS k, count(*) AS nl FROM {lt} GROUP BY 1) lc
+JOIN (SELECT {rk} AS k, count(*) AS nr FROM {rt} GROUP BY 1) rc USING (k)
+""")
+    return "\nUNION ALL\n".join(branches)
+
+
 QUERY_DEFS = [
     QueryDef("dq_benford_check", dq_benford_check, _benford_oracle()),
+    QueryDef("dq_join_fanout_guard", dq_join_fanout_guard, _fanout_oracle()),
     QueryDef("dq_k_anonymity", dq_k_anonymity, K_ANON_ORACLE),
     QueryDef("dq_checks", dq_checks, DQ_ORACLE),
     QueryDef("q_stratified_sample", q_stratified_sample, STRATIFIED_ORACLE),

@@ -113,6 +113,7 @@ HEADLINE = [
     "q_interval_sweep",
     "dedup_minhash_estimate",
     "text_readability",
+    "dq_join_fanout_guard",
 ]
 
 

@@ -858,3 +858,29 @@ def test_readability_matches_python(spark):
             r["n_words"], r["n_sents"], r["n_syll"], r["wps_milli"],
             r["spw_milli"], r["flesch_fp"], r["band"],
         ) == (nw, ns, sy, wps, spw, fl, band), d
+
+
+def test_join_fanout_estimate_equals_actual_join_count(spark):
+    """The guard's cardinality formula must be EXACT: for every edge,
+    est_join_rows equals the row count of actually executing the join
+    (the thing the guard exists to avoid doing at scale)."""
+    from ai_data_pipeline_spark.operators.quality import (
+        FANOUT_EDGES,
+        dq_join_fanout_guard,
+    )
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r["edge"]: r for r in dq_join_fanout_guard(spark, SF_DIR).collect()
+    }
+    assert len(got) == len(FANOUT_EDGES)
+    for lt, lk, rt, rk in FANOUT_EDGES:
+        l = load_table(spark, SF_DIR, lt).select(F.col(lk).alias("k"))
+        r = load_table(spark, SF_DIR, rt).select(F.col(rk).alias("k"))
+        actual = l.join(r, "k").count()
+        row = got[f"{lt}.{lk}x{rt}.{rk}"]
+        assert row["est_join_rows"] == actual, (lt, rt)
+        assert row["flag_explosive"] == int(
+            actual > 2 * max(row["n_left"], row["n_right"])
+        )
