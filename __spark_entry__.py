@@ -264,7 +264,7 @@ _UNPROVEN_PRIORITY = [
     "ann_ivf_pq", "q_cdc_apply", "q_interval_sweep",
     "compaction_roundtrip_events", "schema_evolution_roundtrip",
     "dedup_minhash_estimate", "text_readability",
-    "dq_join_fanout_guard",
+    "dq_join_fanout_guard", "er_golden_record",
     # source roundtrips last (family already has driver-green twins)
     "orc_roundtrip_lineitem", "partitioned_roundtrip_events",
     "binfile_ingest_documents", "pyds_synthetic_agg", "pyds_stream_agg",

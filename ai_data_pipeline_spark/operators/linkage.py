@@ -109,6 +109,94 @@ SELECT dirty_id, c_custkey AS matched_custkey, dist FROM (
 """
 
 
+GOLDEN_KEY_OFFSET = 20_000_000  # import-twin rec_id = master key + offset
+
+
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record selection — the step AFTER linkage
+    in an MDM pipeline: each matched entity cluster merges into one
+    record with field-level rules. The registry is master customers
+    (CRM never captured the segment for every 5th one) unioned with a
+    stale import twin for every 3rd customer (name truncated, balance
+    50 behind, but the segment always present); the cluster id here is
+    derivable from the planted key offset — in production it comes from
+    ``er_fuzzy_linkage`` + ``dedup_clusters``.
+
+    Field rules (each a ``min_by`` with an explicit tiebreak struct, so
+    both engines agree exactly):
+    - name: longest wins (completeness), then lexicographic, then rec_id
+    - acctbal: most-trusted source wins (master over import)
+    - segment: first NON-NULL by source rank — so entities whose master
+      lacks the segment inherit it from the import twin, which is the
+      whole point of survivorship.
+
+    Scale: the merge is ONE keyed aggregate over the cluster id with
+    map-side partial ``min_by`` combines — no window, no self-join;
+    exactly the reduce a 10⁹-entity MDM consolidation runs."""
+    c = load_table(spark, sf_dir, "customer")
+    master = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_custkey").alias("entity_id"),
+        F.lit(0).alias("src_rank"),  # master is the trusted source
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.when(F.col("c_custkey") % 5 != 0, F.col("c_mktsegment")).alias("segment"),
+    )
+    imported = c.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + GOLDEN_KEY_OFFSET).alias("rec_id"),
+        F.col("c_custkey").alias("entity_id"),
+        F.lit(1).alias("src_rank"),
+        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("name"),
+        (F.col("c_acctbal") - 50).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    reg = master.unionByName(imported)
+    return reg.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min_by(
+            "name", F.struct(-F.length("name"), F.col("name"), F.col("rec_id"))
+        ).alias("golden_name"),
+        F.min_by("acctbal", F.struct("src_rank", "rec_id")).alias("golden_acctbal"),
+        F.min_by(
+            "segment",
+            F.struct(
+                F.col("segment").isNull().cast("int"), F.col("src_rank"), F.col("rec_id")
+            ),
+        ).alias("golden_segment"),
+    )
+
+
+GOLDEN_ORACLE = f"""
+WITH reg AS (
+  SELECT c_custkey AS rec_id, c_custkey AS entity_id, 0 AS src_rank,
+         c_name AS name, c_acctbal AS acctbal,
+         CASE WHEN c_custkey % 5 <> 0 THEN c_mktsegment END AS segment
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + {GOLDEN_KEY_OFFSET}, c_custkey, 1,
+         substr(c_name, 1, length(c_name) - 1), c_acctbal - 50, c_mktsegment
+  FROM customer WHERE c_custkey % 3 = 0
+), ranked AS (
+  SELECT entity_id, name, acctbal, segment,
+    row_number() OVER (PARTITION BY entity_id
+      ORDER BY -length(name), name, rec_id) AS rk_name,
+    row_number() OVER (PARTITION BY entity_id
+      ORDER BY src_rank, rec_id) AS rk_bal,
+    row_number() OVER (PARTITION BY entity_id
+      ORDER BY CASE WHEN segment IS NULL THEN 1 ELSE 0 END, src_rank, rec_id)
+      AS rk_seg
+  FROM reg
+)
+SELECT entity_id,
+       count(*) AS n_records,
+       max(CASE WHEN rk_name = 1 THEN name END) AS golden_name,
+       max(CASE WHEN rk_bal = 1 THEN acctbal END) AS golden_acctbal,
+       max(CASE WHEN rk_seg = 1 THEN segment END) AS golden_segment
+FROM ranked GROUP BY entity_id
+"""
+
+
 QUERY_DEFS = [
     QueryDef("er_fuzzy_linkage", er_fuzzy_linkage, ER_ORACLE),
+    QueryDef("er_golden_record", er_golden_record, GOLDEN_ORACLE),
 ]

@@ -114,6 +114,7 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "text_readability",
     "dq_join_fanout_guard",
+    "er_golden_record",
 ]
 
 

@@ -884,3 +884,31 @@ def test_join_fanout_estimate_equals_actual_join_count(spark):
         assert row["flag_explosive"] == int(
             actual > 2 * max(row["n_left"], row["n_right"])
         )
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Field-level survivorship must follow the declared rules, checked
+    by direct Python recomputation: longest name wins, master balance
+    wins, segment falls back across sources (entities whose master
+    lacks the segment must inherit the import twin's)."""
+    from ai_data_pipeline_spark.operators.linkage import er_golden_record
+
+    cust = {
+        r["c_custkey"]: r
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    got = {r["entity_id"]: r for r in er_golden_record(spark, SF_DIR).collect()}
+    assert set(got) == set(cust)
+    for k, c in cust.items():
+        r = got[k]
+        has_twin = k % 3 == 0
+        assert r["n_records"] == (2 if has_twin else 1)
+        # master name is strictly longer than the truncated twin
+        assert r["golden_name"] == c["c_name"]
+        assert r["golden_acctbal"] == c["c_acctbal"]  # master trusted
+        if k % 5 == 0 and has_twin:
+            assert r["golden_segment"] == c["c_mktsegment"]  # from twin
+        elif k % 5 == 0:
+            assert r["golden_segment"] is None  # nothing to inherit
+        else:
+            assert r["golden_segment"] == c["c_mktsegment"]
