@@ -265,6 +265,7 @@ _UNPROVEN_PRIORITY = [
     "compaction_roundtrip_events", "schema_evolution_roundtrip",
     "dedup_minhash_estimate", "text_readability",
     "dq_join_fanout_guard", "er_golden_record",
+    "q_table_diff", "corpus_ngram_novelty",
     # source roundtrips last (family already has driver-green twins)
     "orc_roundtrip_lineitem", "partitioned_roundtrip_events",
     "binfile_ingest_documents", "pyds_synthetic_agg", "pyds_stream_agg",

@@ -807,6 +807,64 @@ BOILER_N = 2  # bigram unit (synthetic vocab is small -> bigrams recur)
 BOILER_NUM, BOILER_DEN = 1, 5  # boilerplate: gram in >= 20% of source docs
 
 
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 5-grams
+    whose FIRST occurrence (lowest doc_id — stand-in for earliest
+    ingest) is this doc. The dedup-adjacent curation signal that
+    separates documents contributing new content from ones mostly
+    re-shuffling text already in the corpus (near-dup families,
+    quotation-heavy pages), used to weight or drop late arrivals.
+
+    Scale shape: grams are md5-hashed before the wide stages, so the
+    first-seen aggregate (min doc_id per gram, map-side partials) and
+    the join back both shuffle 32-hex digests, never text — the same
+    two-pass count/annotate plan as sentence-level dedup. Novelty is
+    integer ppm (truncating division), engine-exact."""
+    grams = (
+        _token_arrays(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_grams_spark(DECON_N))).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("h"))
+        .distinct()
+    )
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_grams").alias("novelty_ppm"),
+        )
+    )
+
+
+NGRAM_NOVELTY_ORACLE = rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, md5(gram) AS h FROM (
+    SELECT doc_id, unnest({_grams_duck(DECON_N)}) AS gram FROM toks
+  )
+), first AS (
+  SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM grams JOIN first USING (h) GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       (n_novel * 1000000) // n_grams AS novelty_ppm
+FROM per_doc
+"""
+
+
 def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-level boilerplate detection (RefinedWeb/C4 intent: nav
     bars, license footers, and template text recur across most pages of
@@ -989,4 +1047,5 @@ QUERY_DEFS = [
     QueryDef("corpus_bpe_apply", corpus_bpe_apply, BPE_APPLY_ORACLE),
     QueryDef("corpus_token_rarity", corpus_token_rarity, RARITY_ORACLE),
     QueryDef("corpus_domain_caps", corpus_domain_caps, DOMAIN_CAPS_ORACLE),
+    QueryDef("corpus_ngram_novelty", corpus_ngram_novelty, NGRAM_NOVELTY_ORACLE),
 ]

@@ -183,8 +183,57 @@ WHERE w.op IS NULL OR w.op <> 'D'
 """
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the audit that validates a MERGE: diff
+    the base orders snapshot against the CDC-applied snapshot
+    (``q_cdc_apply``) and classify every key as added / removed /
+    changed / unchanged, emitting per-class counts and key checksums.
+    Run after any bulk maintenance, this is how a lakehouse proves the
+    change log did exactly what it claimed — the class counts must
+    reconcile with the log's op counts.
+
+    Scale: one full-outer equi-join on the key with a row-hash
+    comparison, then a 4-row aggregate with map-side partials; the
+    standard data-reconciliation topology (at 100 TB both snapshots
+    hash-partition on the key; AQE handles skew)."""
+    v1 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
+    )
+    v2 = q_cdc_apply(spark, sf_dir).select(
+        F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("p2")
+    )
+    classified = v1.join(v2, v1["k1"] == v2["k2"], "full_outer").select(
+        F.coalesce("k1", "k2").alias("k"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return classified.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("k").alias("sum_keys")
+    )
+
+
+def _table_diff_oracle() -> str:
+    return f"""
+WITH v2 AS ({Q_CDC_APPLY_ORACLE}),
+classified AS (
+  SELECT COALESCE(o.o_orderkey, v2.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN v2.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice <> v2.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM orders o FULL OUTER JOIN v2 ON o.o_orderkey = v2.o_orderkey
+)
+SELECT status, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_keys
+FROM classified GROUP BY status
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_upsert_merge", q_upsert_merge, Q_UPSERT_ORACLE),
     QueryDef("q_cdc_apply", q_cdc_apply, Q_CDC_APPLY_ORACLE),
+    QueryDef("q_table_diff", q_table_diff, _table_diff_oracle()),
     QueryDef("q_salted_join_revenue", q_salted_join_revenue, Q_SALTED_ORACLE),
 ]

@@ -115,6 +115,8 @@ HEADLINE = [
     "text_readability",
     "dq_join_fanout_guard",
     "er_golden_record",
+    "q_table_diff",
+    "corpus_ngram_novelty",
 ]
 
 

@@ -912,3 +912,59 @@ def test_golden_record_survivorship_rules(spark):
             assert r["golden_segment"] is None  # nothing to inherit
         else:
             assert r["golden_segment"] == c["c_mktsegment"]
+
+
+def test_table_diff_reconciles_with_cdc_log(spark):
+    """The diff's class counts must reconcile exactly with the CDC
+    change log's op counts: removed == deletes, added == inserts,
+    changed == updates-not-deleted, unchanged == the rest."""
+    from ai_data_pipeline_spark.operators.maintenance import q_table_diff
+
+    keys = [
+        r["o_orderkey"]
+        for r in load_table(spark, SF_DIR, "orders").select("o_orderkey").collect()
+    ]
+    n = len(keys)
+    n_del = sum(1 for k in keys if k % 21 == 0)
+    n_upd = sum(1 for k in keys if k % 7 == 0 and k % 21 != 0)
+    n_ins = sum(1 for k in keys if k % 11 == 0)
+    got = {r["status"]: r["n_rows"] for r in q_table_diff(spark, SF_DIR).collect()}
+    assert got.get("removed", 0) == n_del
+    assert got.get("added", 0) == n_ins
+    assert got.get("changed", 0) == n_upd
+    assert got.get("unchanged", 0) == n - n_del - n_upd
+
+
+def test_ngram_novelty_totals_and_first_doc(spark):
+    """Novelty accounting: summed novel grams across docs equals the
+    number of distinct grams in the corpus (each gram is novel exactly
+    once), and the lowest doc_id is 100% novel."""
+    from ai_data_pipeline_spark.operators.corpus import corpus_ngram_novelty
+
+    rows = corpus_ngram_novelty(spark, SF_DIR).collect()
+    assert rows
+    total_novel = sum(r["n_novel"] for r in rows)
+    import re
+    from collections import defaultdict
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    per_doc = {}
+    for r in docs:
+        toks = re.split(r"\s+", r["text"])
+        nmax = max(len(toks) - 4, 1)
+        per_doc[r["doc_id"]] = {" ".join(toks[i : i + 5]) for i in range(nmax)}
+    all_grams = set().union(*per_doc.values())
+    assert total_novel == len(all_grams)
+    first_doc = min(per_doc)
+    got_first = next(r for r in rows if r["doc_id"] == first_doc)
+    assert got_first["novelty_ppm"] == 1_000_000
+    # spot-check one doc's counts directly
+    gmin = defaultdict(lambda: 10**18)
+    for d, gs in per_doc.items():
+        for g in gs:
+            gmin[g] = min(gmin[g], d)
+    some = sorted(per_doc)[len(per_doc) // 2]
+    want_novel = sum(1 for g in per_doc[some] if gmin[g] == some)
+    got_some = next(r for r in rows if r["doc_id"] == some)
+    assert got_some["n_grams"] == len(per_doc[some])
+    assert got_some["n_novel"] == want_novel
