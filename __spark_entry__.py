@@ -266,6 +266,7 @@ _UNPROVEN_PRIORITY = [
     "dedup_minhash_estimate", "text_readability",
     "dq_join_fanout_guard", "er_golden_record",
     "q_table_diff", "corpus_ngram_novelty",
+    "multimodal_shot_boundaries", "multimodal_header_meta",
     # source roundtrips last (family already has driver-green twins)
     "orc_roundtrip_lineitem", "partitioned_roundtrip_events",
     "binfile_ingest_documents", "pyds_synthetic_agg", "pyds_stream_agg",

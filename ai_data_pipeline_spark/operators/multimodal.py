@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
@@ -535,8 +535,169 @@ FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_MAX}
 """
 
 
+SHOT_JUMP_NUM, SHOT_JUMP_DEN = 3, 10  # boundary = >= 30% energy jump
+
+
+def _frame_energy_batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Per-frame byte-sum energies: one np.add.reduceat per payload
+    (the same vectorized surface as the audio kernel); real codecs
+    replace the byte-sum with a decoded-luma sum, same shape."""
+    import numpy as np
+
+    for pdf in it:
+        doc_ids, frames, energies = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            if n == 0:
+                continue
+            a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            offs = np.arange(0, n, FRAME_BYTES, dtype=np.int64)
+            sums = np.add.reduceat(a, offs)
+            doc_ids.extend([doc_id] * len(offs))
+            frames.extend(range(len(offs)))
+            energies.extend(int(s) for s in sums)
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame": frames, "energy": energies}
+        )
+
+
+def shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the sampled frame stream — the
+    temporal-structure pass a video curation pipeline runs to split
+    footage into clips before captioning/embedding: a boundary is a
+    relative energy jump >= SHOT_JUMP_NUM/SHOT_JUMP_DEN between
+    consecutive frames (exact-rational test; a zero-energy previous
+    frame is a boundary iff the current frame is non-zero). Emits per
+    video: frame count, boundary count, and the first cut point.
+
+    Scale: the frame explosion is a mapInPandas scan (one reduceat per
+    payload); the lag window partitions by doc_id — state bounded by
+    frames-per-video, never corpus size — and the rollup is a keyed
+    aggregate with map-side partials."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = d.mapInPandas(
+        _frame_energy_batches, schema="doc_id long, frame int, energy long"
+    )
+    w = W.partitionBy("doc_id").orderBy("frame")
+    flagged = frames.withColumn("prev", F.lag("energy").over(w)).withColumn(
+        "is_cut",
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when((F.col("prev") == 0), (F.col("energy") > 0).cast("int"))
+        .otherwise(
+            (
+                F.abs(F.col("energy") - F.col("prev")) * SHOT_JUMP_DEN
+                >= F.col("prev") * SHOT_JUMP_NUM
+            ).cast("int")
+        ),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("is_cut").alias("n_boundaries"),
+        F.min(F.when(F.col("is_cut") == 1, F.col("frame"))).alias("first_cut"),
+    )
+
+
+SHOT_BOUNDARIES_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+  WHERE octet_length(encode(text)) > 0
+), bytes AS (
+  SELECT doc_id, (unnest(range(1, length(h) + 1, 2)) - 1) // 2 AS pos, h
+  FROM hx
+), fe AS (
+  SELECT doc_id, pos // {FRAME_BYTES} AS frame,
+         CAST(sum({_hexpair_to_int('h', '2*pos + 1')}) AS BIGINT) AS energy
+  FROM bytes GROUP BY 1, 2
+), flagged AS (
+  SELECT doc_id, frame, energy,
+         lag(energy) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+  FROM fe
+), cuts AS (
+  SELECT doc_id, frame,
+         CASE WHEN prev IS NULL THEN 0
+              WHEN prev = 0 THEN CAST(energy > 0 AS INT)
+              ELSE CAST(abs(energy - prev) * {SHOT_JUMP_DEN}
+                        >= prev * {SHOT_JUMP_NUM} AS INT) END AS is_cut
+  FROM flagged
+)
+SELECT doc_id, count(*) AS n_frames,
+       CAST(sum(is_cut) AS BIGINT) AS n_boundaries,
+       min(CASE WHEN is_cut = 1 THEN frame END) AS first_cut
+FROM cuts GROUP BY doc_id
+"""
+
+
+HDR_MAX_DIM = 16_000_000  # plausibility band for the fake width/height
+
+
+def header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction from a binary column WITHOUT any
+    Python: the first 8 payload bytes parse as two big-endian uint32s
+    (standing in for an image header's width/height), entirely with
+    built-in expressions (hex + base-16 conv) — the pattern for pulling
+    typed fields out of binary lake columns at scan speed when the
+    header layout is fixed. Emits the parsed dims and a plausibility
+    flag; real formats swap the offsets, same plan (a magic-number
+    dispatch CASE on the first bytes).
+
+    Scale: narrow map over the scan, whole-stage codegen, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    hx = d.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.hex(F.col("payload")).alias("h"),
+    )
+    w = F.when(
+        F.col("n_bytes") >= 8, F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+    )
+    hgt = F.when(
+        F.col("n_bytes") >= 8, F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
+    )
+    return hx.select(
+        "doc_id",
+        "n_bytes",
+        w.alias("hdr_w"),
+        hgt.alias("hdr_h"),
+        (
+            w.isNotNull()
+            & (w > 0)
+            & (w <= HDR_MAX_DIM)
+            & (hgt > 0)
+            & (hgt <= HDR_MAX_DIM)
+        )
+        .cast("int")
+        .alias("flag_plausible"),
+    )
+
+
+HEADER_META_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes, hex(encode(text)) AS h
+  FROM documents
+), parsed AS (
+  SELECT doc_id, n_bytes,
+         CASE WHEN n_bytes >= 8
+              THEN CAST('0x' || substr(h, 1, 8) AS BIGINT) END AS hdr_w,
+         CASE WHEN n_bytes >= 8
+              THEN CAST('0x' || substr(h, 9, 8) AS BIGINT) END AS hdr_h
+  FROM hx
+)
+SELECT doc_id, n_bytes, hdr_w, hdr_h,
+       CAST(coalesce(hdr_w > 0 AND hdr_w <= {HDR_MAX_DIM}
+                     AND hdr_h > 0 AND hdr_h <= {HDR_MAX_DIM}, FALSE) AS INT)
+         AS flag_plausible
+FROM parsed
+"""
+
+
 QUERY_DEFS = [
     QueryDef("multimodal_byte_features", byte_features, BYTE_FEATURES_ORACLE),
+    QueryDef("multimodal_shot_boundaries", shot_boundaries, SHOT_BOUNDARIES_ORACLE),
+    QueryDef("multimodal_header_meta", header_meta, HEADER_META_ORACLE),
     QueryDef("multimodal_image_phash_pairs", image_phash_pairs, IMAGE_PHASH_PAIRS_ORACLE),
     QueryDef("multimodal_frame_sample", frame_sample, FRAME_SAMPLE_ORACLE),
     QueryDef("multimodal_audio_energy", audio_energy, AUDIO_ENERGY_ORACLE),

@@ -117,6 +117,8 @@ HEADLINE = [
     "er_golden_record",
     "q_table_diff",
     "corpus_ngram_novelty",
+    "multimodal_shot_boundaries",
+    "multimodal_header_meta",
 ]
 
 

@@ -968,3 +968,77 @@ def test_ngram_novelty_totals_and_first_doc(spark):
     got_some = next(r for r in rows if r["doc_id"] == some)
     assert got_some["n_grams"] == len(per_doc[some])
     assert got_some["n_novel"] == want_novel
+
+
+def test_shot_boundaries_match_numpy(spark):
+    """Cut decisions must equal a direct numpy recompute of frame
+    energies and the rational jump test."""
+    from ai_data_pipeline_spark.operators.multimodal import (
+        FRAME_BYTES,
+        SHOT_JUMP_DEN,
+        SHOT_JUMP_NUM,
+        shot_boundaries,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].encode()
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_frames"], r["n_boundaries"], r["first_cut"])
+        for r in shot_boundaries(spark, SF_DIR).collect()
+    }
+    want_ids = {d for d, p in docs.items() if len(p) > 0}
+    assert set(got) == want_ids
+    for d in want_ids:
+        p = docs[d]
+        energies = [
+            sum(p[i : i + FRAME_BYTES]) for i in range(0, len(p), FRAME_BYTES)
+        ]
+        cuts = []
+        for f in range(1, len(energies)):
+            prev, e = energies[f - 1], energies[f]
+            is_cut = (e > 0) if prev == 0 else (
+                abs(e - prev) * SHOT_JUMP_DEN >= prev * SHOT_JUMP_NUM
+            )
+            if is_cut:
+                cuts.append(f)
+        assert got[d] == (
+            len(energies),
+            len(cuts),
+            cuts[0] if cuts else None,
+        ), d
+
+
+def test_header_meta_matches_struct_unpack(spark):
+    """Parsed header dims must equal struct.unpack of the first 8
+    payload bytes (big-endian uint32 pair)."""
+    import struct
+
+    from ai_data_pipeline_spark.operators.multimodal import (
+        HDR_MAX_DIM,
+        header_meta,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].encode()
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {r["doc_id"]: r for r in header_meta(spark, SF_DIR).collect()}
+    assert set(got) == set(docs)
+    for d, p in docs.items():
+        r = got[d]
+        assert r["n_bytes"] == len(p)
+        if len(p) >= 8:
+            w, h = struct.unpack(">II", p[:8])
+            assert (r["hdr_w"], r["hdr_h"]) == (w, h), d
+            assert r["flag_plausible"] == int(
+                0 < w <= HDR_MAX_DIM and 0 < h <= HDR_MAX_DIM
+            )
+        else:
+            assert r["hdr_w"] is None and r["hdr_h"] is None
+            assert r["flag_plausible"] == 0
