@@ -69,7 +69,39 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     job.add_argument("--approx", action="store_true", help="HLL distinct tier")
     job.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
+    sub.add_parser("list", help="list every contract query by name")
+    runp = sub.add_parser(
+        "run",
+        help="run a contract query against a testdata directory and print "
+        "(or save) the result",
+    )
+    runp.add_argument("query", help="query name (see `list`)")
+    runp.add_argument(
+        "sf_dir",
+        nargs="?",
+        default="/root/testdata/sf0.01",
+        help="scale-factor directory holding the parquet tables",
+    )
+    runp.add_argument(
+        "-o", "--output", default=None, help="write result parquet here"
+    )
+    runp.add_argument(
+        "-n", type=int, default=20, help="rows to print (default 20)"
+    )
+    runp.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
     return p
+
+
+def _contract_queries():
+    import importlib
+    import os
+    import sys as _sys
+
+    # __spark_entry__ lives at the repo root, next to this package
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in _sys.path:
+        _sys.path.insert(0, root)
+    return importlib.import_module("__spark_entry__").queries()
 
 
 def _read(spark, fmt: str, path: str):
@@ -110,6 +142,10 @@ def _run_job(spark, args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.command == "list":
+        for name in _contract_queries():
+            print(name)
+        return 0
     from ai_data_pipeline_spark.profiling.profiler import (
         profile_summary,
         profile_table,
@@ -120,6 +156,18 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.command == "job":
             return _run_job(spark, args)
+        if args.command == "run":
+            qs = _contract_queries()
+            if args.query not in qs:
+                print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+                return 2
+            result = qs[args.query](spark, args.sf_dir)
+            if args.output:
+                result.write.mode("overwrite").parquet(args.output)
+                print(f"result written to {args.output}")
+            else:
+                result.show(n=args.n, truncate=False)
+            return 0
         df = _read(spark, args.format, args.path)
         prof = profile_table(df, exact_distinct=not args.approx)
         if args.summary:

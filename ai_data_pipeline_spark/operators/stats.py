@@ -204,8 +204,65 @@ GROUP BY 1, 2
 """
 
 
+def q_gini_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of the market-segment distribution per nation —
+    the split-quality metric a feature-selection / decision-tree stage
+    computes over every candidate categorical column. Gini = 1 − Σpᵢ²
+    is a pure rational (unlike entropy), so it is computed exactly in
+    integer ppm: ((N² − Σnᵢ²)·10⁶) div N², alongside the majority-class
+    share. Two keyed aggregates with map-side partials — the first
+    reduces rows to (group, class) counts, the second to one row per
+    group; at 100 TB the shuffle carries counts only."""
+    c = load_table(spark, sf_dir, "customer")
+    cell = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cell.groupBy("c_nationkey")
+        .agg(
+            F.sum("n").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+            F.max("n").alias("n_majority"),
+        )
+        .select(
+            "c_nationkey",
+            "n_customers",
+            "n_segments",
+            F.expr(
+                "((n_customers * n_customers - sum_sq) * 1000000)"
+                " div (n_customers * n_customers)"
+            ).alias("gini_ppm"),
+            F.expr("(n_majority * 1000000) div n_customers").alias(
+                "majority_ppm"
+            ),
+        )
+    )
+
+
+GINI_ORACLE = """
+WITH cell AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2
+), g AS (
+  SELECT c_nationkey,
+         CAST(sum(n) AS BIGINT) AS n_customers,
+         count(*) AS n_segments,
+         CAST(sum(n * n) AS BIGINT) AS sum_sq,
+         max(n) AS n_majority
+  FROM cell GROUP BY 1
+)
+SELECT c_nationkey, n_customers, n_segments,
+       ((n_customers * n_customers - sum_sq) * 1000000)
+         // (n_customers * n_customers) AS gini_ppm,
+       (n_majority * 1000000) // n_customers AS majority_ppm
+FROM g
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_corr_matrix", q_corr_matrix, _corr_oracle()),
+    QueryDef("q_gini_segments", q_gini_segments, GINI_ORACLE),
     QueryDef("q_chi_square", q_chi_square, CHI_SQUARE_ORACLE),
     QueryDef("text_feature_hashing", text_feature_hashing, FEATURE_HASHING_ORACLE),
 ]

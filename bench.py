@@ -119,6 +119,7 @@ HEADLINE = [
     "corpus_ngram_novelty",
     "multimodal_shot_boundaries",
     "multimodal_header_meta",
+    "q_gini_segments",
 ]
 
 

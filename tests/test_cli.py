@@ -81,3 +81,54 @@ def test_cli_job_profile_and_save(tmp_path):
     assert "CREATE TABLE hub_customer" in ddl
     assert "CREATE TABLE sat_customer" in ddl
     assert "hashdiff CHAR(64)" in ddl
+
+
+def test_cli_list_names_every_contract_query():
+    r = subprocess.run(
+        [sys.executable, "-m", "ai_data_pipeline_spark", "list"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    names = set(r.stdout.split())
+    import __spark_entry__ as entry_mod
+
+    assert names == set(entry_mod.queries())
+
+
+def test_cli_run_contract_query(tmp_path):
+    out = tmp_path / "q1_out"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ai_data_pipeline_spark",
+            "run",
+            "q1_pricing_summary",
+            SF_DIR,
+            "--cpus",
+            "2",
+            "-o",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n > 0
+
+
+def test_cli_run_unknown_query_exits_2():
+    r = subprocess.run(
+        [sys.executable, "-m", "ai_data_pipeline_spark", "run", "no_such_query"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr

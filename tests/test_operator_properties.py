@@ -1042,3 +1042,33 @@ def test_header_meta_matches_struct_unpack(spark):
         else:
             assert r["hdr_w"] is None and r["hdr_h"] is None
             assert r["flag_plausible"] == 0
+
+
+def test_gini_matches_python_and_bounds(spark):
+    """Gini ppm must equal a direct Counter-based recompute and respect
+    0 <= gini <= (1 - 1/k) bounds; majority share must be >= 1/k."""
+    from collections import Counter, defaultdict
+
+    from ai_data_pipeline_spark.operators.stats import q_gini_segments
+
+    rows = (
+        load_table(spark, SF_DIR, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .collect()
+    )
+    cells = defaultdict(Counter)
+    for r in rows:
+        cells[r["c_nationkey"]][r["c_mktsegment"]] += 1
+    got = {r["c_nationkey"]: r for r in q_gini_segments(spark, SF_DIR).collect()}
+    assert set(got) == set(cells)
+    for nk, ctr in cells.items():
+        n = sum(ctr.values())
+        sum_sq = sum(v * v for v in ctr.values())
+        want_gini = (n * n - sum_sq) * 1_000_000 // (n * n)
+        r = got[nk]
+        assert r["n_customers"] == n
+        assert r["n_segments"] == len(ctr)
+        assert r["gini_ppm"] == want_gini
+        assert r["majority_ppm"] == max(ctr.values()) * 1_000_000 // n
+        assert 0 <= r["gini_ppm"] <= 1_000_000 - 1_000_000 // len(ctr)
+        assert r["majority_ppm"] >= 1_000_000 // len(ctr)
