@@ -422,23 +422,22 @@ def dq_join_fanout_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col(rk).alias("k"))
             .agg(F.count(F.lit(1)).alias("nr"))
         )
-        prof = lc.join(rc, "k").agg(
+        # ONE full-outer join of the two key profiles per edge: side
+        # totals are sums over the profile itself (each table scans
+        # once), side maxima cover ALL keys (a hot unmatched key is
+        # still a hazard the guard should surface), and the exact join
+        # cardinality sums nl*nr over the matched keys only.
+        prof = lc.join(rc, "k", "full_outer").agg(
+            F.coalesce(F.sum("nl"), F.lit(0)).alias("n_left"),
+            F.coalesce(F.sum("nr"), F.lit(0)).alias("n_right"),
             F.coalesce(F.sum(F.col("nl") * F.col("nr")), F.lit(0)).alias(
                 "est_join_rows"
             ),
             F.coalesce(F.max("nl"), F.lit(0)).alias("max_left_mult"),
             F.coalesce(F.max("nr"), F.lit(0)).alias("max_right_mult"),
         )
-        totals_l = load_table(spark, sf_dir, lt).agg(
-            F.count(F.lit(1)).alias("n_left")
-        )
-        totals_r = load_table(spark, sf_dir, rt).agg(
-            F.count(F.lit(1)).alias("n_right")
-        )
         parts.append(
-            prof.crossJoin(totals_l)
-            .crossJoin(totals_r)
-            .select(
+            prof.select(
                 F.lit(f"{lt}.{lk}x{rt}.{rk}").alias("edge"),
                 "n_left",
                 "n_right",
@@ -463,17 +462,18 @@ def _fanout_oracle() -> str:
     for lt, lk, rt, rk in FANOUT_EDGES:
         branches.append(f"""
 SELECT '{lt}.{lk}x{rt}.{rk}' AS edge,
-       (SELECT count(*) FROM {lt}) AS n_left,
-       (SELECT count(*) FROM {rt}) AS n_right,
+       coalesce(CAST(sum(nl) AS BIGINT), 0) AS n_left,
+       coalesce(CAST(sum(nr) AS BIGINT), 0) AS n_right,
        coalesce(CAST(sum(nl * nr) AS BIGINT), 0) AS est_join_rows,
        coalesce(max(nl), 0) AS max_left_mult,
        coalesce(max(nr), 0) AS max_right_mult,
        CAST(coalesce(CAST(sum(nl * nr) AS BIGINT), 0) >
-            {FANOUT_FLAG_FACTOR} * greatest((SELECT count(*) FROM {lt}),
-                                            (SELECT count(*) FROM {rt}))
+            {FANOUT_FLAG_FACTOR} * greatest(coalesce(CAST(sum(nl) AS BIGINT), 0),
+                                            coalesce(CAST(sum(nr) AS BIGINT), 0))
             AS INT) AS flag_explosive
 FROM (SELECT {lk} AS k, count(*) AS nl FROM {lt} GROUP BY 1) lc
-JOIN (SELECT {rk} AS k, count(*) AS nr FROM {rt} GROUP BY 1) rc USING (k)
+FULL OUTER JOIN (SELECT {rk} AS k, count(*) AS nr FROM {rt} GROUP BY 1) rc
+  USING (k)
 """)
     return "\nUNION ALL\n".join(branches)
 
