@@ -1,0 +1,72 @@
+"""Empty-input robustness: at cluster scale, zero-row partitions and
+zero-row tables (fresh ingest dates, filtered-out shards) are routine —
+every operator family must plan and execute on them without errors.
+The profiler must still emit one row per column (with null/zero stats);
+data-plane operators must return clean empty results."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from ai_data_pipeline_spark.catalog import TABLES, load_table
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark):
+    tmp = tempfile.mkdtemp(prefix="adp_empty_")
+    for t in TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/{t}.parquet")
+    return tmp
+
+
+def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
+    from ai_data_pipeline_spark.profiling.profiler import profile_table
+
+    rows = profile_table(
+        load_table(spark, empty_sf_dir, "customer"), TABLES["customer"]
+    ).collect()
+    assert len(rows) == len(TABLES["customer"])
+    for r in rows:
+        assert r["total_rows"] == 0
+        assert r["null_count"] == 0
+        assert r["unique_count"] == 0
+
+
+@pytest.mark.parametrize(
+    "family,qname",
+    [
+        ("relational", "q1_pricing_summary"),
+        ("relational", "q3_top_orders"),
+        ("temporal", "q_asof_join"),
+        ("temporal", "q_interval_sweep"),
+        ("dedup", "dedup_exact"),
+        ("dedup", "dedup_sentences"),
+        ("dedup", "dedup_incremental"),
+        ("dedup", "dedup_minhash_lsh"),
+        ("text", "text_stats"),
+        ("text", "text_readability"),
+        ("corpus", "corpus_repetition_signals"),
+        ("corpus", "corpus_temperature_mix"),
+        ("corpus", "corpus_ngram_novelty"),
+        ("similarity", "ann_cosine_topk"),
+        ("similarity", "ann_ivf_pq"),
+        ("similarity", "emb_random_projection"),
+        ("multimodal", "multimodal_shot_boundaries"),
+        ("multimodal", "multimodal_header_meta"),
+        ("quality", "dq_join_fanout_guard"),
+        ("maintenance", "q_cdc_apply"),
+        ("maintenance", "q_table_diff"),
+        ("linkage", "er_golden_record"),
+        ("stats", "q_gini_segments"),
+    ],
+)
+def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    n = qs[qname](spark, empty_sf_dir).count()
+    assert n >= 0  # executes without error; emptiness is the norm here
