@@ -267,7 +267,7 @@ _UNPROVEN_PRIORITY = [
     "dq_join_fanout_guard", "er_golden_record",
     "q_table_diff", "corpus_ngram_novelty",
     "multimodal_shot_boundaries", "multimodal_header_meta",
-    "q_gini_segments",
+    "q_gini_segments", "emb_prefix_recall",
     # source roundtrips last (family already has driver-green twins)
     "orc_roundtrip_lineitem", "partitioned_roundtrip_events",
     "binfile_ingest_documents", "pyds_synthetic_agg", "pyds_stream_agg",

@@ -1135,9 +1135,112 @@ SELECT q_id, vec_id, approx_dist_fp, exact_dist_fp, rk FROM (
 """
 
 
+PRE_DIM = 16  # prefix dims for the truncation-recall evaluation
+
+
+def emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-recall evaluation (the Matryoshka-representation
+    question): if vectors are cut to their first PRE_DIM dims — the 4×
+    cheaper index — how much of the full-dimension top-k survives?
+    Per query: the overlap between full-dim and prefix-dim exact top-k
+    lists and the recall in ppm. This is the measurement that decides
+    whether the cheap index tier (prefix dims, random projection, PQ)
+    is good enough for a corpus BEFORE committing a 100 TB build to it.
+
+    Scale: two broadcast-query scoring passes over one corpus stream
+    (the prefix pass reads the same vectors, sliced), two bounded
+    top-k windows partitioned by query, and a tiny overlap join — all
+    per-query state is ≤ TOP_K rows."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.expr(f"slice(v, 1, {PRE_DIM})").alias("qp"),
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "v", F.expr(f"slice(v, 1, {PRE_DIM})").alias("vp")
+    )
+    pairs = corpus.crossJoin(F.broadcast(q))
+    w_full = W.partitionBy("q_id").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    w_pre = W.partitionBy("q_id").orderBy(F.desc("cos_pre"), F.asc("vec_id"))
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(_cosine_udf("v", "qv"), 6).alias("cos_full"),
+        F.round(_cosine_udf("vp", "qp"), 6).alias("cos_pre"),
+    )
+    full_k = (
+        scored.withColumn("rk", F.row_number().over(w_full))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    pre_k = (
+        scored.withColumn("rk", F.row_number().over(w_pre))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    overlap = full_k.join(pre_k, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        full_k.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            "k",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.expr("(coalesce(n_overlap, 0) * 1000000) div k").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+def _prefix_recall_oracle() -> str:
+    def cos(d, a, b):
+        dot = _DOT_SQL.format(d=d, a=a, b=b)
+        na = _DOT_SQL.format(d=d, a=a, b=a)
+        nb = _DOT_SQL.format(d=d, a=b, b=b)
+        return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, v[1:{PRE_DIM}] AS qp FROM e
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, e.vec_id,
+         round({cos(EMB_DIM, "e.v", "q.qv")}, 6) AS cos_full,
+         round({cos(PRE_DIM, "e.v", "q.qp")}, 6) AS cos_pre
+  FROM e CROSS JOIN q WHERE e.vec_id >= {N_QUERIES}
+), full_k AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_full DESC, vec_id ASC) AS rk FROM scored
+  ) WHERE rk <= {TOP_K}
+), pre_k AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_pre DESC, vec_id ASC) AS rk FROM scored
+  ) WHERE rk <= {TOP_K}
+), overlap AS (
+  SELECT f.q_id, count(*) AS n_overlap
+  FROM full_k f JOIN pre_k p ON f.q_id = p.q_id AND f.vec_id = p.vec_id
+  GROUP BY f.q_id
+)
+SELECT k.q_id, k.k, coalesce(o.n_overlap, 0) AS n_overlap,
+       (coalesce(o.n_overlap, 0) * 1000000) // k.k AS recall_ppm
+FROM (SELECT q_id, count(*) AS k FROM full_k GROUP BY q_id) k
+LEFT JOIN overlap o ON k.q_id = o.q_id
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QueryDef("ann_ivf_pq", ann_ivf_pq, _ivfpq_oracle()),
+    QueryDef("emb_prefix_recall", emb_prefix_recall, _prefix_recall_oracle()),
     QueryDef("emb_random_projection", emb_random_projection, _rp_oracle()),
     QueryDef("emb_pq_encode", emb_pq_encode, _pq_oracle()),
     QueryDef("dedup_semantic", dedup_semantic, _semdedup_oracle()),

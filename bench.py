@@ -120,6 +120,7 @@ HEADLINE = [
     "multimodal_shot_boundaries",
     "multimodal_header_meta",
     "q_gini_segments",
+    "emb_prefix_recall",
 ]
 
 

@@ -1072,3 +1072,44 @@ def test_gini_matches_python_and_bounds(spark):
         assert r["majority_ppm"] == max(ctr.values()) * 1_000_000 // n
         assert 0 <= r["gini_ppm"] <= 1_000_000 - 1_000_000 // len(ctr)
         assert r["majority_ppm"] >= 1_000_000 // len(ctr)
+
+
+def test_prefix_recall_matches_numpy(spark):
+    """Overlap counts must equal a direct numpy recompute of both
+    top-k lists (full-dim and prefix-dim, round-6 cosines, vec_id
+    tiebreak)."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        PRE_DIM,
+        TOP_K,
+        emb_prefix_recall,
+    )
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def cos(a, b):
+        acc = na = nb = 0.0
+        for i in range(len(a)):
+            acc += a[i] * b[i]
+            na += a[i] * a[i]
+            nb += b[i] * b[i]
+        return round(acc / (na**0.5 * nb**0.5), 6)
+
+    corpus = sorted(v for v in emb if v >= N_QUERIES)
+    got = {r["q_id"]: r for r in emb_prefix_recall(spark, SF_DIR).collect()}
+    for q in (v for v in emb if v < N_QUERIES):
+        full = sorted(corpus, key=lambda v: (-cos(emb[q], emb[v]), v))[:TOP_K]
+        pre = sorted(
+            corpus,
+            key=lambda v: (-cos(emb[q][:PRE_DIM], emb[v][:PRE_DIM]), v),
+        )[:TOP_K]
+        n_overlap = len(set(full) & set(pre))
+        r = got[q]
+        assert r["k"] == len(full)
+        assert r["n_overlap"] == n_overlap, q
+        assert r["recall_ppm"] == n_overlap * 1_000_000 // len(full)

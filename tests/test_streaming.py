@@ -69,3 +69,22 @@ def test_session_windows_run(spark):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 <= s2, "overlapping sessions for a user"
+
+
+def test_sink_parquet_batch_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once half the sink owns: re-running a micro-batch
+    write must replace its directory, not duplicate rows (the offset
+    log guarantees the other half)."""
+    from ai_data_pipeline_spark.catalog import load_table
+
+    sink = str(tmp_path / "lake")
+    batch = load_table(spark, SF_DIR, "events").limit(100)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+
+    write_batch(batch, 0)
+    n1 = spark.read.option("basePath", sink).parquet(sink).count()
+    write_batch(batch, 0)  # replay the same batch
+    n2 = spark.read.option("basePath", sink).parquet(sink).count()
+    assert n1 == n2 == 100
