@@ -807,6 +807,73 @@ BOILER_N = 2  # bigram unit (synthetic vocab is small -> bigrams recur)
 BOILER_NUM, BOILER_DEN = 1, 5  # boilerplate: gram in >= 20% of source docs
 
 
+CHUNK_LEN = 128  # tokens per chunk
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking — the RAG/retrieval prep step that
+    splits documents into CHUNK_LEN-token pieces advancing by
+    CHUNK_STRIDE (so consecutive chunks share CHUNK_LEN−CHUNK_STRIDE
+    tokens of context). Emits one row per chunk with its token span
+    and an exact char length (sum of token lengths + single joining
+    spaces), the relation an embedding stage consumes downstream.
+
+    The chunk count per doc is ceil(max(n−overlap, 1) / stride); the
+    final chunk is ragged. Scale: pure narrow transforms (sequence +
+    slice over the token array) — chunking is map-side; the explode
+    multiplies rows by ~n/stride, which is the intended fan-out of the
+    operator, not a shuffle."""
+    toks = _token_arrays(spark, sf_dir)
+    overlap = CHUNK_LEN - CHUNK_STRIDE
+    chunks = toks.select(
+        "doc_id",
+        F.expr("size(l)").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(greatest(size(l) - {overlap}, 1)"
+                f" / {CHUNK_STRIDE}.0) as int) - 1),"
+                f" i -> slice(l, i * {CHUNK_STRIDE} + 1, {CHUNK_LEN}))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "n_tokens",
+        "chunk_idx",
+        (F.col("chunk_idx") * CHUNK_STRIDE).alias("start_tok"),
+        F.size("chunk").alias("chunk_tokens"),
+        F.expr(
+            "aggregate(chunk, cast(0 as bigint), (a, t) -> a + length(t))"
+            " + greatest(size(chunk) - 1, 0)"
+        ).alias("chunk_chars"),
+    )
+
+
+CHUNK_OVERLAP_ORACLE = rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents),
+spans AS (
+  SELECT doc_id, len(l) AS n_tokens,
+         unnest(range(0, CAST(ceil(greatest(len(l) - {CHUNK_LEN - CHUNK_STRIDE}, 1)
+                               / {CHUNK_STRIDE}.0) AS INT))) AS chunk_idx,
+         l
+  FROM toks
+), chunks AS (
+  SELECT doc_id, n_tokens, chunk_idx, chunk_idx * {CHUNK_STRIDE} AS start_tok,
+         l[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_LEN}]
+           AS chunk
+  FROM spans
+)
+SELECT doc_id, n_tokens, chunk_idx, start_tok,
+       len(chunk) AS chunk_tokens,
+       CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(chunk, t -> CAST(length(t) AS BIGINT))),
+              (a, b) -> a + b), 0)
+            + greatest(len(chunk) - 1, 0) AS BIGINT) AS chunk_chars
+FROM chunks
+"""
+
+
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: the fraction of a doc's distinct 5-grams
     whose FIRST occurrence (lowest doc_id — stand-in for earliest
@@ -1048,4 +1115,5 @@ QUERY_DEFS = [
     QueryDef("corpus_token_rarity", corpus_token_rarity, RARITY_ORACLE),
     QueryDef("corpus_domain_caps", corpus_domain_caps, DOMAIN_CAPS_ORACLE),
     QueryDef("corpus_ngram_novelty", corpus_ngram_novelty, NGRAM_NOVELTY_ORACLE),
+    QueryDef("corpus_chunk_overlap", corpus_chunk_overlap, CHUNK_OVERLAP_ORACLE),
 ]

@@ -521,8 +521,89 @@ FROM scored
 """
 
 
+COVERAGE_KS = [100, 500, 2000]  # vocab sizes to evaluate
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing decision: what
+    share of the corpus's total token mass do the top-k terms cover,
+    for k in COVERAGE_KS? The curve's knee tells you how large a
+    word-level vocab (or how aggressive a BPE merge budget) must be
+    before OOV mass is negligible. Shares are exact integer ppm.
+
+    Scale: tf is one term-keyed shuffle with map-side combine (vocab-
+    sized); the top-max(k) selection is a distributed TakeOrdered
+    (orderBy+limit — no global sort), and the only ordered window runs
+    over those max(k)=2000 rows. The grand total broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = tf.agg(
+        F.sum("tf").alias("total_tokens"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    top = tf.orderBy(F.desc("tf"), F.asc("term")).limit(max(COVERAGE_KS))
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("tf"), F.asc("term")))
+    ).withColumn(
+        "cum_tf",
+        F.sum("tf").over(
+            W.orderBy(F.desc("tf"), F.asc("term")).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    ks = spark.range(0, len(COVERAGE_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in COVERAGE_KS]), (F.col("id") + 1).cast("int")
+        ).alias("k")
+    )
+    at_k = ks.join(
+        F.broadcast(ranked.select("rank", "cum_tf")),
+        ks["k"] >= ranked["rank"],
+    ).groupBy("k").agg(
+        F.max("rank").alias("n_terms"), F.max("cum_tf").alias("cum_tf")
+    )
+    return at_k.crossJoin(F.broadcast(totals)).select(
+        "k",
+        "n_terms",
+        "cum_tf",
+        "total_tokens",
+        "vocab_size",
+        F.expr("(cum_tf * 1000000) div total_tokens").alias("coverage_ppm"),
+    )
+
+
+def _vocab_coverage_oracle() -> str:
+    ks = ", ".join(str(k) for k in COVERAGE_KS)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY term
+), totals AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS total_tokens, count(*) AS vocab_size FROM tf
+), ranked AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank,
+         CAST(sum(tf) OVER (ORDER BY tf DESC, term
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tf
+  FROM tf
+)
+SELECT k, max(rank) AS n_terms, max(cum_tf) AS cum_tf,
+       total_tokens, vocab_size,
+       (max(cum_tf) * 1000000) // total_tokens AS coverage_ppm
+FROM (SELECT unnest([{ks}]) AS k) ks
+JOIN ranked ON ks.k >= ranked.rank
+CROSS JOIN totals
+GROUP BY k, total_tokens, vocab_size
+"""
+
+
 QUERY_DEFS = [
     QueryDef("text_stats", text_stats, _text_stats_oracle()),
+    QueryDef("text_vocab_coverage", vocab_coverage, _vocab_coverage_oracle()),
     QueryDef("text_readability", text_readability, TEXT_READABILITY_ORACLE),
     QueryDef("text_encoding_audit", encoding_audit, ENCODING_AUDIT_ORACLE),
     QueryDef("text_quality_flags", quality_score, QUALITY_ORACLE),

@@ -121,6 +121,8 @@ HEADLINE = [
     "multimodal_header_meta",
     "q_gini_segments",
     "emb_prefix_recall",
+    "corpus_chunk_overlap",
+    "text_vocab_coverage",
 ]
 
 

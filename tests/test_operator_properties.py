@@ -1113,3 +1113,78 @@ def test_prefix_recall_matches_numpy(spark):
         assert r["k"] == len(full)
         assert r["n_overlap"] == n_overlap, q
         assert r["recall_ppm"] == n_overlap * 1_000_000 // len(full)
+
+
+def test_chunk_overlap_reconstruction(spark):
+    """Chunk spans must tile each document with the declared stride and
+    overlap: chunk i starts at i*stride, all but the last have full
+    length, consecutive chunks share len-stride tokens, and the union
+    of spans covers every token."""
+    import re
+
+    from ai_data_pipeline_spark.operators.corpus import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        corpus_chunk_overlap,
+    )
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    from collections import defaultdict
+
+    got = defaultdict(dict)
+    for r in corpus_chunk_overlap(spark, SF_DIR).collect():
+        got[r["doc_id"]][r["chunk_idx"]] = r
+    assert set(got) == set(docs)
+    for d, toks in docs.items():
+        n = len(toks)
+        import math
+
+        want_chunks = math.ceil(max(n - (CHUNK_LEN - CHUNK_STRIDE), 1) / CHUNK_STRIDE)
+        assert set(got[d]) == set(range(want_chunks)), d
+        for i in range(want_chunks):
+            r = got[d][i]
+            chunk = toks[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_LEN]
+            assert r["start_tok"] == i * CHUNK_STRIDE
+            assert r["chunk_tokens"] == len(chunk)
+            assert r["chunk_chars"] == sum(len(t) for t in chunk) + max(
+                len(chunk) - 1, 0
+            )
+        # coverage: last chunk must reach the end of the doc
+        last = got[d][want_chunks - 1]
+        assert last["start_tok"] + last["chunk_tokens"] == n
+
+
+def test_vocab_coverage_matches_counter(spark):
+    """Coverage points must equal a Counter-based recompute (rank by
+    tf desc then term, cumulative mass at each k)."""
+    import re
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.text import (
+        COVERAGE_KS,
+        vocab_coverage,
+    )
+
+    ctr = Counter()
+    for r in load_table(spark, SF_DIR, "documents").select("text").collect():
+        for t in re.split(r"[^a-z]+", r["text"].lower()):
+            if t:
+                ctr[t] += 1
+    ranked = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(ctr.values())
+    got = {r["k"]: r for r in vocab_coverage(spark, SF_DIR).collect()}
+    assert set(got) == set(COVERAGE_KS)
+    for k in COVERAGE_KS:
+        topk = ranked[:k]
+        cum = sum(v for _, v in topk)
+        r = got[k]
+        assert r["n_terms"] == len(topk)
+        assert r["cum_tf"] == cum
+        assert r["total_tokens"] == total
+        assert r["vocab_size"] == len(ctr)
+        assert r["coverage_ppm"] == cum * 1_000_000 // total
