@@ -502,8 +502,42 @@ SELECT * FROM (
 """
 
 
+def q_percent_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window functions missing from the sampler:
+    percent_rank, cume_dist, and ntile over a per-segment total order
+    (acctbal desc, custkey — totality makes all three engine-
+    deterministic; both engines evaluate the same (rank−1)/(n−1) and
+    rows≤current/n integer-ratio divisions, rounded to 6dp). One
+    shuffle on the partition key, every-10th-customer output cap."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).filter(F.col("c_custkey") % 10 == 0)
+
+
+Q_PERCENT_RANK_ORACLE = """
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume,
+         ntile(4) OVER w AS quartile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC)
+) WHERE c_custkey % 10 = 0
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE),
+    QueryDef("q_percent_rank_dist", q_percent_rank_dist, Q_PERCENT_RANK_ORACLE),
     QueryDef("q_window_function_sampler", q_window_function_sampler, Q_WINDOW_SAMPLER_ORACLE),
     QueryDef("q_balance_deciles", q_balance_deciles, Q_DECILES_ORACLE),
     QueryDef("q_basket_pairs", q_basket_pairs, Q_BASKET_ORACLE),

@@ -263,8 +263,69 @@ FROM grid g LEFT OUTER JOIN daily d
 """
 
 
+MAD_K = 3  # flag |x - median| > MAD_K * MAD
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection — the robust
+    complement to the IQR and z-score detectors (a single extreme value
+    cannot move the median or the MAD, unlike the mean/stddev): per
+    return flag, median quantity, MAD, and the count of rows beyond
+    MAD_K·MAD from the median.
+
+    Two aggregation passes (median, then median-of-deviations with the
+    group medians joined back — dimension-sized, broadcast); at 100 TB
+    the exact percentile swaps for the mergeable percentile_approx
+    sketch, same shape as q_percentiles' documented tier."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med")
+    )
+    dev = l.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med", F.abs(F.col("l_quantity") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad_exact")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 6).alias("median_qty"),
+            F.round(F.first("mad_exact"), 6).alias("mad_qty"),
+            F.sum((F.col("ad") > MAD_K * F.col("mad_exact")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+Q_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+  FROM lineitem GROUP BY 1
+), dev AS (
+  SELECT l.l_returnflag, med, abs(l_quantity - med) AS ad
+  FROM lineitem l JOIN med USING (l_returnflag)
+), mad AS (
+  SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad_exact
+  FROM dev GROUP BY 1
+)
+SELECT d.l_returnflag,
+       count(*) AS n,
+       round(any_value(d.med), 6) AS median_qty,
+       round(any_value(m.mad_exact), 6) AS mad_qty,
+       CAST(sum(CASE WHEN d.ad > {MAD_K} * m.mad_exact THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (l_returnflag)
+GROUP BY d.l_returnflag
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_moving_avg_7d", q_moving_avg_7d, Q_MOVING_AVG_ORACLE),
+    QueryDef("q_mad_outliers", q_mad_outliers, Q_MAD_ORACLE),
     QueryDef("q_gap_fill_locf", q_gap_fill_locf, Q_GAP_FILL_ORACLE),
     QueryDef("q_outliers_iqr", q_outliers_iqr, Q_OUTLIERS_IQR_ORACLE),
     QueryDef("q_zscore_outliers", q_zscore_outliers, Q_ZSCORE_ORACLE),

@@ -123,6 +123,8 @@ HEADLINE = [
     "emb_prefix_recall",
     "corpus_chunk_overlap",
     "text_vocab_coverage",
+    "q_mad_outliers",
+    "q_percent_rank_dist",
 ]
 
 

@@ -1188,3 +1188,32 @@ def test_vocab_coverage_matches_counter(spark):
         assert r["total_tokens"] == total
         assert r["vocab_size"] == len(ctr)
         assert r["coverage_ppm"] == cum * 1_000_000 // total
+
+
+def test_mad_outliers_matches_statistics_median(spark):
+    """Median and MAD must equal statistics.median-based recompute
+    (linear-interpolated medians on even counts match Spark's
+    percentile), and outlier counts must follow the MAD_K rule."""
+    import statistics
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.operators.analytic2 import MAD_K, q_mad_outliers
+
+    vals = defaultdict(list)
+    for r in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    ):
+        vals[r["l_returnflag"]].append(r["l_quantity"])
+    got = {r["l_returnflag"]: r for r in q_mad_outliers(spark, SF_DIR).collect()}
+    assert set(got) == set(vals)
+    for flag, xs in vals.items():
+        med = statistics.median(xs)
+        ads = [abs(x - med) for x in xs]
+        mad = statistics.median(ads)
+        r = got[flag]
+        assert r["n"] == len(xs)
+        assert abs(r["median_qty"] - med) <= 1e-6
+        assert abs(r["mad_qty"] - mad) <= 1e-6
+        assert r["n_outliers"] == sum(1 for a in ads if a > MAD_K * mad)
