@@ -1237,10 +1237,75 @@ LEFT JOIN overlap o ON k.q_id = o.q_id
 """
 
 
+def emb_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA — the gate before any index build, catching
+    the two classic upstream-pipeline failures: degenerate vectors
+    (zero or near-zero norm from a crashed encoder) and exact-duplicate
+    vectors (a retry loop that re-embedded the same rows). Per vector:
+    the fixed-point squared norm, a near-zero flag, the size of its
+    exact-duplicate group (keyed on the md5 of the quantized vector, so
+    the groupBy shuffles digests, not vectors), and the min-id keeper
+    flag. All integer-exact.
+
+    Scale: one narrow map computes digest + norm, one digest-keyed
+    aggregate sizes the dup groups (map-side partials), one join back —
+    the exact-dedup plan shape applied to the vector column."""
+    vfp = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(f"transform(embedding, x -> {_FP})").alias("v_fp")
+    )
+    per_vec = vfp.select(
+        "vec_id",
+        F.md5(F.expr("cast(v_fp as string)")).alias("h"),
+        F.expr(
+            "aggregate(v_fp, cast(0 as bigint), (a, x) -> a + x * x)"
+        ).alias("norm_sq_fp"),
+    )
+    groups = per_vec.groupBy("h").agg(
+        F.count(F.lit(1)).alias("dup_group_size"),
+        F.min("vec_id").alias("keeper_id"),
+    )
+    return per_vec.join(groups, "h").select(
+        "vec_id",
+        "norm_sq_fp",
+        (F.col("norm_sq_fp") < 10**6).cast("int").alias("flag_degenerate"),
+        "dup_group_size",
+        (F.col("vec_id") == F.col("keeper_id")).cast("int").alias("keep"),
+    )
+
+
+def _emb_quality_oracle() -> str:
+    # DuckDB list-of-bigint cast-to-string differs from Spark's array
+    # rendering, so the digest key is rebuilt the same way both sides:
+    # Spark `cast(array<bigint> as string)` renders `[a, b, ...]`,
+    # which DuckDB reproduces with '[' || list concat ', ' || ']'.
+    return f"""
+WITH vfp AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> {_FP}) AS v_fp
+  FROM embeddings
+), per_vec AS (
+  SELECT vec_id,
+         md5('[' || array_to_string(v_fp, ', ') || ']') AS h,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(v_fp, x -> x * x)), (a, b) -> a + b) AS norm_sq_fp
+  FROM vfp
+), groups AS (
+  SELECT h, count(*) AS dup_group_size, min(vec_id) AS keeper_id
+  FROM per_vec GROUP BY h
+)
+SELECT vec_id, norm_sq_fp,
+       CAST(norm_sq_fp < 1000000 AS INT) AS flag_degenerate,
+       dup_group_size,
+       CAST(vec_id = keeper_id AS INT) AS keep
+FROM per_vec JOIN groups USING (h)
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QueryDef("ann_ivf_pq", ann_ivf_pq, _ivfpq_oracle()),
     QueryDef("emb_prefix_recall", emb_prefix_recall, _prefix_recall_oracle()),
+    QueryDef("emb_quality_audit", emb_quality_audit, _emb_quality_oracle()),
     QueryDef("emb_random_projection", emb_random_projection, _rp_oracle()),
     QueryDef("emb_pq_encode", emb_pq_encode, _pq_oracle()),
     QueryDef("dedup_semantic", dedup_semantic, _semdedup_oracle()),

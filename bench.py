@@ -125,6 +125,7 @@ HEADLINE = [
     "text_vocab_coverage",
     "q_mad_outliers",
     "q_percent_rank_dist",
+    "emb_quality_audit",
 ]
 
 

@@ -1217,3 +1217,34 @@ def test_mad_outliers_matches_statistics_median(spark):
         assert abs(r["median_qty"] - med) <= 1e-6
         assert abs(r["mad_qty"] - mad) <= 1e-6
         assert r["n_outliers"] == sum(1 for a in ads if a > MAD_K * mad)
+
+
+def test_emb_quality_audit_matches_python(spark):
+    """Norms, duplicate-group sizes, and keeper flags must equal a
+    direct recompute over the quantized vectors."""
+    import math
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.similarity import emb_quality_audit
+
+    emb = {
+        r["vec_id"]: tuple(
+            int(math.floor(float(x) * 1_000_000)) for x in r["embedding"]
+        )
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    sizes = Counter(emb.values())
+    keeper = {}
+    for vid in sorted(emb):
+        keeper.setdefault(emb[vid], vid)
+    got = {r["vec_id"]: r for r in emb_quality_audit(spark, SF_DIR).collect()}
+    assert set(got) == set(emb)
+    for vid, v in emb.items():
+        r = got[vid]
+        norm_sq = sum(x * x for x in v)
+        assert r["norm_sq_fp"] == norm_sq
+        assert r["flag_degenerate"] == int(norm_sq < 10**6)
+        assert r["dup_group_size"] == sizes[v]
+        assert r["keep"] == int(keeper[v] == vid)
