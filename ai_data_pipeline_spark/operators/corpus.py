@@ -807,6 +807,89 @@ BOILER_N = 2  # bigram unit (synthetic vocab is small -> bigrams recur)
 BOILER_NUM, BOILER_DEN = 1, 5  # boilerplate: gram in >= 20% of source docs
 
 
+OVERLAP_PREFIX_TOKENS = 20  # leading-content identity window
+
+
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap — the merge diagnostic run before
+    combining crawl dumps (consecutive CommonCrawl snapshots overlap
+    heavily; blind unioning double-counts that mass): for every source
+    pair, the number of shared distinct content digests and the Jaccard
+    overlap in exact ppm. High-overlap pairs get deduped against each
+    other first (or one side dropped) before the corpus-wide pass.
+
+    Scale: documents reduce to distinct (source, digest) rows (one
+    keyed aggregate, text never shuffled); the pair counts come from a
+    digest-keyed self-join — work proportional to shared digests — and
+    per-source totals are a tiny aggregate broadcast back. With S
+    sources the output is ≤ S(S−1)/2 rows regardless of corpus size.
+
+    The content key is the digest of the first OVERLAP_PREFIX_TOKENS
+    tokens — leading-content identity catches exact duplicates AND
+    shared-template / truncated-continuation overlap, the dominant
+    inter-dump duplication modes (full-text digests additionally miss
+    any pair differing in a trailing byte)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(
+            F.expr(
+                "concat_ws(' ', slice(split(text, '\\\\s+'), 1,"
+                f" {OVERLAP_PREFIX_TOKENS}))"
+            )
+        ).alias("h"),
+    ).distinct()
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr(
+                "(n_shared * 1000000) div (n_a + n_b - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+SOURCE_OVERLAP_ORACLE = rf"""
+WITH d AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(
+           (string_split_regex(text, '\s+'))[1:{OVERLAP_PREFIX_TOKENS}], ' ')) AS h
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS n FROM d GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       (n_shared * 1000000) // (sa.n + sb.n - n_shared) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
 CHUNK_LEN = 128  # tokens per chunk
 CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
 
@@ -1116,4 +1199,5 @@ QUERY_DEFS = [
     QueryDef("corpus_domain_caps", corpus_domain_caps, DOMAIN_CAPS_ORACLE),
     QueryDef("corpus_ngram_novelty", corpus_ngram_novelty, NGRAM_NOVELTY_ORACLE),
     QueryDef("corpus_chunk_overlap", corpus_chunk_overlap, CHUNK_OVERLAP_ORACLE),
+    QueryDef("corpus_source_overlap", corpus_source_overlap, SOURCE_OVERLAP_ORACLE),
 ]

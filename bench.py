@@ -126,6 +126,7 @@ HEADLINE = [
     "q_mad_outliers",
     "q_percent_rank_dist",
     "emb_quality_audit",
+    "corpus_source_overlap",
 ]
 
 

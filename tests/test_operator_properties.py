@@ -1248,3 +1248,41 @@ def test_emb_quality_audit_matches_python(spark):
         assert r["flag_degenerate"] == int(norm_sq < 10**6)
         assert r["dup_group_size"] == sizes[v]
         assert r["keep"] == int(keeper[v] == vid)
+
+
+def test_source_overlap_matches_python(spark):
+    """Pair counts and Jaccard ppm must equal a direct recompute over
+    leading-prefix digests, and shared counts can never exceed either
+    side's distinct-prefix count."""
+    import re
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.operators.corpus import (
+        OVERLAP_PREFIX_TOKENS,
+        corpus_source_overlap,
+    )
+
+    by_src = defaultdict(set)
+    for r in (
+        load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    ):
+        toks = re.split(r"\s+", r["text"])[:OVERLAP_PREFIX_TOKENS]
+        by_src[r["source"]].add(" ".join(toks))
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in corpus_source_overlap(spark, SF_DIR).collect()
+    }
+    want_pairs = {
+        (a, b)
+        for a in by_src
+        for b in by_src
+        if a < b and by_src[a] & by_src[b]
+    }
+    assert set(got) == want_pairs
+    for (a, b), r in got.items():
+        inter = len(by_src[a] & by_src[b])
+        un = len(by_src[a] | by_src[b])
+        assert r["n_a"] == len(by_src[a]) and r["n_b"] == len(by_src[b])
+        assert r["n_shared"] == inter
+        assert r["n_shared"] <= min(r["n_a"], r["n_b"])
+        assert r["jaccard_ppm"] == inter * 1_000_000 // un
