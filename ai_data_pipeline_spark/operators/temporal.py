@@ -580,9 +580,59 @@ FROM deltas
 """
 
 
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile — the baseline a capacity
+    planner or anomaly detector normalizes against: events per weekday
+    vs the all-days expectation, as an exact-ppm index (1 000 000 =
+    exactly average). Counts are integers and the expectation is a
+    cross-product comparison (n_events·n_days_total vs
+    n_total·n_days_dow), so every index is engine-exact.
+
+    Scale: one (weekday)-keyed aggregate with map-side partials over
+    the scan plus a 7-row broadcast total — scan speed at any size."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_dow = daily.groupBy("dow").agg(
+        F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_days")
+    )
+    totals = per_dow.agg(
+        F.sum("n_events").alias("total_events"), F.sum("n_days").alias("total_days")
+    )
+    return per_dow.crossJoin(F.broadcast(totals)).select(
+        "dow",
+        "n_events",
+        "n_days",
+        F.expr(
+            "(n_events * total_days * 1000000) div (n_days * total_events)"
+        ).alias("seasonal_index_ppm"),
+    )
+
+
+Q_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, dayofweek(ts) + 1 AS dow, count(*) AS n
+  FROM events GROUP BY 1, 2
+), per_dow AS (
+  SELECT dow, CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_days
+  FROM daily GROUP BY dow
+), totals AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS total_events,
+         CAST(sum(n_days) AS BIGINT) AS total_days
+  FROM per_dow
+)
+SELECT dow, n_events, n_days,
+       (n_events * total_days * 1000000) // (n_days * total_events)
+         AS seasonal_index_ppm
+FROM per_dow CROSS JOIN totals
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
     QueryDef("q_interval_sweep", q_interval_sweep, Q_INTERVAL_SWEEP_ORACLE),
+    QueryDef("q_seasonal_index", q_seasonal_index, Q_SEASONAL_ORACLE),
     QueryDef("q_scd2_status_history", q_scd2_status_history, Q_SCD2_ORACLE),
     QueryDef("q_event_transitions", q_event_transitions, Q_TRANSITIONS_ORACLE),
     QueryDef("q_time_weighted_avg", q_time_weighted_avg, Q_TWA_ORACLE),

@@ -127,6 +127,7 @@ HEADLINE = [
     "q_percent_rank_dist",
     "emb_quality_audit",
     "corpus_source_overlap",
+    "q_seasonal_index",
 ]
 
 

@@ -1286,3 +1286,23 @@ def test_source_overlap_matches_python(spark):
         assert r["n_shared"] == inter
         assert r["n_shared"] <= min(r["n_a"], r["n_b"])
         assert r["jaccard_ppm"] == inter * 1_000_000 // un
+
+
+def test_seasonal_index_identities(spark):
+    """Per-weekday counts must sum to the corpus total; the
+    event-weighted mean index must be >= 1e6 - 7 ppm of exactly average
+    (floor rounding); all 7 weekdays present."""
+    from ai_data_pipeline_spark.operators.temporal import q_seasonal_index
+
+    rows = q_seasonal_index(spark, SF_DIR).collect()
+    assert {r["dow"] for r in rows} == set(range(1, 8))
+    total_events = sum(r["n_events"] for r in rows)
+    total_days = sum(r["n_days"] for r in rows)
+    n = load_table(spark, SF_DIR, "events").count()
+    assert total_events == n
+    for r in rows:
+        want = (
+            r["n_events"] * total_days * 1_000_000
+            // (r["n_days"] * total_events)
+        )
+        assert r["seasonal_index_ppm"] == want
