@@ -231,9 +231,69 @@ FROM classified GROUP BY status
 """
 
 
+SCD2_BASE_FROM = "2020-01-01"  # valid_from of the initial dimension load
+SCD2_EFFECTIVE = "2024-06-01"  # effective date of the incoming change batch
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 MERGE — the close-and-insert versioning step a
+    dimension table runs per load (vs ``q_scd2_status_history``, which
+    rebuilds history from an event log, and ``q_upsert_merge``, which
+    overwrites SCD1-style): an incoming change batch (every 10th
+    customer's balance moves) closes the current version at the
+    effective date and inserts a new open-ended version; untouched
+    customers pass through. Emits the full post-merge version table
+    (key, balance, valid_from, valid_to, is_current).
+
+    Scale: one equi-join of the dimension against the (much smaller)
+    change batch plus a union — the exact plan a Delta/Iceberg SCD2
+    MERGE compiles to; the dimension shuffles once on the key (or not
+    at all when the change batch broadcasts, as AQE chooses here)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("bal")
+    )
+    changes = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"), (F.col("bal") + 100).alias("new_bal")
+    )
+    base = c.join(changes, c["c_custkey"] == changes["k"], "left")
+    existing = base.select(
+        "c_custkey",
+        "bal",
+        F.lit(SCD2_BASE_FROM).cast("date").alias("valid_from"),
+        F.when(F.col("k").isNotNull(), F.lit(SCD2_EFFECTIVE).cast("date")).alias(
+            "valid_to"
+        ),
+        F.col("k").isNull().cast("int").alias("is_current"),
+    )
+    inserted = changes.select(
+        F.col("k").alias("c_custkey"),
+        F.col("new_bal").alias("bal"),
+        F.lit(SCD2_EFFECTIVE).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return existing.unionByName(inserted)
+
+
+Q_SCD2_MERGE_ORACLE = f"""
+WITH c AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
+changes AS (
+  SELECT c_custkey AS k, bal + 100 AS new_bal FROM c WHERE c_custkey % 10 = 0
+)
+SELECT c.c_custkey, c.bal,
+       DATE '{SCD2_BASE_FROM}' AS valid_from,
+       CASE WHEN ch.k IS NOT NULL THEN DATE '{SCD2_EFFECTIVE}' END AS valid_to,
+       CAST(ch.k IS NULL AS INT) AS is_current
+FROM c LEFT JOIN changes ch ON c.c_custkey = ch.k
+UNION ALL
+SELECT k, new_bal, DATE '{SCD2_EFFECTIVE}', NULL, 1 FROM changes
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_upsert_merge", q_upsert_merge, Q_UPSERT_ORACLE),
     QueryDef("q_cdc_apply", q_cdc_apply, Q_CDC_APPLY_ORACLE),
     QueryDef("q_table_diff", q_table_diff, _table_diff_oracle()),
+    QueryDef("q_scd2_merge", q_scd2_merge, Q_SCD2_MERGE_ORACLE),
     QueryDef("q_salted_join_revenue", q_salted_join_revenue, Q_SALTED_ORACLE),
 ]

@@ -128,6 +128,7 @@ HEADLINE = [
     "emb_quality_audit",
     "corpus_source_overlap",
     "q_seasonal_index",
+    "q_scd2_merge",
 ]
 
 

@@ -1306,3 +1306,36 @@ def test_seasonal_index_identities(spark):
             // (r["n_days"] * total_events)
         )
         assert r["seasonal_index_ppm"] == want
+
+
+def test_scd2_merge_version_invariants(spark):
+    """Version-table invariants: exactly one current version per key,
+    changed keys have a closed version ending where the new one starts,
+    untouched keys keep a single open-ended version."""
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.operators.maintenance import (
+        SCD2_EFFECTIVE,
+        q_scd2_merge,
+    )
+
+    versions = defaultdict(list)
+    for r in q_scd2_merge(spark, SF_DIR).collect():
+        versions[r["c_custkey"]].append(r)
+    keys = {
+        r["c_custkey"]
+        for r in load_table(spark, SF_DIR, "customer").select("c_custkey").collect()
+    }
+    assert set(versions) == keys
+    for k, vs in versions.items():
+        current = [v for v in vs if v["is_current"] == 1]
+        assert len(current) == 1
+        assert current[0]["valid_to"] is None
+        if k % 10 == 0:
+            assert len(vs) == 2
+            closed = next(v for v in vs if v["is_current"] == 0)
+            assert str(closed["valid_to"]) == SCD2_EFFECTIVE
+            assert str(current[0]["valid_from"]) == SCD2_EFFECTIVE
+            assert current[0]["bal"] == closed["bal"] + 100
+        else:
+            assert len(vs) == 1
