@@ -271,6 +271,7 @@ _UNPROVEN_PRIORITY = [
     "corpus_chunk_overlap", "text_vocab_coverage",
     "q_mad_outliers", "q_percent_rank_dist", "emb_quality_audit",
     "corpus_source_overlap", "q_seasonal_index", "q_scd2_merge",
+    "ann_knn_classify",
     # source roundtrips last (family already has driver-green twins)
     "orc_roundtrip_lineitem", "partitioned_roundtrip_events",
     "binfile_ingest_documents", "pyds_synthetic_agg", "pyds_stream_agg",

@@ -1301,11 +1301,96 @@ FROM per_vec JOIN groups USING (h)
 """
 
 
+def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification — the label-propagation use of a similarity
+    index (auto-tagging new documents from their embedded neighbors):
+    each query vector takes the majority label of its TOP_K nearest
+    corpus vectors (ties → smallest label), reported next to its actual
+    label. The vote count makes prediction confidence visible.
+
+    Scale: the same broadcast-query/corpus-stream top-k as
+    ``ann_cosine_topk`` (at 100 TB the candidate stage swaps for
+    IVF/LSH, same downstream vote), then a (query, label)-keyed vote
+    count and a ``min_by`` winner — all bounded per query by TOP_K."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v"), "label"
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("actual_label"),
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    neighbors = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "actual_label",
+            "vec_id",
+            "label",
+            F.round(_cosine_udf("v", "qv"), 6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+    votes = neighbors.groupBy("q_id", "actual_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    return votes.groupBy("q_id", "actual_label").agg(
+        F.min_by("label", F.struct(-F.col("n_votes"), F.col("label"))).alias(
+            "predicted_label"
+        ),
+        F.max("n_votes").alias("n_votes"),
+    ).select(
+        "q_id",
+        "predicted_label",
+        "actual_label",
+        "n_votes",
+        (F.col("predicted_label") == F.col("actual_label")).cast("int").alias(
+            "correct"
+        ),
+    )
+
+
+def _knn_classify_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, label AS actual_label FROM e
+  WHERE vec_id < {N_QUERIES}
+), neighbors AS (
+  SELECT q_id, actual_label, label FROM (
+    SELECT q.q_id, q.actual_label, e.vec_id, e.label,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({_cos_sql("e.v", "q.qv")}, 6) DESC,
+                      e.vec_id ASC) AS rk
+    FROM e CROSS JOIN q WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rk <= {TOP_K}
+), votes AS (
+  SELECT q_id, actual_label, label, count(*) AS n_votes
+  FROM neighbors GROUP BY 1, 2, 3
+), winner AS (
+  SELECT q_id, actual_label, label AS predicted_label, n_votes FROM (
+    SELECT q_id, actual_label, label, n_votes,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY n_votes DESC, label ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT q_id, predicted_label, actual_label, n_votes,
+       CAST(predicted_label = actual_label AS INT) AS correct
+FROM winner
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QueryDef("ann_ivf_pq", ann_ivf_pq, _ivfpq_oracle()),
     QueryDef("emb_prefix_recall", emb_prefix_recall, _prefix_recall_oracle()),
     QueryDef("emb_quality_audit", emb_quality_audit, _emb_quality_oracle()),
+    QueryDef("ann_knn_classify", ann_knn_classify, _knn_classify_oracle()),
     QueryDef("emb_random_projection", emb_random_projection, _rp_oracle()),
     QueryDef("emb_pq_encode", emb_pq_encode, _pq_oracle()),
     QueryDef("dedup_semantic", dedup_semantic, _semdedup_oracle()),

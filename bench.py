@@ -129,6 +129,7 @@ HEADLINE = [
     "corpus_source_overlap",
     "q_seasonal_index",
     "q_scd2_merge",
+    "ann_knn_classify",
 ]
 
 

@@ -1339,3 +1339,46 @@ def test_scd2_merge_version_invariants(spark):
             assert current[0]["bal"] == closed["bal"] + 100
         else:
             assert len(vs) == 1
+
+
+def test_knn_classify_matches_python(spark):
+    """Predicted labels must equal a direct Python recompute: exact
+    top-k by round-6 cosine (vec_id tiebreak), majority vote with ties
+    to the smallest label."""
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_knn_classify,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    lab = {r["vec_id"]: r["label"] for r in rows}
+
+    def cos(a, b):
+        acc = na = nb = 0.0
+        for i in range(len(a)):
+            acc += a[i] * b[i]
+            na += a[i] * a[i]
+            nb += b[i] * b[i]
+        return round(acc / (na**0.5 * nb**0.5), 6)
+
+    corpus = sorted(v for v in emb if v >= N_QUERIES)
+    got = {r["q_id"]: r for r in ann_knn_classify(spark, SF_DIR).collect()}
+    qids = [v for v in emb if v < N_QUERIES]
+    assert set(got) == set(qids)
+    for q in qids:
+        topk = sorted(corpus, key=lambda v: (-cos(emb[q], emb[v]), v))[:TOP_K]
+        votes = Counter(lab[v] for v in topk)
+        best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = got[q]
+        assert r["predicted_label"] == best[0], q
+        assert r["n_votes"] == best[1]
+        assert r["actual_label"] == lab[q]
+        assert r["correct"] == int(best[0] == lab[q])
