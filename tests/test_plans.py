@@ -525,3 +525,35 @@ def test_interval_sweep_aggregates_before_window(spark):
     # exactly one window operator, ordered by the date key
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_recall_broadcasts_queries_once(spark):
+    """Both scoring passes must ride broadcast query vectors over the
+    corpus stream — no non-broadcast cartesian anywhere."""
+    from ai_data_pipeline_spark.operators.similarity import emb_prefix_recall
+
+    plan = _plan(emb_prefix_recall(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_scd2_merge_is_join_plus_union_no_window(spark):
+    """The incremental SCD2 MERGE must stay a key-equi-join plus union:
+    no window operator and no cartesian product."""
+    from ai_data_pipeline_spark.operators.maintenance import q_scd2_merge
+
+    plan = _plan(q_scd2_merge(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+
+
+def test_knn_classify_vote_has_partial_aggregation(spark):
+    """The vote count must combine map-side before any exchange and the
+    winner must come from an aggregate, not a per-query window over
+    the scored corpus."""
+    from ai_data_pipeline_spark.operators.similarity import ann_knn_classify
+
+    plan = _plan(ann_knn_classify(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_min_by" in plan
+    assert "CartesianProduct" not in plan
