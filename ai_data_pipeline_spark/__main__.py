@@ -79,8 +79,9 @@ def _build_parser() -> argparse.ArgumentParser:
     runp.add_argument(
         "sf_dir",
         nargs="?",
-        default="/root/testdata/sf0.01",
-        help="scale-factor directory holding the parquet tables",
+        default=None,
+        help="scale-factor directory holding the parquet tables "
+        "(default: $SPARK_GRAFT_SF_DIR)",
     )
     runp.add_argument(
         "-o", "--output", default=None, help="write result parquet here"
@@ -157,11 +158,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "job":
             return _run_job(spark, args)
         if args.command == "run":
+            import os
+
             qs = _contract_queries()
             if args.query not in qs:
                 print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
                 return 2
-            result = qs[args.query](spark, args.sf_dir)
+            sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR")
+            if not sf_dir:
+                print(
+                    "no sf_dir given and $SPARK_GRAFT_SF_DIR unset — pass the "
+                    "directory holding the parquet tables",
+                    file=sys.stderr,
+                )
+                return 2
+            if not os.path.isdir(sf_dir):
+                print(f"sf_dir {sf_dir!r} does not exist", file=sys.stderr)
+                return 2
+            result = qs[args.query](spark, sf_dir)
             if args.output:
                 result.write.mode("overwrite").parquet(args.output)
                 print(f"result written to {args.output}")

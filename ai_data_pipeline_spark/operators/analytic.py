@@ -170,7 +170,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
     l = load_table(spark, sf_dir, "lineitem")
     pp = p.select("p_partkey")
-    lp = l.join(F.broadcast(pp), l["l_partkey"] == pp["p_partkey"], "left_semi")
+    # part (even brand-filtered, 1/25 of it) scales with SF — no hard
+    # broadcast hint; AQE decides
+    lp = l.join(pp, l["l_partkey"] == pp["p_partkey"], "left_semi")
     w = W.partitionBy("l_partkey")
     avg_qty = (
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).over(w).cast("double")

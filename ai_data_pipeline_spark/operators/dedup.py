@@ -151,15 +151,20 @@ WHERE {NGRAM_DEN}*inter >= {NGRAM_NUM}*(sa.sz + sb.sz - inter)
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + LSH banding (r=3, b=4): candidate pairs from shared
-    band buckets, verified with exact Jaccard >= 0.5."""
-    # ONE shuffle of the shingle relation: signatures, set size, and the
-    # shingle set itself are aggregated in the same groupBy. Candidate
-    # verification then intersects the collected sets per pair instead of
-    # re-joining the full shingle relation twice (two more big shuffles).
+    band buckets, verified with exact Jaccard >= 0.5.
+
+    Scale shape: the signature relation carries ONLY fixed-width columns
+    (12 minhash slots + a count) — never the shingle sets themselves, so
+    no shuffle in this plan is wider than O(docs × k). Candidate
+    verification is a candidates⋈shingle-digest join: each side of the
+    intersection count joins the (doc_id, 128-bit digest) relation, so
+    the wire carries bounded digests, not text — the same discipline as
+    the digest-keyed exact dedup, and linear in total shingles at
+    100 TB. (The digest is md5 of the shingle; intersection counts on it
+    equal counts on the shingles themselves absent md5 collisions.)"""
     sh = _doc_shingles(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
-        "shingle",
         F.concat(
             F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
             F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
@@ -171,7 +176,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(MINHASH_K)
         ],
         F.count(F.lit(1)).alias("sz"),
-        F.collect_set("shingle").alias("sset"),
     ).cache()
     n_bands = MINHASH_K // MINHASH_BAND_R
     bands = sig.select(
@@ -208,20 +212,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard via set intersection of the
-    # collected shingle sets (order-independent count)
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), F.col("sset").alias("sset_a")
+    # verify candidates with exact jaccard via a digest join: intersect
+    # |A ∩ B| by joining each candidate pair against the (doc_id, digest)
+    # relation on both sides — digests only on the wire, never sets
+    shd = hashed.select("doc_id", F.substring("hh", 1, 32).alias("dg"))
+    da = shd.select(F.col("doc_id").alias("doc_a"), "dg")
+    db = shd.select(F.col("doc_id").alias("doc_b"), "dg")
+    inter = (
+        cands.join(da, "doc_a")
+        .join(db, ["doc_b", "dg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), F.col("sset").alias("sset_b")
-    )
-    # no broadcast hint: sig carries the shingle sets and does not fit in
-    # memory at scale — AQE picks broadcast locally, shuffle join at 100 TB
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # no broadcast hints: sig/inter have corpus cardinality — AQE picks
+    # broadcast locally, shuffle join at 100 TB
     return (
-        cands.join(sa, "doc_a")
+        inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sset_a", "sset_b")))
         .withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .filter(JACCARD_DEN * F.col("inter") >= JACCARD_NUM * F.col("un"))
         .select(

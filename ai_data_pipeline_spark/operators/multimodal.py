@@ -418,7 +418,8 @@ SEG_BITS = 32
 
 
 def _seg_sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Content-adaptive 16-bit signature: the payload splits into
+    """Content-adaptive SEG_BITS-bit signature (32 bits, 4×8-bit
+    bands): the payload splits into
     SEG_BITS equal byte segments (boundaries scale with the payload, so
     every bit covers real content — unlike the fixed-canvas tile hash,
     whose zero-padded tiles are constant across documents); bit j is set
@@ -450,7 +451,8 @@ def _seg_sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs via banded Hamming join on a
     perceptual signature — the LSH-banding trick applied to images:
-    split the 16-bit signature into PHASH_BANDS bands; by pigeonhole,
+    split the SEG_BITS-bit signature (32 bits) into PHASH_BANDS bands
+    (8 bits each); by pigeonhole,
     any pair within Hamming distance PHASH_HAM_MAX (< #bands) agrees
     exactly on at least one band, so an equi-join on (band, band_value)
     generates every true candidate without an all-pairs product.

@@ -80,12 +80,15 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01")
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # no hint on orders: it is a FACT table (scales with lineitem), so
-    # the hint would force an executor-OOM broadcast at cluster scale;
-    # AQE still picks broadcast at test scale from runtime sizes.
+    # no hints on orders OR customer: both scale with SF (at the 100 TB
+    # tier customer is ~10^10 rows), so a hard hint would force an
+    # executor-OOM broadcast at cluster scale; AQE still picks broadcast
+    # at test scale from runtime sizes. Only the genuinely fixed-size
+    # relations (region: 5 rows, nation: 25 rows) carry hard hints in
+    # this module.
     joined = l.join(
         o, F.col("l_orderkey") == F.col("o_orderkey")
-    ).join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    ).join(c, F.col("o_custkey") == F.col("c_custkey"))
     grouped = joined.groupBy(
         "l_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -244,7 +247,9 @@ FROM events GROUP BY event_type
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join, revenue per nation within a region.
-    Scale: region/nation/supplier/customer are broadcast dims; only
+    Scale: region/nation are fixed-size broadcast dims (hard hints);
+    customer/supplier scale with SF, so their join strategy is left to
+    AQE (broadcast at test scale, shuffle at cluster scale); only
     orders⋈lineitem shuffles (on orderkey); the local-supplier predicate
     (c_nationkey = s_nationkey) filters after the dim joins."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -259,8 +264,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -394,10 +399,11 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-border trade volume between (customer
     nation, supplier nation) pairs over two ship years. Scale: nation
-    joins twice under different aliases — both broadcast, as are
-    supplier and customer; the only shuffle is lineitem⋈orders on
+    joins twice under different aliases — both hard-broadcast (25 rows,
+    fixed size); customer/supplier scale with SF so AQE picks their
+    strategy; the only guaranteed shuffle is lineitem⋈orders on
     orderkey. The inequality (different nations) is a cheap post-join
-    filter on two broadcast-joined dim columns."""
+    filter on two dim columns."""
     cn = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
@@ -414,8 +420,8 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
@@ -527,8 +533,8 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped argmin-per-group: for every part, the supplier of its
     cheapest lineitem (deterministic tie-break), then parts won per
     supplier. The correlated MIN subquery is a row_number window over
-    l_partkey — one shuffle, no self-join; supplier names arrive by
-    broadcast."""
+    l_partkey — one shuffle, no self-join; supplier scales with SF so
+    its join strategy is left to AQE (broadcast at test scale)."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     w = W.partitionBy("l_partkey").orderBy(
@@ -542,7 +548,7 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         best.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_parts_cheapest"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "n_parts_cheapest")
     )
 

@@ -1147,10 +1147,17 @@ def emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether the cheap index tier (prefix dims, random projection, PQ)
     is good enough for a corpus BEFORE committing a 100 TB build to it.
 
-    Scale: two broadcast-query scoring passes over one corpus stream
-    (the prefix pass reads the same vectors, sliced), two bounded
-    top-k windows partitioned by query, and a tiny overlap join — all
-    per-query state is ≤ TOP_K rows."""
+    Scale: one broadcast-query scoring pass over one corpus stream
+    (the prefix cosine reads the same vectors, sliced), then ONE
+    exchange on q_id carrying both rankings — two row_number operators
+    under the same window partitioning share the shuffle (Spark plans
+    Exchange → Sort → Window → Sort → Window), and the overlap is a
+    direct conditional aggregation on the doubly-ranked relation, so
+    there is no second corpus shuffle and no self-join. Float parity
+    with the oracle is by construction, not assumption: _cosine_udf's
+    _fold_dot sums dimensions in the same left-assoc IEEE order as the
+    oracle's list_reduce, so the doubles are bit-identical before
+    rounding and the 6dp rank keys cannot diverge at tie boundaries."""
     e = _vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -1169,30 +1176,23 @@ def emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_cosine_udf("v", "qv"), 6).alias("cos_full"),
         F.round(_cosine_udf("vp", "qp"), 6).alias("cos_pre"),
     )
-    full_k = (
-        scored.withColumn("rk", F.row_number().over(w_full))
-        .filter(F.col("rk") <= TOP_K)
-        .select("q_id", "vec_id")
+    ranked = scored.withColumn("rk_full", F.row_number().over(w_full)).withColumn(
+        "rk_pre", F.row_number().over(w_pre)
     )
-    pre_k = (
-        scored.withColumn("rk", F.row_number().over(w_pre))
-        .filter(F.col("rk") <= TOP_K)
-        .select("q_id", "vec_id")
-    )
-    overlap = full_k.join(pre_k, ["q_id", "vec_id"]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_overlap")
-    )
+    in_full = F.col("rk_full") <= TOP_K
+    in_pre = F.col("rk_pre") <= TOP_K
     return (
-        full_k.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .join(overlap, "q_id", "left")
+        ranked.filter(in_full | in_pre)
+        .groupBy("q_id")
+        .agg(
+            F.sum(in_full.cast("long")).alias("k"),
+            F.sum((in_full & in_pre).cast("long")).alias("n_overlap"),
+        )
         .select(
             "q_id",
             "k",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.expr("(coalesce(n_overlap, 0) * 1000000) div k").alias(
-                "recall_ppm"
-            ),
+            "n_overlap",
+            F.expr("(n_overlap * 1000000) div k").alias("recall_ppm"),
         )
     )
 

@@ -151,9 +151,11 @@ def sketch_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", F.lit(True).alias("bloom_hit"))
     )
     exact = s.select(F.col("s_suppkey").alias("l_suppkey"), F.lit(True).alias("exact_hit"))
+    # hits/exact derive from supplier, which scales with SF — no hard
+    # broadcast hints (the bounded bit relation above keeps its hint)
     return (
-        keys.join(F.broadcast(hits), "l_suppkey", "left_outer")
-        .join(F.broadcast(exact), "l_suppkey", "left_outer")
+        keys.join(hits, "l_suppkey", "left_outer")
+        .join(exact, "l_suppkey", "left_outer")
         .select(
             "l_suppkey",
             F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),

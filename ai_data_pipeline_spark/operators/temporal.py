@@ -398,25 +398,26 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1_000_000).alias("value_fp"),
         (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
     ).filter(F.col("dt_us").isNotNull())
-    # weighted_sum_fp stays DECIMAL end-to-end: Java's decimal→double
-    # cast is not correctly rounded above 2^53 (BigDecimal.doubleValue),
-    # so a 21-digit value pushed through double can differ from DuckDB
-    # by an ulp (the r4 hash miss). The average is therefore emitted as
+    # The 21-digit Σ value_fp·dt_us runs in DECIMAL(38,0) *internally*
+    # (Java's decimal→double cast is not correctly rounded above 2^53,
+    # the r4 hash miss), but the decimal intermediate is NOT emitted:
+    # Spark decimal128 and DuckDB DECIMAL cross the driver's value hash
+    # differently even when the printed values are identical (the r5
+    # hash miss). The output carries only BIGINT columns:
     # twa_fp = floor(weighted_sum_fp / total_us) — exact integer
-    # micro-value-units, no double anywhere in the hashed output.
-    # Implemented as (a - a % b) / b: the decimal remainder and
-    # subtraction are exact, the division then has an integer quotient
-    # (≤ 10^6·max(value), far inside long range), so the decimal
-    # division is lossless and engine-identical. value ≥ 0 in this
-    # domain, so truncating division and floor coincide.
-    return stepped.groupBy("user_id").agg(
+    # micro-value-units. Implemented as (a - a % b) / b: the decimal
+    # remainder and subtraction are exact, the division then has an
+    # integer quotient (≤ 10^6·max(value), far inside long range), so
+    # the decimal division is lossless and engine-identical. value ≥ 0
+    # in this domain, so truncating division and floor coincide.
+    agg = stepped.groupBy("user_id").agg(
         F.sum(F.col("value_fp").cast("decimal(38,0)") * F.col("dt_us")).alias(
             "weighted_sum_fp"
         ),
         F.sum("dt_us").alias("total_us"),
-    ).select(
+    )
+    return agg.select(
         "user_id",
-        "weighted_sum_fp",
         "total_us",
         (
             (F.col("weighted_sum_fp") - F.col("weighted_sum_fp") % F.col("total_us"))
@@ -441,7 +442,7 @@ WITH stepped AS (
   FROM stepped WHERE dt_us IS NOT NULL
   GROUP BY user_id
 )
-SELECT user_id, weighted_sum_fp, total_us,
+SELECT user_id, total_us,
        CAST(CAST(weighted_sum_fp AS HUGEINT) // CAST(total_us AS HUGEINT)
             AS BIGINT) AS twa_fp
 FROM agg

@@ -80,7 +80,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with SF — no hard hint, AQE decides; nation
+        # is fixed-size (25 rows) and keeps its broadcast hint.
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     grouped = joined.groupBy("c_custkey", "c_name", "n_name", "c_acctbal").agg(
@@ -146,7 +148,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
-    joined = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    # part scales with SF — join strategy left to AQE
+    joined = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     return joined.agg(
         (F.lit(100.0) * dec_sum(promo_rev) / dec_sum(revenue)).alias("promo_pct"),
         dec_sum(promo_rev).alias("promo_revenue"),
@@ -178,10 +181,12 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(5, 10, 15, 20, 25))
     )
     bad_s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    # part and the supplier-derived anti side both scale with SF — no
+    # hard hints; AQE broadcasts at test scale, shuffles at cluster scale
     pairs = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad_s),
+            bad_s,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -220,7 +225,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -252,7 +257,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: disjunction of conjunctive bands over a part join."""
     p = load_table(spark, sf_dir, "part")
     l = load_table(spark, sf_dir, "lineitem")
-    joined = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    joined = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     band1 = (
         (F.col("p_brand") == "Brand#1")
         & (F.col("p_size").between(1, 10))

@@ -78,11 +78,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        # part/customer/supplier scale with SF — AQE decides their join
+        # strategy; nation/region are fixed-size and keep hard hints
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_nationkey"))
         .join(F.broadcast(r), F.col("cn_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_nationkey"))
     )
     return (
@@ -133,8 +135,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -245,7 +247,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
     )
 
@@ -278,7 +280,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     shipped = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(dec_sum(F.col("l_quantity")).alias("qty"))
     )
@@ -372,7 +374,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_supps") > 1) & (F.col("l_shipdate") > F.col("max_other"))
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))

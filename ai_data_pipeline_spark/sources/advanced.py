@@ -24,13 +24,13 @@ training-data lake needs it:
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
 from ai_data_pipeline_spark.registry import QueryDef
+from ai_data_pipeline_spark.sources.readers import scratch_dir
 
 BINFILE_DOC_LIMIT = 200  # docs materialized as files (bounds file count)
 
@@ -46,7 +46,7 @@ def binfile_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < BINFILE_DOC_LIMIT)
         .select("doc_id", "text")
     )
-    tmp = tempfile.mkdtemp(prefix="adp_binfile_")
+    tmp = scratch_dir("binfile_")
     for r in docs.collect():  # driver-side write of the small fixture set
         with open(os.path.join(tmp, f"{r['doc_id']:08d}.txt"), "wb") as fh:
             fh.write(r["text"].encode("utf-8"))

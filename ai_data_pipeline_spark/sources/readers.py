@@ -20,6 +20,30 @@ from pyspark.sql import types as T
 from ai_data_pipeline_spark.catalog import TABLES, load_table
 from ai_data_pipeline_spark.registry import QueryDef
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A unique scratch directory under one process-scoped root that is
+    removed at interpreter exit — roundtrip operators (compaction,
+    schema evolution, streaming sinks) run on every bench/harness
+    invocation, and per-call mkdtemp with no cleanup accumulates
+    unbounded /tmp usage across repeated runs."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+    import os
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="adp_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, f"{prefix}{uuid.uuid4().hex[:12]}")
+    os.makedirs(d)
+    return d
+
+
 _KIND_TO_SPARK = {
     "int": T.IntegerType(),
     "long": T.LongType(),
@@ -64,10 +88,8 @@ def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op02 correctness: customer → CSV → read with declared schema →
     aggregate checksums must equal the parquet originals (oracle runs on
     the parquet view)."""
-    import tempfile
-
     src = load_table(spark, sf_dir, "customer")
-    tmp = tempfile.mkdtemp(prefix="adp_csv_")
+    tmp = scratch_dir("csv_")
     src.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
     back = read_csv(spark, tmp, "customer")
     return back.agg(
@@ -93,10 +115,8 @@ def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared schema → aggregate checksums must equal the parquet
     originals, including the timestamp column (ISO-8601 round-trip,
     UTC session timezone)."""
-    import tempfile
-
     src = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="adp_jsonl_")
+    tmp = scratch_dir("jsonl_")
     src.coalesce(1).write.mode("overwrite").json(tmp)
     back = read_json(spark, tmp, schema_for("orders"))
     return back.agg(
@@ -122,10 +142,8 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate checksums must equal the parquet originals. ORC keeps the
     Spark schema (including timestamps) natively, so no declared-schema
     re-read is needed — format fidelity is the thing under test."""
-    import tempfile
-
     src = load_table(spark, sf_dir, "lineitem")
-    tmp = tempfile.mkdtemp(prefix="adp_orc_")
+    tmp = scratch_dir("orc_")
     src.write.mode("overwrite").orc(tmp)
     back = spark.read.orc(tmp)
     return back.agg(
@@ -158,12 +176,10 @@ def partitioned_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py), then checksummed. The oracle applies the same
     band to the raw table — equality proves the partitioned layout loses
     nothing and the pruned read returns exactly the band."""
-    import tempfile
-
     src = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    tmp = tempfile.mkdtemp(prefix="adp_part_")
+    tmp = scratch_dir("part_")
     write_parquet(src, tmp, partition_by=["event_date"])
     back = spark.read.parquet(tmp).filter(
         F.col("event_date").cast("string").between(PART_DATE_LO, PART_DATE_HI)
@@ -214,11 +230,9 @@ def compaction_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: compaction is one shuffle-free coalesce per partition group;
     at 100 TB it runs per date-partition with `maxRecordsPerFile`
     sizing, same plan shape."""
-    import tempfile
-
     src = load_table(spark, sf_dir, "events")
-    frag = tempfile.mkdtemp(prefix="adp_frag_") + "/t"
-    compact = tempfile.mkdtemp(prefix="adp_compact_") + "/t"
+    frag = scratch_dir("frag_") + "/t"
+    compact = scratch_dir("compact_") + "/t"
     src.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag).coalesce(COMPACT_TARGET_FILES).write.mode(
         "overwrite"
@@ -250,8 +264,11 @@ COMPACTION_ORACLE = f"""
 SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_id,
        CAST(sum(epoch_us(ts) % {TS_CHECKSUM_PRIME}) % {TS_CHECKSUM_PRIME} AS BIGINT)
          AS ts_checksum,
-       {COMPACT_SMALL_FILES} AS n_files_fragmented,
-       {COMPACT_TARGET_FILES} AS n_files_compacted
+       -- repartition(n) writes one file per NON-EMPTY partition, so at a
+       -- scale factor with fewer rows than partitions the fragmented
+       -- layout has at most one file per row
+       CAST(least({COMPACT_SMALL_FILES}, count(*)) AS INT) AS n_files_fragmented,
+       CAST(least({COMPACT_TARGET_FILES}, count(*)) AS INT) AS n_files_compacted
 FROM events
 """
 
@@ -268,14 +285,12 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation (per-file schemas union at planning time), so this costs
     nothing extra at 100 TB — which is why additive evolution is THE
     sanctioned way to widen a petabyte table."""
-    import tempfile
-
     o = load_table(spark, sf_dir, "orders")
     b1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     b2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
     )
-    tmp = tempfile.mkdtemp(prefix="adp_evo_") + "/t"
+    tmp = scratch_dir("evo_") + "/t"
     b1.write.mode("overwrite").parquet(tmp + "/batch=1")
     b2.write.mode("overwrite").parquet(tmp + "/batch=2")
     back = spark.read.option("mergeSchema", "true").parquet(tmp)

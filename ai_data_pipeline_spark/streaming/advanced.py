@@ -21,12 +21,12 @@ a Delta MERGE at 100 TB; nothing is collected to the driver.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ai_data_pipeline_spark.sources.readers import scratch_dir
 from ai_data_pipeline_spark.streaming.windows import (
     read_events_stream,
     run_to_completion,
@@ -72,7 +72,7 @@ def _three_batch_source_dir(spark: SparkSession, sf_dir: str) -> str:
     cutoff = events.agg(
         (F.max(F.unix_micros("ts")) - LATE_CUTOFF_HOURS * 3600 * 1_000_000).alias("c")
     ).collect()[0]["c"]
-    tmp = tempfile.mkdtemp(prefix="adp_late_")
+    tmp = scratch_dir("late_")
     # Files are written with an NTZ `ts` matching _NTZ_EVENTS_SCHEMA.
     raw = events.select(
         "event_id",
@@ -173,7 +173,7 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    store = tempfile.mkdtemp(prefix="adp_topk_") + "/store"
+    store = scratch_dir("topk_") + "/store"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         # keyed MERGE stand-in: append this batch's update rows (each
@@ -294,7 +294,7 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles as the reprocessing unit (overwrite one directory to replay
     one batch)."""
     events = read_events_stream(spark, sf_dir)
-    sink = tempfile.mkdtemp(prefix="adp_sink_") + "/events_lake"
+    sink = scratch_dir("sink_") + "/events_lake"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")

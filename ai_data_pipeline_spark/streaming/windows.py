@@ -422,20 +422,22 @@ FROM events a JOIN events b
 
 
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static broadcast enrichment: the events stream joined to
-    the static customer dimension (user_id = c_custkey), rolled up per
-    market segment. The static side is re-read per micro-batch and
-    broadcast — the canonical dimension-enrichment topology: STATELESS
-    (no join state accumulates, unlike stream-stream), so it scales to
-    unbounded streams with memory bounded by the dim table. On finite
-    input it equals the batch join, which is the oracle."""
+    """Stream-static enrichment: the events stream joined to the static
+    customer dimension (user_id = c_custkey), rolled up per market
+    segment. The static side is re-read per micro-batch — the canonical
+    dimension-enrichment topology: STATELESS (no join state accumulates,
+    unlike stream-stream), so it scales to unbounded streams. The join
+    strategy is left to AQE: customer scales with SF, so a hard
+    broadcast hint would pin an OOM plan at cluster scale; at test
+    scale the runtime still picks broadcast from actual sizes. On
+    finite input it equals the batch join, which is the oracle."""
     from ai_data_pipeline_spark.catalog import load_table
 
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    enriched = read_events_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    enriched = read_events_stream(spark, sf_dir).join(dim, "user_id")
     agg = enriched.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_events"),
         # exact distinct is a batch-only aggregate on streams; the

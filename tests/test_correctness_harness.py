@@ -46,6 +46,24 @@ def test_entry_smoke(spark):
     assert len(df.columns) > 0
 
 
+def test_evidence_bookkeeping_names_are_fresh():
+    """The driver-evidence rotation machinery is load-bearing: a stale
+    name in the hand-maintained sets silently corrupts the ordering (the
+    r4 stale-set bug class). Every name in _REWRITTEN_SINCE_GREEN /
+    _REFIXED_FIRST / _UNPROVEN_PRIORITY must be a declared query, and
+    every green-derived name must still exist in the contract."""
+    declared = set(QUERIES)
+    for label, names in (
+        ("_REWRITTEN_SINCE_GREEN", entry_mod._REWRITTEN_SINCE_GREEN),
+        ("_REFIXED_FIRST", entry_mod._REFIXED_FIRST),
+        ("_UNPROVEN_PRIORITY", entry_mod._UNPROVEN_PRIORITY),
+    ):
+        stale = [n for n in names if n not in declared]
+        assert not stale, f"{label} references undeclared queries: {stale}"
+    gone = [n for n in entry_mod._driver_green() if n not in declared]
+    assert not gone, f"CORRECTNESS greens for queries no longer declared: {gone}"
+
+
 def test_coverage_doc_names_every_contract_query():
     """COVERAGE.md is the judge-facing operator inventory — every
     queries() key must appear in it (backtick-quoted) so no declared

@@ -48,15 +48,37 @@ def test_filter_pushdown_and_column_pruning(spark):
     assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
 
 
-def test_q3_broadcasts_dimensions(spark):
-    plan = _plan(q3_top_orders(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+DIM_KEYS = ("c_custkey", "s_suppkey", "p_partkey")
 
 
-def test_q5_broadcasts_dims_shuffles_fact_once(spark):
-    plan = _plan(q5_region_revenue(spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 4  # customer/supplier/nation/region
+def _assert_no_dim_key_exchange(plan: str) -> None:
+    """The fact side must never re-shuffle on a dim key: SF-scaled
+    relations (customer/supplier/part) carry no hard broadcast hints —
+    their strategy is AQE's call — but at test scale size-based
+    planning must still resolve them without exchanging the fact on
+    custkey/suppkey/partkey. (Hard `BroadcastHashJoin` assertions were
+    deliberately dropped: pinning broadcast on an SF-scaled relation is
+    the one hint-class bug that works at sf0.1 and OOMs at 100 TB.)"""
+    for seg in plan.split("hashpartitioning(")[1:]:
+        keys = seg.split(")")[0]
+        # a shuffle-join exchange partitions on exactly the join key; a
+        # multi-key exchange is a (legitimate) aggregation exchange
+        if keys.count("#") != 1:
+            continue
+        for k in DIM_KEYS:
+            assert k not in keys, f"fact exchanged on dim key {k}:\n{plan}"
+
+
+def test_q3_no_quadratic_join_single_fact_shuffle(spark):
+    plan = assert_hash_join_only(q3_top_orders(spark, SF_DIR))
+    _assert_no_dim_key_exchange(plan)
+
+
+def test_q5_no_quadratic_join_single_fact_shuffle(spark):
+    plan = assert_hash_join_only(q5_region_revenue(spark, SF_DIR))
+    _assert_no_dim_key_exchange(plan)
+    # region/nation are fixed-size and still hard-broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_q1_partial_final_aggregation(spark):
@@ -118,13 +140,14 @@ def test_q17_no_self_join(spark):
     assert "Window" in plan
 
 
-def test_q7_all_dims_broadcast(spark):
+def test_q7_no_quadratic_join_single_fact_shuffle(spark):
     """Q7 joins 5 dimension-side tables (orders keyed, customer,
-    supplier, nation×2) — every dim join must be broadcast; the fact
-    table must never sort-merge against a dim."""
+    supplier, nation×2) — no quadratic strategy, the fact never
+    exchanges on a dim key, and the fixed-size nation aliases stay
+    hard-broadcast."""
     plan = assert_hash_join_only(q7_nation_trade(spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
+    _assert_no_dim_key_exchange(plan)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation×2
 
 
 def test_outer_join_preaggregates_orders(spark):
@@ -149,21 +172,22 @@ def test_q6_all_predicates_pushed_no_join(spark):
     assert _plan(df).count("HashAggregate") >= 2  # partial + final
 
 
-def test_q10_broadcasts_dims(spark):
+def test_q10_broadcasts_fixed_dims(spark):
     from ai_data_pipeline_spark.operators.tpch_extra import q10_returned_items
 
     plan = assert_hash_join_only(q10_returned_items(spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    _assert_no_dim_key_exchange(plan)
+    assert plan.count("BroadcastHashJoin") >= 1  # nation (fixed-size)
 
 
-def test_q16_anti_join_is_broadcast(spark):
-    """The NOT-IN supplier exclusion list is tiny — it must broadcast,
-    never shuffle the fact side for an anti-join."""
+def test_q16_anti_join_strategy(spark):
+    """The NOT-IN supplier exclusion runs as an equi anti-join (never a
+    quadratic strategy); the exclusion list scales with SF so its
+    broadcast-vs-shuffle call belongs to AQE, not a hint."""
     from ai_data_pipeline_spark.operators.tpch_extra import q16_supplier_variety
 
     plan = assert_hash_join_only(q16_supplier_variety(spark, SF_DIR))
     assert "LeftAnti" in plan
-    assert "BroadcastHashJoin" in plan
 
 
 def test_q18_aggregates_below_join(spark):
@@ -207,25 +231,27 @@ def test_sliding_window_partial_agg_after_expand(spark):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_q8_all_dims_broadcast(spark):
+def test_q8_no_quadratic_join_single_fact_shuffle(spark):
     """Q8's seven joins (part, customer, nation×2, region, supplier,
-    orders at test SF) must all resolve to broadcast-hash — the widest
-    query in the suite stays one-fact-shuffle."""
+    orders at test SF): no quadratic strategy, no fact exchange on a
+    dim key, fixed-size nation×2/region stay hard-broadcast."""
     from ai_data_pipeline_spark.operators.tpch_extra2 import q8_market_share
 
     plan = assert_hash_join_only(q8_market_share(spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 6
+    _assert_no_dim_key_exchange(plan)
+    assert plan.count("BroadcastHashJoin") >= 3  # nation×2 + region
 
 
-def test_q9_like_filter_shrinks_broadcast(spark):
+def test_q9_like_filter_shrinks_join_input(spark):
     """Q9's p_name LIKE filter must land on the part scan (pushed or
-    post-scan, but before the broadcast), so the broadcast side is the
-    filtered subset, not the full part table."""
+    post-scan, but before any join), so the join input is the filtered
+    subset, not the full part table."""
     from ai_data_pipeline_spark.operators.tpch_extra2 import q9_product_profit
 
     plan = assert_hash_join_only(q9_product_profit(spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 3
-    # the LIKE is evaluated below the exchange that builds the broadcast
+    _assert_no_dim_key_exchange(plan)
+    assert plan.count("BroadcastHashJoin") >= 1  # nation (fixed-size)
+    # the LIKE is evaluated below the join
     assert "Contains(p_name, widget)" in plan or "widget" in plan
 
 
@@ -557,3 +583,32 @@ def test_knn_classify_vote_has_partial_aggregation(spark):
     plan = _plan(ann_knn_classify(spark, SF_DIR))
     assert "partial_count" in plan or "partial_min_by" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_shuffles_no_set_payload(spark):
+    """The MinHash+LSH plan must never shuffle shingle sets: the
+    signature relation is fixed-width (12 minhash slots + count) and
+    candidate verification is a digest join — no collect_set anywhere,
+    so no exchange carries an O(doc-size) array payload."""
+    from ai_data_pipeline_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, SF_DIR))
+    assert "collect_set" not in plan
+    assert "sset" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_recall_single_corpus_shuffle(spark):
+    """Both top-k rankings must share ONE exchange on q_id (two Window
+    operators under the same partitioning), with the overlap computed by
+    direct aggregation — no second corpus shuffle, no self-join."""
+    from ai_data_pipeline_spark.operators.similarity import emb_prefix_recall
+
+    plan = _plan(emb_prefix_recall(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # exactly one q_id exchange feeds both windows
+    qid_exchanges = [
+        seg for seg in plan.split("hashpartitioning(")[1:]
+        if seg.split(")")[0].count("#") == 1 and "q_id" in seg.split(")")[0]
+    ]
+    assert len(qid_exchanges) <= 1, plan
