@@ -214,6 +214,8 @@ _REWRITTEN_SINCE_GREEN = {
     "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
     "q9_product_profit", "q15_top_supplier", "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    # r6 argmax-assignment rewrite (row_number window → min_by/max_by)
+    "ann_ivf", "emb_kmeans_fixed_point",
 }
 
 # The r4/r5 red row, re-fixed this round (r5 made the values integer-

@@ -132,13 +132,29 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders by totalprice per priority — window top-k pattern."""
+    """Top-3 orders by totalprice per priority — the two-level
+    tournament top-k: a single window over a 5-value key would funnel
+    the whole fact table through 5 reducers at cluster scale, so level
+    1 takes the local top-3 per (priority, input partition) — fully
+    parallel, and selection under a TOTAL order (price desc, orderkey
+    asc) is associative, so every global winner survives its local
+    heat — and level 2 ranks only the ≤ 3×partitions survivors per
+    priority. Same result as the naive window at any partitioning."""
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    order_cols = (F.desc("o_totalprice"), F.asc("o_orderkey"))
+    local = (
+        o.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lrk",
+            F.row_number().over(
+                W.partitionBy("o_orderpriority", "pid").orderBy(*order_cols)
+            ),
+        )
+        .filter(F.col("lrk") <= 3)
     )
+    w = W.partitionBy("o_orderpriority").orderBy(*order_cols)
     return (
-        o.withColumn("rk", F.row_number().over(w))
+        local.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
     )

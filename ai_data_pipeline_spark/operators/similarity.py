@@ -199,6 +199,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: cost drops from |corpus|x|queries| to |corpus|x|queries|x
     N_PROBE/N_CELLS; the centroid table is broadcast (tiny), the corpus
     shuffles once on cell, queries are broadcast to their probed cells.
+    The nearest-centroid assignment is a max_by aggregate, not a
+    row_number window: the map-side partial combine collapses the
+    N_CELLS candidate rows per vector before the exchange, so ONE copy
+    of each vector rides the shuffle (not N_CELLS copies) and nothing
+    sorts.
     """
     e = _vectors(spark, sf_dir)
     cents = e.filter(
@@ -210,13 +215,18 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # assign: each corpus vector -> nearest centroid (cos desc, cell asc)
-    wa = W.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
+    # as an argmax aggregate ordered by (c_cos, -cell_id) lexicographic
     assigned = (
         corpus.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "cell_id", _cosine_udf("v", "cv").alias("c_cos"))
-        .withColumn("crk", F.row_number().over(wa))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "cell_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell_id", "v"),
+                F.struct(F.col("c_cos").alias("c"), (-F.col("cell_id")).alias("nc")),
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.v").alias("v"), F.col("best.cell_id").alias("cell_id"))
     )
     # probe: each query -> N_PROBE nearest centroids
     wq = W.partitionBy("q_id").orderBy(F.desc("q_cos"), F.asc("cell_id"))
@@ -549,13 +559,22 @@ def emb_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = None
     for _ in range(KMEANS_ITERS):
-        wa = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+        # nearest-centroid assignment as a min_by aggregate: map-side
+        # partials collapse the K candidates per vector pre-exchange
         assigned = (
             vecs.crossJoin(F.broadcast(cents))
             .withColumn("dist", F.expr(_DIST_SPARK))
-            .withColumn("rk", F.row_number().over(wa))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "v_fp", "cell")
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cell", "v_fp"), F.struct("dist", "cell")
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                F.col("best.v_fp").alias("v_fp"),
+                F.col("best.cell").alias("cell"),
+            )
         )
         dims = assigned.select(
             "cell", F.posexplode("v_fp").alias("dim", "val")
@@ -699,13 +718,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
     ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
-    wa = W.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
+    # nearest-centroid assignment as a max_by aggregate (not a window):
+    # map-side partials collapse the N_CELLS candidates per vector
+    # before the exchange — one vector copy on the wire, no sort
     assigned = (
         e.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "cell_id", _cosine_udf("v", "cv").alias("c_cos"))
-        .withColumn("crk", F.row_number().over(wa))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "cell_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell_id", "v"),
+                F.struct(F.col("c_cos").alias("c"), (-F.col("cell_id")).alias("nc")),
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.v").alias("v"), F.col("best.cell_id").alias("cell_id"))
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dup_pairs = (
@@ -986,13 +1012,13 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("vec_id") - N_QUERIES).alias("cell"), F.col("v_fp").alias("c_fp")
     )
-    wa = W.partitionBy("vec_id").orderBy(F.asc("cdist"), F.asc("cell"))
+    # nearest-centroid assignment as a min_by aggregate (map-side
+    # partial combine, no sort) — same shape as the `codes` stage below
     assigned = (
         corpus.crossJoin(F.broadcast(cents))
         .withColumn("cdist", F.expr(_int_l2("v_fp", "c_fp")))
-        .withColumn("crk", F.row_number().over(wa))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "cell")
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", F.struct("cdist", "cell")).alias("cell"))
     )
     subs = vfp.select(
         "vec_id",

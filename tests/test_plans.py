@@ -612,3 +612,30 @@ def test_prefix_recall_single_corpus_shuffle(spark):
         if seg.split(")")[0].count("#") == 1 and "q_id" in seg.split(")")[0]
     ]
     assert len(qid_exchanges) <= 1, plan
+
+
+def test_ivf_assignment_is_aggregate_not_window(spark):
+    """Nearest-centroid assignment must be a max_by/min_by aggregate
+    with map-side partial combine — never a row_number window over the
+    corpus (which shuffles N_CELLS copies of every vector through a
+    sort). The only windows left in the IVF plan partition by q_id
+    (bounded probe + final top-k)."""
+    from ai_data_pipeline_spark.operators.similarity import ann_ivf
+
+    plan = _plan(ann_ivf(spark, SF_DIR))
+    assert "partial_max_by" in plan or "partial_min_by" in plan
+    for seg in plan.split("Window ")[1:]:
+        spec = seg.split("\n")[0]
+        assert "q_id" in spec, f"corpus-keyed window in IVF plan:\n{plan}"
+
+
+def test_topk_per_group_is_two_level_tournament(spark):
+    """The per-group top-k must run the two-level tournament: a local
+    (group, partition) heat before the final per-group ranking — the
+    single-window variant funnels the fact table through |groups|
+    reducers at scale."""
+    from ai_data_pipeline_spark.operators.relational import q_topk_per_group
+
+    plan = _plan(q_topk_per_group(spark, SF_DIR))
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+    assert plan.count("Window") >= 2
