@@ -82,6 +82,28 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topk_per_key(df: DataFrame, keys: list, order_cols: list, k: int) -> DataFrame:
+    """Two-level tournament top-k per key: level 1 ranks locally within
+    (keys, input partition) — fully parallel, and because order_cols is
+    a TOTAL order, selection is associative (every global winner wins
+    its local heat) — level 2 ranks only the ≤ k×partitions survivors.
+    The naive single window would funnel all rows for a key through one
+    reducer: with |keys| ≪ cluster width (10 queries, 5 priorities)
+    that is the low-cardinality-partition skew this helper removes.
+    Results are identical at any partitioning. Adds column `rk`."""
+    local = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrk",
+            F.row_number().over(W.partitionBy(*keys, "_pid").orderBy(*order_cols)),
+        )
+        .filter(F.col("_lrk") <= k)
+        .drop("_pid", "_lrk")
+    )
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    return local.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -91,12 +113,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "q_id", "vec_id", F.round(_cosine_udf("v", "qv"), 6).alias("cosine")
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("q_id", "vec_id", "cosine", "rk")
-    )
+    return _topk_per_key(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], TOP_K
+    ).select("q_id", "vec_id", "cosine", "rk")
 
 
 ANN_TOPK_ORACLE = f"""
@@ -1347,18 +1366,15 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("actual_label"),
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERIES)
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    neighbors = (
-        corpus.crossJoin(F.broadcast(q))
-        .select(
-            "q_id",
-            "actual_label",
-            "vec_id",
-            "label",
-            F.round(_cosine_udf("v", "qv"), 6).alias("cosine"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "actual_label",
+        "vec_id",
+        "label",
+        F.round(_cosine_udf("v", "qv"), 6).alias("cosine"),
+    )
+    neighbors = _topk_per_key(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], TOP_K
     )
     votes = neighbors.groupBy("q_id", "actual_label", "label").agg(
         F.count(F.lit(1)).alias("n_votes")

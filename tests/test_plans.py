@@ -639,3 +639,14 @@ def test_topk_per_group_is_two_level_tournament(spark):
     plan = _plan(q_topk_per_group(spark, SF_DIR))
     assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
     assert plan.count("Window") >= 2
+
+
+def test_cosine_topk_is_two_level_tournament(spark):
+    """Brute-force cosine top-k must run the two-level tournament: the
+    scored corpus ranks locally per (q_id, partition) before the final
+    N_QUERIES-partition rank sees only the survivors."""
+    from ai_data_pipeline_spark.operators.similarity import ann_cosine_topk
+
+    plan = _plan(ann_cosine_topk(spark, SF_DIR))
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+    assert plan.count("Window") >= 2
