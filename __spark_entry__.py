@@ -217,8 +217,9 @@ _REWRITTEN_SINCE_GREEN = {
     # r6 argmax-assignment rewrite (row_number window → min_by/max_by)
     "ann_ivf", "emb_kmeans_fixed_point",
     # r6 two-level tournament top-k (single low-cardinality window →
-    # local heat + final rank)
-    "ann_cosine_topk",
+    # local heat + final rank; rerank also swaps its count window for
+    # an aggregate)
+    "ann_cosine_topk", "ann_rerank",
 }
 
 # The r4/r5 red row, re-fixed this round (r5 made the values integer-

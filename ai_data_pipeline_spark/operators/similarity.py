@@ -331,11 +331,14 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = corpus.join(
         F.broadcast(probes), F.col("bucket") == F.col("pb")
     ).select("q_id", "vec_id", F.round(_cosine_udf("v", "qv"), 6).alias("cosine"))
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # candidate count as a map-side-combined aggregate (not a count
+    # window over the candidate stream), and the top-k as the two-level
+    # tournament — the candidate set per query is corpus/2^bits·probes,
+    # still data-scaled, so neither may funnel through one reducer
+    counts = cand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_cand"))
     return (
-        cand.withColumn("n_cand", F.count(F.lit(1)).over(W.partitionBy("q_id")))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+        _topk_per_key(cand, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], TOP_K)
+        .join(F.broadcast(counts), "q_id")
         .select("q_id", "vec_id", "cosine", "rk", "n_cand")
     )
 

@@ -1382,3 +1382,31 @@ def test_knn_classify_matches_python(spark):
         assert r["n_votes"] == best[1]
         assert r["actual_label"] == lab[q]
         assert r["correct"] == int(best[0] == lab[q])
+
+
+def test_topk_tournament_is_partitioning_invariant(spark):
+    """_topk_per_key's two-level tournament must return exactly the
+    naive single-window top-k at EVERY physical partitioning — the
+    associativity claim SCALING.md makes. Exercised across 1, 3, and 17
+    input partitions (1 partition = degenerate heat; 17 = more
+    partitions than groups) on a relation with deliberate score ties."""
+    from pyspark.sql import Window, functions as F
+
+    from ai_data_pipeline_spark.operators.similarity import _topk_per_key
+
+    base = spark.range(0, 500).select(
+        (F.col("id") % 7).alias("grp"),
+        F.col("id").alias("item"),
+        (F.col("id") % 13).alias("score"),  # ties within every group
+    )
+    order_cols = [F.desc("score"), F.asc("item")]
+    naive = base.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("grp").orderBy(*order_cols)),
+    ).filter(F.col("rk") <= 4)
+    want = sorted(tuple(r) for r in naive.collect())
+    for n_parts in (1, 3, 17):
+        got = _topk_per_key(
+            base.repartition(n_parts), ["grp"], order_cols, 4
+        )
+        assert sorted(tuple(r) for r in got.collect()) == want, n_parts
