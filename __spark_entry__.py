@@ -217,9 +217,12 @@ _REWRITTEN_SINCE_GREEN = {
     # r6 argmax-assignment rewrite (row_number window → min_by/max_by)
     "ann_ivf", "emb_kmeans_fixed_point",
     # r6 two-level tournament top-k (single low-cardinality window →
-    # local heat + final rank; rerank also swaps its count window for
-    # an aggregate)
-    "ann_cosine_topk", "ann_rerank",
+    # local heat + final rank). ann_rerank deliberately keeps its
+    # single-exchange dual-window form: its candidates are
+    # bucket-bounded (LSH_BITS scales with the corpus) and the
+    # tournament's second pass over the candidate generator doubled its
+    # runtime when tried — reverted to the r5-green code.
+    "ann_cosine_topk",
 }
 
 # The r4/r5 red row, re-fixed this round (r5 made the values integer-

@@ -331,14 +331,20 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = corpus.join(
         F.broadcast(probes), F.col("bucket") == F.col("pb")
     ).select("q_id", "vec_id", F.round(_cosine_udf("v", "qv"), 6).alias("cosine"))
-    # candidate count as a map-side-combined aggregate (not a count
-    # window over the candidate stream), and the top-k as the two-level
-    # tournament — the candidate set per query is corpus/2^bits·probes,
-    # still data-scaled, so neither may funnel through one reducer
-    counts = cand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    # Count + rank share ONE q_id exchange (two window ops over the same
+    # partitioning), so candidate generation — the expensive part — runs
+    # exactly once. Unlike the brute-force tiers (whose scored relation
+    # is |corpus|×|queries| and therefore runs the _topk_per_key
+    # tournament), the per-query candidate set here is
+    # corpus·probes/2^LSH_BITS, and LSH_BITS is the documented scale
+    # lever that grows with the corpus to keep buckets executor-sized —
+    # so per-query window state stays bounded by design and a
+    # reducer-per-query over candidates is the intended plan.
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        _topk_per_key(cand, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], TOP_K)
-        .join(F.broadcast(counts), "q_id")
+        cand.withColumn("n_cand", F.count(F.lit(1)).over(W.partitionBy("q_id")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
         .select("q_id", "vec_id", "cosine", "rk", "n_cand")
     )
 
@@ -1359,7 +1365,11 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the same broadcast-query/corpus-stream top-k as
     ``ann_cosine_topk`` (at 100 TB the candidate stage swaps for
     IVF/LSH, same downstream vote), then a (query, label)-keyed vote
-    count and a ``min_by`` winner — all bounded per query by TOP_K."""
+    count and a ``min_by`` winner — all bounded per query by TOP_K.
+    Cross-engine ranking parity is by construction, not assumption:
+    ``_fold_dot`` sums dimensions in the oracle's exact left-assoc
+    IEEE order, so the 6dp cosine rank keys are bit-identical and
+    top-k membership cannot flip at tie boundaries."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v"), "label"
     )
