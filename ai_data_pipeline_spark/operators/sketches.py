@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ai_data_pipeline_spark.catalog import load_table
 from ai_data_pipeline_spark.registry import QueryDef
@@ -191,7 +192,95 @@ FROM keys k
 """
 
 
+QH_BUCKET_W = 500.0  # histogram bucket width over l_extendedprice
+QH_PCTS = (50, 90, 99)
+
+
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch — the mergeable percentile primitive
+    (the role t-digest/KLL fill in production sketch libraries, built
+    here from deterministic integer cells so the contents are
+    oracle-exact): prices bucket into fixed-width cells, one keyed
+    groupBy builds the cell relation, and each requested percentile
+    resolves to the first bucket whose cumulative count reaches
+    ceil(p·N/100). The estimate's guarantee is a bucket-width bound:
+    est_lo ≤ true p-th value < est_lo + W.
+
+    Scale: the sketch is a groupBy relation like the count-min/Bloom
+    sketches above — one shuffle carrying (bucket, count) partials,
+    mergeable across partitions/days by summing cells, never rescanning
+    raw data. The cumulative window is ordered but provably bounded:
+    its input has at most value_range/W rows (a few hundred) regardless
+    of corpus size, and the quantile probe joins the 3-row target
+    relation to that bounded cell relation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        l.select(
+            F.floor(F.col("l_extendedprice") / QH_BUCKET_W).cast("long").alias("bkt")
+        )
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    total = hist.agg(F.sum("cnt").alias("n"))
+    qs = spark.range(len(QH_PCTS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in QH_PCTS]), (F.col("id") + 1).cast("int")
+        ).alias("q_pct")
+    )
+    targets = qs.crossJoin(F.broadcast(total)).select(
+        "q_pct", "n", F.expr("(q_pct * n + 99) div 100").alias("target_rank")
+    )
+    hit = targets.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+    return (
+        hit.groupBy("q_pct", "n", "target_rank")
+        .agg(F.min_by(F.struct("bkt", "cnt", "cum"), "bkt").alias("b"))
+        .select(
+            "q_pct",
+            "target_rank",
+            F.col("b.bkt").alias("est_bucket"),
+            (F.col("b.bkt") * F.lit(int(QH_BUCKET_W))).alias("est_lo"),
+            F.col("b.cnt").alias("bucket_count"),
+            F.col("b.cum").alias("cum_count"),
+            F.col("n").alias("total_n"),
+        )
+    )
+
+
+def _quantile_hist_oracle() -> str:
+    pcts = ", ".join(str(p) for p in QH_PCTS)
+    return f"""
+WITH hist AS (
+  SELECT CAST(floor(l_extendedprice / {QH_BUCKET_W}) AS BIGINT) AS bkt,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT bkt, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist
+), targets AS (
+  SELECT q_pct, n, (q_pct * n + 99) // 100 AS target_rank
+  FROM (SELECT unnest([{pcts}]) AS q_pct) CROSS JOIN tot
+), hits AS (
+  SELECT t.q_pct, t.n, t.target_rank, min(c.bkt) AS est_bucket
+  FROM targets t JOIN cum c ON c.cum >= t.target_rank
+  GROUP BY 1, 2, 3
+)
+SELECT h.q_pct, h.target_rank, h.est_bucket,
+       h.est_bucket * {int(QH_BUCKET_W)} AS est_lo,
+       c.cnt AS bucket_count, c.cum AS cum_count, h.n AS total_n
+FROM hits h JOIN cum c ON c.bkt = h.est_bucket
+"""
+
+
 QUERY_DEFS = [
     QueryDef("sketch_countmin_users", sketch_countmin_users, _countmin_oracle()),
     QueryDef("sketch_bloom_filter_join", sketch_bloom_filter_join, _bloom_oracle()),
+    QueryDef("sketch_quantile_hist", sketch_quantile_hist, _quantile_hist_oracle()),
 ]

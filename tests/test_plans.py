@@ -650,3 +650,18 @@ def test_cosine_topk_is_two_level_tournament(spark):
     plan = _plan(ann_cosine_topk(spark, SF_DIR))
     assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
     assert plan.count("Window") >= 2
+
+
+def test_quantile_hist_window_is_cell_bounded(spark):
+    """The quantile sketch's cumulative window must run over the cell
+    relation (≤ value_range/W rows), never raw data: the plan aggregates
+    (partial+final) BEFORE the ordered window, and the only joins are
+    against the broadcast 3-row target relation."""
+    from ai_data_pipeline_spark.operators.sketches import sketch_quantile_hist
+
+    plan = _plan(sketch_quantile_hist(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    agg_pos = plan.rfind("HashAggregate")
+    win_pos = plan.rfind("Window")
+    assert win_pos < agg_pos  # window sits above the aggregate in the tree
+    assert "CartesianProduct" not in plan
