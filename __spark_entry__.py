@@ -217,12 +217,13 @@ _REWRITTEN_SINCE_GREEN = {
     # r6 argmax-assignment rewrite (row_number window → min_by/max_by)
     "ann_ivf", "emb_kmeans_fixed_point",
     # r6 two-level tournament top-k (single low-cardinality window →
-    # local heat + final rank). ann_rerank deliberately keeps its
-    # single-exchange dual-window form: its candidates are
-    # bucket-bounded (LSH_BITS scales with the corpus) and the
-    # tournament's second pass over the candidate generator doubled its
-    # runtime when tried — reverted to the r5-green code.
-    "ann_cosine_topk",
+    # local heat + final rank; shared helper functions.topk_per_key).
+    # ann_rerank deliberately keeps its single-exchange dual-window
+    # form: its candidates are bucket-bounded (LSH_BITS scales with the
+    # corpus) and the tournament's second pass over the candidate
+    # generator doubled its runtime when tried — reverted to the
+    # r5-green code.
+    "ann_cosine_topk", "q_stratified_sample",
 }
 
 # The r4/r5 red row, re-fixed this round (r5 made the values integer-

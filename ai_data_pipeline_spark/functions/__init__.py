@@ -6,6 +6,7 @@ from ai_data_pipeline_spark.functions.expressions import (
     dec_sum,
     epoch_us,
     time_bucket_start,
+    topk_per_key,
 )
 
-__all__ = ["dec_avg", "dec_sum", "epoch_us", "time_bucket_start"]
+__all__ = ["dec_avg", "dec_sum", "epoch_us", "time_bucket_start", "topk_per_key"]

@@ -43,3 +43,29 @@ def time_bucket_start(ts: Column, bucket_seconds: int) -> Column:
     what turns range predicates into shuffle-friendly hash keys."""
     sec = F.unix_timestamp(ts)
     return sec - sec % bucket_seconds
+
+
+def topk_per_key(df, keys: list, order_cols: list, k: int):
+    """Two-level tournament top-k per key: level 1 ranks locally within
+    (keys, input partition) — fully parallel, and because order_cols is
+    a TOTAL order, selection is associative (every global winner wins
+    its local heat) — level 2 ranks only the ≤ k×partitions survivors.
+    The naive single window would funnel all rows for a key through one
+    reducer: with |keys| ≪ cluster width (queries, priorities, market
+    segments) that is the low-cardinality-partition skew this helper
+    removes. Results are identical at any partitioning
+    (tests/test_operator_properties.py pins the invariance). Adds
+    column ``rk`` (1-based global rank within key)."""
+    from pyspark.sql import Window as W
+
+    local = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrk",
+            F.row_number().over(W.partitionBy(*keys, "_pid").orderBy(*order_cols)),
+        )
+        .filter(F.col("_lrk") <= k)
+        .drop("_pid", "_lrk")
+    )
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    return local.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

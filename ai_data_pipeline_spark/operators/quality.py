@@ -112,15 +112,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly SAMPLE_PER_STRATUM customers per market segment, chosen
     by md5-of-key order: deterministic, uniform-ish, and identical
     across engines (unlike seeded RNG sampling, which is
-    engine-specific — `df.sample(seed=)` is the rows-only path)."""
+    engine-specific — `df.sample(seed=)` is the rows-only path).
+    Runs as the two-level tournament (functions.topk_per_key): the md5
+    order is total, so the 5-segment key never funnels the customer
+    table through 5 reducers."""
+    from ai_data_pipeline_spark.functions import topk_per_key
+
     c = load_table(spark, sf_dir, "customer")
     h = F.md5(F.col("c_custkey").cast("string").cast("binary"))
-    w = W.partitionBy("c_mktsegment").orderBy(h.asc(), F.col("c_custkey").asc())
-    return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
-        .select("c_mktsegment", "c_custkey", F.col("rn").alias("sample_rank"))
-    )
+    return topk_per_key(
+        c.select("c_mktsegment", "c_custkey"),
+        ["c_mktsegment"],
+        [h.asc(), F.col("c_custkey").asc()],
+        SAMPLE_PER_STRATUM,
+    ).select("c_mktsegment", "c_custkey", F.col("rk").alias("sample_rank"))
 
 
 STRATIFIED_ORACLE = f"""

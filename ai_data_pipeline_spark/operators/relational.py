@@ -140,24 +140,15 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     asc) is associative, so every global winner survives its local
     heat — and level 2 ranks only the ≤ 3×partitions survivors per
     priority. Same result as the naive window at any partitioning."""
+    from ai_data_pipeline_spark.functions import topk_per_key
+
     o = load_table(spark, sf_dir, "orders")
-    order_cols = (F.desc("o_totalprice"), F.asc("o_orderkey"))
-    local = (
-        o.withColumn("pid", F.spark_partition_id())
-        .withColumn(
-            "lrk",
-            F.row_number().over(
-                W.partitionBy("o_orderpriority", "pid").orderBy(*order_cols)
-            ),
-        )
-        .filter(F.col("lrk") <= 3)
-    )
-    w = W.partitionBy("o_orderpriority").orderBy(*order_cols)
-    return (
-        local.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
-    )
+    return topk_per_key(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
 
 
 Q_TOPK_ORACLE = """

@@ -82,26 +82,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _topk_per_key(df: DataFrame, keys: list, order_cols: list, k: int) -> DataFrame:
-    """Two-level tournament top-k per key: level 1 ranks locally within
-    (keys, input partition) — fully parallel, and because order_cols is
-    a TOTAL order, selection is associative (every global winner wins
-    its local heat) — level 2 ranks only the ≤ k×partitions survivors.
-    The naive single window would funnel all rows for a key through one
-    reducer: with |keys| ≪ cluster width (10 queries, 5 priorities)
-    that is the low-cardinality-partition skew this helper removes.
-    Results are identical at any partitioning. Adds column `rk`."""
-    local = (
-        df.withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_lrk",
-            F.row_number().over(W.partitionBy(*keys, "_pid").orderBy(*order_cols)),
-        )
-        .filter(F.col("_lrk") <= k)
-        .drop("_pid", "_lrk")
-    )
-    w = W.partitionBy(*keys).orderBy(*order_cols)
-    return local.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+from ai_data_pipeline_spark.functions import topk_per_key as _topk_per_key
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
