@@ -1410,3 +1410,70 @@ def test_topk_tournament_is_partitioning_invariant(spark):
             base.repartition(n_parts), ["grp"], order_cols, 4
         )
         assert sorted(tuple(r) for r in got.collect()) == want, n_parts
+
+
+def test_quantile_hist_bound_holds_against_exact(spark):
+    """The histogram quantile sketch guarantees
+    est_lo <= true p-th value < est_lo + W. Checked against a
+    driver-side exact quantile (sorted raw column) — an independent
+    reference, not the DuckDB oracle."""
+    from ai_data_pipeline_spark.operators.sketches import (
+        QH_BUCKET_W,
+        sketch_quantile_hist,
+    )
+
+    vals = sorted(
+        r[0]
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .select("l_extendedprice")
+        .collect()
+    )
+    n = len(vals)
+    for row in sketch_quantile_hist(spark, SF_DIR).collect():
+        target = -(-row["q_pct"] * n // 100)  # ceil
+        assert row["target_rank"] == target
+        assert row["total_n"] == n
+        exact = vals[target - 1]
+        assert row["est_lo"] <= exact < row["est_lo"] + QH_BUCKET_W, (
+            row["q_pct"],
+            exact,
+            row["est_lo"],
+        )
+
+
+def test_minhash_verify_equals_direct_set_intersection(spark):
+    """The digest-join candidate verification must produce the same
+    (pair, jaccard) set as a driver-side direct shingle-set
+    intersection over the candidate pairs — independent of the DuckDB
+    oracle and of the banding implementation."""
+    from ai_data_pipeline_spark.operators.dedup import (
+        JACCARD_DEN,
+        JACCARD_NUM,
+        dedup_minhash_lsh,
+    )
+    import re
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"])
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+
+    def shingles(text):
+        # mirror SHINGLES_SPARK: whitespace split, word-trigram slices
+        # with a greatest(n-2, 1) floor, distinct
+        toks = re.split(r"\s+", text)
+        return {
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 2, 1))
+        }
+
+    sets = {d: shingles(t) for d, t in docs.items()}
+    for (a, b), jac in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert JACCARD_DEN * inter >= JACCARD_NUM * union
+        assert jac == round(inter / union, 6), (a, b)
