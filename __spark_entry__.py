@@ -298,8 +298,9 @@ _UNPROVEN_PRIORITY = [
     # source roundtrips last (family already has driver-green twins)
     "orc_roundtrip_lineitem", "partitioned_roundtrip_events",
     "binfile_ingest_documents", "pyds_synthetic_agg", "pyds_stream_agg",
-    # new in round 6: mergeable histogram-quantile sketch
-    "sketch_quantile_hist",
+    # new in round 6: mergeable histogram-quantile sketch + the exact
+    # two-phase refinement it anchors
+    "sketch_quantile_hist", "q_quantile_exact_twophase",
 ]
 
 

@@ -279,8 +279,101 @@ FROM hits h JOIN cum c ON c.bkt = h.est_bucket
 """
 
 
+def q_quantile_exact_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles the scale-correct way — the two-phase
+    histogram refinement that replaces a global sort: phase 1 builds
+    the bounded cell relation and locates, per percentile, the bucket
+    holding rank ceil(p·N/100) plus the residual rank within it
+    (cum_before arithmetic); phase 2 scans ONLY the rows of the target
+    buckets (a ~1/n_buckets fraction of the data) and picks the
+    residual-rank row under a total order (value asc, orderkey,
+    linenumber). The oracle computes the same percentiles by the naive
+    definition — row_number over a full global sort — so the green row
+    PROVES the decomposition equals the textbook semantics.
+
+    Scale: phase 1 is the mergeable sketch shuffle (cells only); the
+    in-bucket rank runs per percentile over one bucket's rows — at
+    100 TB you narrow W (more buckets) until a bucket fits an executor,
+    or recurse one more histogram level; the full table is never
+    globally sorted."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    bkt = F.floor(F.col("l_extendedprice") / QH_BUCKET_W).cast("long").alias("bkt")
+    hist = l.select(bkt).groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    total = hist.agg(F.sum("cnt").alias("n"))
+    qs = spark.range(len(QH_PCTS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in QH_PCTS]), (F.col("id") + 1).cast("int")
+        ).alias("q_pct")
+    )
+    targets = qs.crossJoin(F.broadcast(total)).select(
+        "q_pct", F.expr("(q_pct * n + 99) div 100").alias("target_rank")
+    )
+    # the bucket holding the target rank + the residual rank within it
+    probes = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_pct", "target_rank")
+        .agg(F.min_by(F.struct("bkt", "cum_before"), "bkt").alias("b"))
+        .select(
+            "q_pct",
+            "target_rank",
+            F.col("b.bkt").alias("bkt"),
+            (F.col("target_rank") - F.col("b.cum_before")).alias("rank_in_bucket"),
+        )
+    )
+    in_bucket = l.select("l_extendedprice", "l_orderkey", "l_linenumber", bkt).join(
+        F.broadcast(probes), "bkt"
+    )
+    wq = Window.partitionBy("q_pct").orderBy(
+        F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("rank_in_bucket"))
+        .select(
+            "q_pct",
+            "target_rank",
+            F.col("l_extendedprice").alias("quantile_value"),
+        )
+    )
+
+
+def _quantile_exact_oracle() -> str:
+    """Naive definition: value at rank ceil(p*N/100) under the total
+    order (value, orderkey, linenumber) — a full global sort the Spark
+    side deliberately avoids; equality proves the two-phase refinement."""
+    pcts = ", ".join(str(p) for p in QH_PCTS)
+    return f"""
+WITH ranked AS (
+  SELECT l_extendedprice,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS rn
+  FROM lineitem
+), tot AS (
+  SELECT count(*) AS n FROM lineitem
+), targets AS (
+  SELECT q_pct, (q_pct * n + 99) // 100 AS target_rank
+  FROM (SELECT unnest([{pcts}]) AS q_pct) CROSS JOIN tot
+)
+SELECT t.q_pct, t.target_rank, r.l_extendedprice AS quantile_value
+FROM targets t JOIN ranked r ON r.rn = t.target_rank
+"""
+
+
 QUERY_DEFS = [
     QueryDef("sketch_countmin_users", sketch_countmin_users, _countmin_oracle()),
     QueryDef("sketch_bloom_filter_join", sketch_bloom_filter_join, _bloom_oracle()),
     QueryDef("sketch_quantile_hist", sketch_quantile_hist, _quantile_hist_oracle()),
+    QueryDef(
+        "q_quantile_exact_twophase",
+        q_quantile_exact_twophase,
+        _quantile_exact_oracle(),
+    ),
 ]

@@ -130,8 +130,9 @@ HEADLINE = [
     "q_seasonal_index",
     "q_scd2_merge",
     "ann_knn_classify",
-    # round-6 addition (self-baseline in BASELINE.md round-6 section)
+    # round-6 additions (self-baseline in BASELINE.md round-6 section)
     "sketch_quantile_hist",
+    "q_quantile_exact_twophase",
 ]
 
 

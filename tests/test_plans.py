@@ -665,3 +665,17 @@ def test_quantile_hist_window_is_cell_bounded(spark):
     win_pos = plan.rfind("Window")
     assert win_pos < agg_pos  # window sits above the aggregate in the tree
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_twophase_never_globally_sorts(spark):
+    """The exact-quantile refinement must not contain a global sort of
+    the fact table: no rangepartitioning exchange anywhere (the naive
+    definition would need one), aggregation before the bounded cell
+    window, and the in-bucket pass joins against the broadcast 3-row
+    probe relation."""
+    from ai_data_pipeline_spark.operators.sketches import q_quantile_exact_twophase
+
+    plan = _plan(q_quantile_exact_twophase(spark, SF_DIR))
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
