@@ -295,12 +295,13 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is small enough to verify every candidate, so the audit is
     complete. All ratios are integer micro-units (floor division), so
     the comparison is engine-exact. Same plan shape as
-    ``dedup_minhash_lsh`` (one shingle shuffle, banded candidate join);
-    the extra cost is only the slice-equality sum per pair."""
+    ``dedup_minhash_lsh`` (one shingle shuffle, banded candidate join,
+    candidates⋈shingle-digest verify — the signature relation is
+    fixed-width and digests only ride the verify shuffle, never shingle
+    sets); the extra cost is only the slice-equality sum per pair."""
     sh = _doc_shingles(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
-        "shingle",
         F.concat(
             F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
             F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
@@ -312,7 +313,6 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(MINHASH_K)
         ],
         F.count(F.lit(1)).alias("sz"),
-        F.collect_set("shingle").alias("sset"),
     ).cache()
     n_bands = MINHASH_K // MINHASH_BAND_R
     bands = sig.select(
@@ -348,26 +348,37 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # exact-Jaccard verify as a candidates⋈shingle-digest join (same
+    # discipline as dedup_minhash_lsh): each side of the intersection
+    # count joins the (doc_id, 128-bit digest) relation — the wire
+    # carries bounded digests, never shingle sets. The inner join drops
+    # zero-intersection pairs, exactly mirroring the oracle's inter CTE.
+    shd = hashed.select("doc_id", F.substring("hh", 1, 32).alias("dg"))
+    da = shd.select(F.col("doc_id").alias("doc_a"), "dg")
+    db = shd.select(F.col("doc_id").alias("doc_b"), "dg")
+    inter = (
+        cands.join(da, "doc_a")
+        .join(db, ["doc_b", "dg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"),
-        F.col("sset").alias("sset_a"),
         *[F.col(f"m{j}").alias(f"a{j}") for j in range(MINHASH_K)],
     )
     sb = sig.select(
         F.col("doc_id").alias("doc_b"),
         F.col("sz").alias("sz_b"),
-        F.col("sset").alias("sset_b"),
         *[F.col(f"m{j}").alias(f"b{j}") for j in range(MINHASH_K)],
     )
     k_match = sum(
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(MINHASH_K)
     )
     return (
-        cands.join(sa, "doc_a")
+        inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("k_match", k_match)
-        .withColumn("inter", F.size(F.array_intersect("sset_a", "sset_b")).cast("long"))
         .withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .select(
             "doc_a",

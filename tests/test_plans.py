@@ -598,6 +598,19 @@ def test_minhash_lsh_shuffles_no_set_payload(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_minhash_estimate_shuffles_no_set_payload(spark):
+    """The calibration query follows the same discipline as the LSH
+    dedup it audits: fixed-width signature relation, digest-join exact
+    Jaccard — no collect_set payload in any exchange."""
+    from ai_data_pipeline_spark.operators.dedup import dedup_minhash_estimate
+
+    plan = _plan(dedup_minhash_estimate(spark, SF_DIR))
+    assert "collect_set" not in plan
+    assert "sset" not in plan
+    assert "array_intersect" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_prefix_recall_single_corpus_shuffle(spark):
     """Both top-k rankings must share ONE exchange on q_id (two Window
     operators under the same partitioning), with the overlap computed by
