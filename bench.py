@@ -215,9 +215,11 @@ def main() -> None:
     # the END, so truncation only ever drops the least-referenced
     # entries. The complete record is committed in BENCH_SELF.json.
     stdout_priority = [
-        # perf watchlist (VERDICT r5 worst lines + their anchors)
+        # perf watchlist (VERDICT r5 worst lines + their anchors, plus
+        # the r6 digest-join rewrites whose anchors deliberately moved)
         "emb_prefix_recall", "q5_region_revenue", "q3_top_orders",
         "ann_ivf", "q_time_bucket_rollup", "dedup_minhash_lsh",
+        "dedup_minhash_estimate", "ann_rerank",
         # headline comparisons the judge quotes every round
         "profile_customer", "profile_lineitem", "profile_events",
         "q1_pricing_summary", "q6_forecast_revenue", "q18_large_orders",
