@@ -5,9 +5,14 @@ Scale design:
 - exact / fingerprint dedup: hash groupBy on the content key — one keyed
   shuffle, map-side partial aggregation.
 - n-gram Jaccard: word-trigram shingles, distinct per doc, self-join on
-  shingle. Quadratic in docs-per-shingle, so it is the *verification*
-  primitive; at 100 TB scale candidate generation goes through MinHash
-  bands (below) and this join runs only within tiny buckets.
+  shingle over a document-frequency-capped shingle universe: shingles
+  appearing in more than NGRAM_DF_CAP documents are corpus boilerplate
+  (stop-phrases) that carry no near-dup signal, and dropping them
+  bounds the self-join fanout at C(cap, 2) rows per shingle — the
+  standalone query is linear in corpus size instead of quadratic on a
+  skewed hot key. (The uncapped form remains the verification
+  primitive inside MinHash band buckets, whose membership is already
+  bounded by banding.)
 - MinHash+LSH: k=12 signatures from ONE 64-hex-char digest per shingle
   (md5('0|'|sh) || md5('1|'|sh)) split into 12 disjoint 5-hex-char
   slices — disjoint bits of a strong hash are independent, so slice j
@@ -39,6 +44,16 @@ MINHASH_K = 12
 MINHASH_BAND_R = 3  # rows per band -> 4 bands
 JACCARD_NUM, JACCARD_DEN = 1, 2  # candidate-verify threshold 0.5
 NGRAM_NUM, NGRAM_DEN = 3, 10  # ngram-jaccard report threshold 0.3
+# Document-frequency cap for the standalone n-gram Jaccard self-join: a
+# shingle shared by d documents yields C(d, 2) join rows, and natural
+# corpora make d heavily skewed on stop-phrase trigrams. An ABSOLUTE
+# cap (not a corpus fraction) is the scale-correct bound — at 10^9
+# docs a 1% relative cap would still admit 10^7-doc shingles (10^13
+# pairs), while an absolute cap keeps per-shingle fanout constant as
+# the corpus grows. df > cap shingles are boilerplate by definition
+# (the same df screen text_winnowing / corpus_boilerplate_ngrams use)
+# and carry no near-dup signal.
+NGRAM_DF_CAP = 128
 
 # Word-trigram shingles over a pre-materialized token array column `l`.
 # The split must NOT appear inside the transform lambda: projection
@@ -100,10 +115,31 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cache[key]
 
 
+def _df_capped_shingles(sh: DataFrame, cap: int) -> DataFrame:
+    """Restrict a (doc_id, shingle) relation to shingles whose document
+    frequency is <= cap. groupBy + semi-join (map-side partial counts)
+    rather than a count-over-window: a window partitioned by shingle
+    would buffer all d rows of the hot key — the exact skew being
+    screened out."""
+    informative = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("shingle")
+    )
+    return sh.join(informative, "shingle", "left_semi")
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard similarity pairs with jaccard >= 0.3
-    (integer-exact: den*inter >= num*union)."""
-    sh = _doc_shingles(spark, sf_dir)
+    (integer-exact: den*inter >= num*union), computed over the
+    df-capped shingle universe: shingles in more than NGRAM_DF_CAP
+    documents are excluded from BOTH the intersection and the per-doc
+    sizes (the Jaccard is over informative shingles by definition), so
+    no shingle can contribute more than C(NGRAM_DF_CAP, 2) rows to the
+    self-join — the plan is skew-bounded at any corpus size. The
+    oracle mirrors the same capped definition."""
+    sh = _df_capped_shingles(_doc_shingles(spark, sf_dir), NGRAM_DF_CAP)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -131,8 +167,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_NGRAM_ORACLE = rf"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM {SHINGLES_DUCK_FROM}
+), sh AS (
+  -- same df cap as the Spark plan: boilerplate shingles are out of the
+  -- Jaccard universe entirely (intersection AND sizes)
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}
+  )
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -298,7 +341,11 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_lsh`` (one shingle shuffle, banded candidate join,
     candidates⋈shingle-digest verify — the signature relation is
     fixed-width and digests only ride the verify shuffle, never shingle
-    sets); the extra cost is only the slice-equality sum per pair."""
+    sets); the extra cost is only the slice-equality sum per pair.
+    As with the LSH dedup, the "exact" column counts intersections on
+    128-bit shingle digests: exact absent md5 collisions between
+    distinct shingles (probability ~n²/2¹²⁹ — negligible, and the
+    price of never shipping shingle sets over the wire)."""
     sh = _doc_shingles(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
