@@ -133,6 +133,10 @@ HEADLINE = [
     # round-6 additions (self-baseline in BASELINE.md round-6 section)
     "sketch_quantile_hist",
     "q_quantile_exact_twophase",
+    # round-7 additions (self-baseline in BASELINE.md round-7 section)
+    "cls_linear_train",
+    "cls_linear_score",
+    "cls_linear_eval",
 ]
 
 
