@@ -55,7 +55,14 @@ def topk_per_key(df, keys: list, order_cols: list, k: int):
     segments) that is the low-cardinality-partition skew this helper
     removes. Results are identical at any partitioning
     (tests/test_operator_properties.py pins the invariance). Adds
-    column ``rk`` (1-based global rank within key)."""
+    column ``rk`` (1-based global rank within key).
+
+    CALLER CONTRACT: ``order_cols`` MUST be a total order within each
+    key (append a unique tie-breaker such as the row's id as the last
+    order column). On ties the associativity argument above fails and
+    results become silently partitioning-dependent — every current
+    caller (ann_cosine_topk, ann_knn_classify, q_topk_per_group,
+    q_stratified_sample) passes a unique id as its final order key."""
     from pyspark.sql import Window as W
 
     local = (

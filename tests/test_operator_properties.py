@@ -1477,3 +1477,88 @@ def test_minhash_verify_equals_direct_set_intersection(spark):
         union = len(sets[a] | sets[b])
         assert JACCARD_DEN * inter >= JACCARD_NUM * union
         assert jac == round(inter / union, 6), (a, b)
+
+
+def test_ngram_df_cap_screens_hot_shingles(spark):
+    """A shingle shared by more than `cap` docs must vanish from the
+    Jaccard universe (both intersection and sizes), while low-df
+    shingles survive untouched — so no shingle can contribute more than
+    C(cap, 2) rows to the pair self-join."""
+    from ai_data_pipeline_spark.operators.dedup import (
+        NGRAM_DF_CAP,
+        _df_capped_shingles,
+        _doc_shingles,
+    )
+
+    rows = [(d, "the quick fox") for d in range(10)]  # hot: df=10
+    rows += [(0, "unique alpha zero"), (1, "unique alpha one")]
+    sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    kept = _df_capped_shingles(sh, 5).collect()
+    shingles = {r.shingle for r in kept}
+    assert "the quick fox" not in shingles
+    assert shingles == {"unique alpha zero", "unique alpha one"}
+
+    # on the real corpus: post-cap document frequency is bounded by the cap
+    real = _df_capped_shingles(_doc_shingles(spark, SF_DIR), NGRAM_DF_CAP)
+    max_df = (
+        real.groupBy("shingle").count().agg({"count": "max"}).collect()[0][0]
+    )
+    assert max_df is not None and max_df <= NGRAM_DF_CAP
+
+
+def test_cls_linear_classifier_separates_and_bounds(spark):
+    """The closed-form hashed-feature classifier must (a) emit a model
+    no larger than FEATURE_BUCKETS rows, (b) score every document
+    exactly once, and (c) actually separate the classes it was trained
+    on (mean score of positive-label docs strictly above negative-label
+    docs — word-presence features carry real language signal, so
+    training-set separation is a correctness property of the closed
+    form, not a hope)."""
+    from ai_data_pipeline_spark.operators.stats import (
+        FEATURE_BUCKETS,
+        cls_linear_score,
+        cls_linear_train,
+    )
+    from ai_data_pipeline_spark.catalog import load_table
+
+    model = cls_linear_train(spark, SF_DIR)
+    assert model.count() <= FEATURE_BUCKETS
+
+    scored = cls_linear_score(spark, SF_DIR)
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    rows = scored.collect()
+    assert len(rows) == n_docs
+
+    pos = [r.score_ppm for r in rows if r.label == 1]
+    neg = [r.score_ppm for r in rows if r.label == 0]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_cls_linear_eval_cumulative_identities(spark):
+    """The banded PR curve must satisfy the exact accounting identities
+    of a cumulative operating curve: the lowest band's cumulative counts
+    equal the corpus totals (recall 100%, precision = base rate), recall
+    is monotone non-increasing with band, and every band's cumulative
+    counts equal the sum of bands above it."""
+    from ai_data_pipeline_spark.operators.stats import (
+        cls_linear_eval,
+        cls_linear_score,
+    )
+
+    rows = sorted(cls_linear_eval(spark, SF_DIR).collect(), key=lambda r: -r.band)
+    scored = cls_linear_score(spark, SF_DIR).collect()
+    n, p = len(scored), sum(r.label for r in scored)
+
+    cum_d = cum_p = 0
+    prev_recall = None
+    for r in rows:
+        cum_d += r.n_docs
+        cum_p += r.n_pos
+        assert (r.cum_docs, r.cum_pos) == (cum_d, cum_p)
+        assert r.precision_ppm == r.cum_pos * 1000000 // r.cum_docs
+        if prev_recall is not None:
+            assert r.recall_ppm >= prev_recall
+        prev_recall = r.recall_ppm
+    assert (cum_d, cum_p) == (n, p)
+    assert rows[-1].recall_ppm == 1000000

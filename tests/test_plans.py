@@ -692,3 +692,45 @@ def test_quantile_twophase_never_globally_sorts(spark):
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ngram_jaccard_self_join_is_df_capped(spark):
+    """The standalone n-gram Jaccard self-join must run over the
+    df-capped shingle universe: a semi-join against the df <= cap
+    shingle relation sits below the pair join, so no single shingle can
+    contribute more than C(NGRAM_DF_CAP, 2) join rows — without the cap
+    a stop-phrase trigram shared by d docs yields d^2 rows on one key
+    (quadratic on the skewed key at corpus scale)."""
+    from ai_data_pipeline_spark.operators.dedup import dedup_ngram_jaccard
+
+    plan = _plan(dedup_ngram_jaccard(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cls_linear_score_broadcasts_bounded_model(spark):
+    """The classifier's apply side must join the corpus against a
+    BROADCAST of the weight relation — the model is bounded by
+    FEATURE_BUCKETS (a constant), so broadcast is correct at any corpus
+    size, and scoring must stay one map-side join + one doc-keyed
+    aggregate (no shuffle join against the model, no cartesian)."""
+    from ai_data_pipeline_spark.operators.stats import cls_linear_score
+
+    plan = _plan(cls_linear_score(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cls_linear_eval_aggregates_before_window(spark):
+    """The PR-curve query must never globally sort raw documents: scores
+    reduce to the bounded fixed-width band relation (HashAggregate)
+    BEFORE the cumulative window, and the totals join is a broadcast of
+    a 1-row aggregate (no cartesian)."""
+    from ai_data_pipeline_spark.operators.stats import cls_linear_eval
+
+    plan = _plan(cls_linear_eval(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    agg_pos = plan.rfind("HashAggregate")
+    win_pos = plan.rfind("Window")
+    assert win_pos < agg_pos  # window sits above the aggregate in the tree
+    assert "CartesianProduct" not in plan
