@@ -224,18 +224,33 @@ _REWRITTEN_SINCE_GREEN = {
     # generator doubled its runtime when tried — reverted to the
     # r5-green code.
     "ann_cosine_topk", "q_stratified_sample",
+    # r6 tournament rewrite that missed this set in the same commit
+    # (ADVICE r6 medium): its r5 green predates the topk_per_key form,
+    # so it must be re-proven like its two siblings above.
+    "q_topk_per_group",
 }
 
-# The r4/r5 red row, re-fixed this round (r5 made the values integer-
-# exact; r6 drops the DECIMAL(38,0) intermediate from the output, the
-# last thing that could cross the driver's value hash differently) —
-# scheduled first so the fix is driver-proven.
-_REFIXED_FIRST = ["q_time_weighted_avg"]
+# Oracled queries declared late in round 7, AFTER the driver budget was
+# already exactly filled (7 never-checked + 43 re-proofs = 50): these
+# rank behind every re-proof so they cannot displace the evidence
+# conversion this round demands, and ahead of the proven tier so the
+# round-8 driver picks them up first. Verified green locally via
+# tools/drive_subset.py at sf0.01. Round 8: clear this set (they will
+# rank as ordinary never-green tier-1 entries automatically).
+_NEW_DEFERRED = {"cls_linear_eval"}
 
-# Ordering of the never-checked tier: the driver budget covers ~49 of
-# its ~61 entries, so the most user-facing / this-round-rewritten
-# queries go first and the redundant source roundtrips (csv/jsonl twins
-# are already driver-green) absorb the shortfall.
+# Red rows re-fixed in the current round go here so the fix is
+# driver-proven first. Empty since r6: q_time_weighted_avg's fix went
+# green in CORRECTNESS_r06.json on current code, so it now rides the
+# derived proven tier like any other green query.
+_REFIXED_FIRST: list[str] = []
+
+# Ordering of the never-checked tier. Round-7 state: 7 never-checked
+# (the 5 r6 leftovers + the 2 new classifier queries) + 43 rewritten-
+# since-green = 50 — exactly the driver budget, so every oracled query
+# ends round 7 driver-green on current code IF nothing green is
+# rewritten late. Names listed here but already green just rank in the
+# proven tier (the rank() lookup ignores stale priority entries).
 _UNPROVEN_PRIORITY = [
     # flagship TPC-H paths a reference user hits first
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
@@ -301,6 +316,10 @@ _UNPROVEN_PRIORITY = [
     # new in round 6: mergeable histogram-quantile sketch + the exact
     # two-phase refinement it anchors
     "sketch_quantile_hist", "q_quantile_exact_twophase",
+    # new in round 7: hashed-feature linear classifier (closed-form
+    # train + broadcast-model scoring) — after the r6 leftovers so the
+    # five queries the judge already queued keep their slots
+    "cls_linear_train", "cls_linear_score",
 ]
 
 
@@ -325,6 +344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (0, refixed_rank[name])
         if name not in oracled:  # rows-only checks: weakest evidence last
             return (4, 0)
+        if name in _NEW_DEFERRED:  # late r7 additions: behind re-proofs
+            return (2, 1)
         if name in green:  # proven on current code: after re-proof tier
             return (3, 0)
         if name in _REWRITTEN_SINCE_GREEN:  # green once, code changed since
