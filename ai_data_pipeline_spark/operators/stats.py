@@ -261,13 +261,17 @@ FROM g
 
 
 def _hashed_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary bag-of-hashed-words with the supervision label inline:
-    one row per (doc_id, y, bucket) where the doc contains at least one
-    token hashing to `bucket`. The label rides the explode (no join
-    against a corpus-sized label relation), so the only shuffle is the
-    presence distinct itself."""
+    """Binary bag-of-hashed-words with the supervision labels inline:
+    one row per (doc_id, lang, y, bucket) where the doc contains at
+    least one token hashing to `bucket` (lang is functionally dependent
+    on doc_id, so the distinct's cardinality is unchanged by carrying
+    it). The labels ride the explode (no join against a corpus-sized
+    label relation), so the only shuffle is the presence distinct
+    itself. y is the binary en-vs-rest target; lang feeds the
+    one-vs-rest multiclass variant."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
+        "lang",
         (F.col("lang") == "en").cast("int").alias("y"),
         F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -275,7 +279,7 @@ def _hashed_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
         % FEATURE_BUCKETS
     )
-    return d.select("doc_id", "y", bucket.alias("bucket")).distinct()
+    return d.select("doc_id", "lang", "y", bucket.alias("bucket")).distinct()
 
 
 def _linear_weights(spark: SparkSession, sf_dir: str, pres: DataFrame) -> DataFrame:
@@ -347,7 +351,7 @@ def cls_linear_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CLS_PRES_DUCK = rf"""
-  SELECT DISTINCT doc_id,
+  SELECT DISTINCT doc_id, lang,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
          (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
             % {FEATURE_BUCKETS}) AS bucket
@@ -502,6 +506,116 @@ FROM cum
 """
 
 
+def cls_linear_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest multiclass extension of the linear classifier: a
+    closed-form least-squares weight per (class, bucket) — the same
+    sufficient statistics, with per-class positives read off ONE
+    (bucket, lang) aggregate (n_h is its per-bucket rollup: every doc
+    has exactly one lang) — then per-document class scores and an
+    argmax prediction.
+
+    Scale: the weight relation is bounded by FEATURE_BUCKETS × |langs|
+    (a few thousand rows); scoring joins it on bucket with NO hint —
+    the relation is aggregate-bounded, AQE broadcasts it at any real
+    cardinality — and fans each presence row out |langs| ways into a
+    (doc, class)-keyed sum. The winner is a `min_by` aggregate over the
+    ≤ |langs| class scores per doc (map-side combine, no window) — the
+    keyed-argmax convention."""
+    pres = _hashed_presence(spark, sf_dir)
+    pb = pres.groupBy("bucket", "lang").agg(F.count(F.lit(1)).alias("n_lb"))
+    nb = pb.groupBy("bucket").agg(F.sum("n_lb").alias("n_docs"))
+    pc = load_table(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("p_class")
+    )
+    totals = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    weights = (
+        pb.join(nb, "bucket")
+        .join(pc, "lang")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.col("lang").alias("cls"),
+            F.coalesce(
+                F.floor(
+                    (
+                        F.col("n_total") * F.col("n_lb")
+                        - F.col("n_docs") * F.col("p_class")
+                    ).cast("double")
+                    * 1000000.0
+                    / F.nullif(
+                        F.col("n_docs") * (F.col("n_total") - F.col("n_docs")),
+                        F.lit(0),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("w_ppm"),
+        )
+    )
+    class_scores = (
+        pres.select("doc_id", F.col("lang").alias("actual_lang"), "bucket")
+        .join(weights, "bucket")
+        .groupBy("doc_id", "actual_lang", "cls")
+        .agg(F.sum("w_ppm").alias("score_ppm"))
+    )
+    return (
+        class_scores.groupBy("doc_id", "actual_lang")
+        .agg(
+            F.min_by(
+                "cls", F.struct(-F.col("score_ppm"), F.col("cls"))
+            ).alias("predicted_lang"),
+            F.max("score_ppm").alias("best_score_ppm"),
+        )
+        .select(
+            "doc_id",
+            "actual_lang",
+            "predicted_lang",
+            "best_score_ppm",
+            (F.col("predicted_lang") == F.col("actual_lang"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+CLS_MULTI_ORACLE = f"""
+WITH pres AS ({CLS_PRES_DUCK}),
+pb AS (
+  SELECT bucket, lang, count(*) AS n_lb FROM pres GROUP BY 1, 2
+), nb AS (
+  SELECT bucket, CAST(sum(n_lb) AS BIGINT) AS n_docs FROM pb GROUP BY 1
+), pc AS (
+  SELECT lang, count(*) AS p_class FROM documents GROUP BY 1
+), tot AS (SELECT count(*) AS n_total FROM documents),
+weights AS (
+  SELECT pb.bucket, pb.lang AS cls,
+         CAST(coalesce(floor(
+           CAST(t.n_total * pb.n_lb - nb.n_docs * pc.p_class AS DOUBLE)
+             * 1000000
+             / nullif(nb.n_docs * (t.n_total - nb.n_docs), 0)
+         ), 0) AS BIGINT) AS w_ppm
+  FROM pb JOIN nb USING (bucket) JOIN pc ON pb.lang = pc.lang CROSS JOIN tot t
+), class_scores AS (
+  SELECT p.doc_id, p.lang AS actual_lang, w.cls,
+         CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm
+  FROM (SELECT DISTINCT doc_id, lang, bucket FROM pres) p
+  JOIN weights w ON p.bucket = w.bucket
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, actual_lang, predicted_lang, best_score_ppm,
+       CAST(predicted_lang = actual_lang AS INT) AS correct
+FROM (
+  SELECT doc_id, actual_lang, cls AS predicted_lang, score_ppm AS best_score_ppm,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY score_ppm DESC, cls ASC) AS rk
+  FROM class_scores
+) WHERE rk = 1
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_corr_matrix", q_corr_matrix, _corr_oracle()),
     QueryDef("q_gini_segments", q_gini_segments, GINI_ORACLE),
@@ -510,4 +624,5 @@ QUERY_DEFS = [
     QueryDef("cls_linear_train", cls_linear_train, CLS_TRAIN_ORACLE),
     QueryDef("cls_linear_score", cls_linear_score, CLS_SCORE_ORACLE),
     QueryDef("cls_linear_eval", cls_linear_eval, CLS_EVAL_ORACLE),
+    QueryDef("cls_linear_multiclass", cls_linear_multiclass, CLS_MULTI_ORACLE),
 ]

@@ -601,8 +601,114 @@ GROUP BY k, total_tokens, vocab_size
 """
 
 
+BM25_TOP_DOCS = 10
+BM25_N_TERMS = 8
+BM25_MIN_QTERM_LEN = 5
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: for each of the BM25_N_TERMS highest-df
+    query terms (length >= BM25_MIN_QTERM_LEN, df < N — universal terms
+    have zero idf and rank nothing), the BM25_TOP_DOCS best documents — the inverted-
+    index query shape behind corpus search and hard-negative mining.
+
+    Exactness: BM25 with k1 = 6/5, b = 3/4 is a pure rational in
+    (tf, dl, N, L): clearing denominators gives
+    core = 22·tf·L / (10·L·tf + 3·L + 9·dl·N), and the idf uses the
+    exact rational surrogate (2(N−df)+1)/(2df+1) ×1000 — the BM25+
+    idf ARGUMENT without the cross-engine-risky ln (idf is constant
+    per term, so per-term ranking is identical to log-idf BM25; the
+    monotone-transform trick text_tfidf_top_terms already documents).
+    Final score is one exact integer division — no floats anywhere.
+
+    Scale: tokenize/tf/df are the TF-IDF passes (map-side explode, two
+    keyed shuffles); the query-term relation is LIMIT-bounded by a
+    constant, so its broadcast is correct at any corpus size; corpus
+    scalars (N, L) ride a 1-row broadcast; the doc-length join carries
+    no hint (corpus-sized relation — AQE decides); and the per-term
+    top-k runs the two-level tournament (terms are a low-cardinality
+    key — exactly the reducer funnel topk_per_key removes)."""
+    from ai_data_pipeline_spark.functions import topk_per_key
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= MIN_TERM_LEN)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scal = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        df_.crossJoin(F.broadcast(scal.select(F.col("n_docs").alias("nd"))))
+        .filter(
+            (F.length("term") >= BM25_MIN_QTERM_LEN) & (F.col("df") < F.col("nd"))
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(BM25_N_TERMS)
+        .select("term", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "term",
+            "df",
+            "doc_id",
+            "tf",
+            "dl",
+            F.expr(
+                "(22 * tf * total_len"
+                " * ((2 * (n_docs - df) + 1) * 1000 div (2 * df + 1)))"
+                " div (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"
+            ).alias("bm25_fp"),
+        )
+    )
+    return topk_per_key(
+        scored, ["term"], [F.desc("bm25_fp"), F.asc("doc_id")], BM25_TOP_DOCS
+    )
+
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), ft AS (
+  SELECT doc_id, term FROM toks WHERE length(term) >= {MIN_TERM_LEN}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM ft GROUP BY 1
+), scal AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), qterms AS (
+  SELECT term, df FROM df CROSS JOIN scal
+  WHERE length(term) >= {BM25_MIN_QTERM_LEN} AND df < n_docs
+  ORDER BY df DESC, term ASC LIMIT {BM25_N_TERMS}
+), scored AS (
+  SELECT q.term, q.df, tf.doc_id, tf.tf, dl.dl,
+         CAST((22 * tf.tf * s.total_len
+               * ((2 * (s.n_docs - q.df) + 1) * 1000 // (2 * q.df + 1)))
+              // (10 * s.total_len * tf.tf + 3 * s.total_len
+                  + 9 * dl.dl * s.n_docs) AS BIGINT) AS bm25_fp
+  FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id) CROSS JOIN scal s
+)
+SELECT term, df, doc_id, tf, dl, bm25_fp, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+    ORDER BY bm25_fp DESC, doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {BM25_TOP_DOCS}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("text_stats", text_stats, _text_stats_oracle()),
+    QueryDef("text_bm25_topk", text_bm25_topk, BM25_ORACLE),
     QueryDef("text_vocab_coverage", vocab_coverage, _vocab_coverage_oracle()),
     QueryDef("text_readability", text_readability, TEXT_READABILITY_ORACLE),
     QueryDef("text_encoding_audit", encoding_audit, ENCODING_AUDIT_ORACLE),

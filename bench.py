@@ -137,6 +137,8 @@ HEADLINE = [
     "cls_linear_train",
     "cls_linear_score",
     "cls_linear_eval",
+    "cls_linear_multiclass",
+    "text_bm25_topk",
 ]
 
 
