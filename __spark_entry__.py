@@ -237,7 +237,7 @@ _REWRITTEN_SINCE_GREEN = {
 # round-8 driver picks them up first. Verified green locally via
 # tools/drive_subset.py at sf0.01. Round 8: clear this set (they will
 # rank as ordinary never-green tier-1 entries automatically).
-_NEW_DEFERRED = {"cls_linear_eval"}
+_NEW_DEFERRED = {"cls_linear_eval", "cls_linear_multiclass", "text_bm25_topk"}
 
 # Red rows re-fixed in the current round go here so the fix is
 # driver-proven first. Empty since r6: q_time_weighted_avg's fix went

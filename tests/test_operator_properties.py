@@ -1562,3 +1562,104 @@ def test_cls_linear_eval_cumulative_identities(spark):
         prev_recall = r.recall_ppm
     assert (cum_d, cum_p) == (n, p)
     assert rows[-1].recall_ppm == 1000000
+
+
+def test_bm25_scores_match_python_recompute(spark):
+    """The fixed-point BM25 must equal a direct Python recompute of
+    22·tf·L·idf1000 // (10·L·tf + 3·L + 9·dl·N) for every emitted row,
+    and each term must emit at most BM25_TOP_DOCS docs in strict
+    (score desc, doc_id asc) order."""
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.text import (
+        BM25_TOP_DOCS,
+        MIN_TERM_LEN,
+        text_bm25_topk,
+    )
+    from ai_data_pipeline_spark.catalog import load_table
+    import re
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    tf, dl = {}, Counter()
+    for r in docs:
+        toks = [t for t in re.split("[^a-z]+", r.text.lower()) if len(t) >= MIN_TERM_LEN]
+        dl[r.doc_id] = len(toks)
+        for t in toks:
+            tf[(r.doc_id, t)] = tf.get((r.doc_id, t), 0) + 1
+    n_docs = len([d for d in dl if dl[d] > 0])
+    total_len = sum(dl.values())
+    df = Counter(t for (_, t) in tf)
+
+    rows = text_bm25_topk(spark, SF_DIR).collect()
+    per_term = Counter(r.term for r in rows)
+    assert per_term and max(per_term.values()) <= BM25_TOP_DOCS
+    for r in rows:
+        idf1000 = ((2 * (n_docs - df[r.term]) + 1) * 1000) // (2 * df[r.term] + 1)
+        expect = (22 * tf[(r.doc_id, r.term)] * total_len * idf1000) // (
+            10 * total_len * tf[(r.doc_id, r.term)]
+            + 3 * total_len
+            + 9 * dl[r.doc_id] * n_docs
+        )
+        assert r.bm25_fp == expect
+        assert r.tf == tf[(r.doc_id, r.term)] and r.dl == dl[r.doc_id]
+
+
+def test_multiclass_matches_full_python_recompute(spark):
+    """The one-vs-rest classifier must match a from-scratch Python
+    recompute row for row: md5-hashed presence features, closed-form
+    per-(class, bucket) least-squares weights in floor-fixed-point,
+    per-doc class-score sums, and the (score desc, class asc) argmax.
+    (Note: the synthetic corpus draws the same vocabulary for every
+    lang, so prediction ACCURACY is not a meaningful property here —
+    exactness of the computation is.)"""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from ai_data_pipeline_spark.operators.stats import (
+        FEATURE_BUCKETS,
+        cls_linear_multiclass,
+    )
+    from ai_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    pres = set()
+    for r in docs:
+        for tok in r.text.split():
+            if tok:
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                pres.add((r.doc_id, r.lang, h % FEATURE_BUCKETS))
+    n_lb = Counter((b, lg) for (_, lg, b) in pres)
+    n_b = Counter(b for (_, _, b) in pres)
+    p_c = Counter(r.lang for r in docs)
+    n = len(docs)
+    w = {}
+    for (b, lg), cnt in n_lb.items():
+        den = n_b[b] * (n - n_b[b])
+        w[(b, lg)] = (
+            0 if den == 0
+            else math.floor(float(n * cnt - n_b[b] * p_c[lg]) * 1e6 / den)
+        )
+    scores = defaultdict(int)
+    actual = {}
+    for (d, lg, b) in pres:
+        actual[d] = lg
+        for cls in p_c:
+            if (b, cls) in w:
+                scores[(d, cls)] += w[(b, cls)]
+    expected = {}
+    for d in actual:
+        best = min(
+            ((cls, s) for (dd, cls), s in scores.items() if dd == d),
+            key=lambda t: (-t[1], t[0]),
+        )
+        expected[d] = (actual[d], best[0], best[1])
+
+    rows = cls_linear_multiclass(spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        a, p, s = expected[r.doc_id]
+        assert (r.actual_lang, r.predicted_lang, r.best_score_ppm) == (a, p, s)
+        assert r.correct == int(a == p)

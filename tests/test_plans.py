@@ -734,3 +734,28 @@ def test_cls_linear_eval_aggregates_before_window(spark):
     win_pos = plan.rfind("Window")
     assert win_pos < agg_pos  # window sits above the aggregate in the tree
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_tournament_with_bounded_broadcasts(spark):
+    """BM25 retrieval must run the two-level tournament per term (terms
+    are a low-cardinality key) and only hard-broadcast the LIMIT-bounded
+    query-term relation and 1-row scalars — the doc-length join is
+    corpus-sized and must carry no pinned broadcast."""
+    from ai_data_pipeline_spark.operators.text import text_bm25_topk
+
+    plan = _plan(text_bm25_topk(spark, SF_DIR))
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_multiclass_winner_is_aggregate_not_window(spark):
+    """The multiclass prediction must be a min_by keyed aggregate over
+    the per-doc class scores (map-side combine), never a row_number
+    window partitioned by doc_id — the keyed-argmax convention."""
+    from ai_data_pipeline_spark.operators.stats import cls_linear_multiclass
+
+    plan = _plan(cls_linear_multiclass(spark, SF_DIR))
+    assert "min_by" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
