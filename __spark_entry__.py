@@ -162,14 +162,21 @@ def _profile_catalog_oracle() -> str:
 # burned half the round-4 budget on re-proof).
 
 
-def _driver_green() -> set[str]:
+def _driver_green() -> dict[str, int]:
+    """Map query name -> LAST round it was driver-green in. The round
+    number orders the proven tier oldest-evidence-first (VERDICT r7 task
+    #2), so spare driver slots refresh the longest-unchecked greens
+    instead of re-proving last round's a second time."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r0*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             record = json.load(open(path))
         except (OSError, ValueError):
@@ -180,64 +187,28 @@ def _driver_green() -> set[str]:
                 and r.get("rows_match")
                 and r.get("schema_match")
             ):
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
     return green
 
 
 # Queries whose implementation (or oracle) changed AFTER their last
 # green round — their green predates the current code, so they are
 # demoted out of the proven tier and re-proven after the never-checked
-# tier drains. r4 rewrites: ngram broadcast-hint removal + shared
-# shingle cache, decontaminate token cache, linkage blocking. r5: the
-# session-cache rekeying (every consumer of the shingle/token/pair
-# caches), the streaming reader's encoding probe (all stream_*), and
-# the restored unblocked linkage oracle. r6: the VERDICT-r5 hint sweep
-# (hard F.broadcast() dropped from every SF-scaled relation —
-# customer/supplier/part and derivations — across the TPC-H suite,
-# the bloom probe, the trade graph, and stream_static_enrich); all
-# were locally re-verified green at sf0.01 via tools/drive_subset.py.
-_REWRITTEN_SINCE_GREEN = {
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_chunk_passages", "dedup_exact", "dedup_clusters",
-    "dedup_triangles", "graph_pagerank_nations", "er_fuzzy_linkage",
-    "corpus_decontaminate", "corpus_repetition_signals",
-    "corpus_oov_rate", "corpus_bpe_pair_stats",
-    "stream_tumbling_counts", "stream_static_enrich",
-    "stream_session_windows", "stream_stateful_user_counts",
-    "stream_dedup_pairs", "stream_stream_join", "stream_sliding_counts",
-    "stream_late_data_drop", "stream_topk_per_window",
-    "stream_chained_windows",
-    # r6 broadcast-hint sweep
-    "q3_top_orders", "q5_region_revenue", "q7_nation_trade",
-    "q_cheapest_supplier", "q10_returned_items", "q14_promo_effect",
-    "q16_supplier_variety", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
-    "q9_product_profit", "q15_top_supplier", "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    # r6 argmax-assignment rewrite (row_number window → min_by/max_by)
-    "ann_ivf", "emb_kmeans_fixed_point",
-    # r6 two-level tournament top-k (single low-cardinality window →
-    # local heat + final rank; shared helper functions.topk_per_key).
-    # ann_rerank deliberately keeps its single-exchange dual-window
-    # form: its candidates are bucket-bounded (LSH_BITS scales with the
-    # corpus) and the tournament's second pass over the candidate
-    # generator doubled its runtime when tried — reverted to the
-    # r5-green code.
-    "ann_cosine_topk", "q_stratified_sample",
-    # r6 tournament rewrite that missed this set in the same commit
-    # (ADVICE r6 medium): its r5 green predates the topk_per_key form,
-    # so it must be re-proven like its two siblings above.
-    "q_topk_per_group",
-}
+# tier drains. Convention: any rewrite of a driver-green query adds its
+# name here IN THE SAME COMMIT (comment-only edits excepted), and the
+# entry is only cleared against a green row proven on the post-rewrite
+# code. History: the r4/r5/r6 rewrite cohorts (43 names, including
+# dedup_ngram_jaccard's r7 NGRAM_DF_CAP semantic change) were all
+# driver-re-proven green in CORRECTNESS_r07.json on current code, so
+# the set was cleared at the start of round 8 (VERDICT r7 task #1).
+_REWRITTEN_SINCE_GREEN: set[str] = set()
 
-# Oracled queries declared late in round 7, AFTER the driver budget was
-# already exactly filled (7 never-checked + 43 re-proofs = 50): these
-# rank behind every re-proof so they cannot displace the evidence
-# conversion this round demands, and ahead of the proven tier so the
-# round-8 driver picks them up first. Verified green locally via
-# tools/drive_subset.py at sf0.01. Round 8: clear this set (they will
-# rank as ordinary never-green tier-1 entries automatically).
-_NEW_DEFERRED = {"cls_linear_eval", "cls_linear_multiclass", "text_bm25_topk"}
+# Oracled queries declared late in a round, AFTER that round's driver
+# budget was already filled: these rank behind every re-proof so they
+# cannot displace scheduled evidence conversion, and ahead of the
+# proven tier. Cleared r8: the three r7 deferrals now rank as ordinary
+# never-green tier-1 entries (first driver slots) automatically.
+_NEW_DEFERRED: set[str] = set()
 
 # Red rows re-fixed in the current round go here so the fix is
 # driver-proven first. Empty since r6: q_time_weighted_avg's fix went
@@ -335,7 +306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for d in mod.QUERY_DEFS:
             q[d.name] = d.fn
     oracled = set(oracle_sql())
-    green = _driver_green() - _REWRITTEN_SINCE_GREEN
+    last_green = _driver_green()
+    green = set(last_green) - _REWRITTEN_SINCE_GREEN
     refixed_rank = {n: i for i, n in enumerate(_REFIXED_FIRST)}
     unproven_rank = {n: i for i, n in enumerate(_UNPROVEN_PRIORITY)}
 
@@ -344,10 +316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (0, refixed_rank[name])
         if name not in oracled:  # rows-only checks: weakest evidence last
             return (4, 0)
-        if name in _NEW_DEFERRED:  # late r7 additions: behind re-proofs
+        if name in _NEW_DEFERRED:  # late additions: behind re-proofs
             return (2, 1)
-        if name in green:  # proven on current code: after re-proof tier
-            return (3, 0)
+        if name in green:
+            # Proven on current code: oldest evidence first, so spare
+            # driver slots refresh the longest-unchecked greens.
+            return (3, last_green[name])
         if name in _REWRITTEN_SINCE_GREEN:  # green once, code changed since
             return (2, 0)
         # oracle-bearing, never driver-checked: the budget target
