@@ -201,7 +201,16 @@ def _driver_green() -> dict[str, int]:
 # dedup_ngram_jaccard's r7 NGRAM_DF_CAP semantic change) were all
 # driver-re-proven green in CORRECTNESS_r07.json on current code, so
 # the set was cleared at the start of round 8 (VERDICT r7 task #1).
-_REWRITTEN_SINCE_GREEN: set[str] = set()
+# r8 rewrites (VERDICT r7 tasks #4/#5, both green r6/r7 before the
+# change): the MinHash verify joins moved from the 128-bit md5 prefix
+# to the full 256-bit hh digest, and compaction_roundtrip_events
+# replaced exact file-count columns with engine-contract bound flags
+# (its oracle was unsound at rows < COMPACT_SMALL_FILES).
+_REWRITTEN_SINCE_GREEN: set[str] = {
+    "dedup_minhash_lsh",
+    "dedup_minhash_estimate",
+    "compaction_roundtrip_events",
+}
 
 # Oracled queries declared late in a round, AFTER that round's driver
 # budget was already filled: these rank behind every re-proof so they

@@ -200,11 +200,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (12 minhash slots + a count) — never the shingle sets themselves, so
     no shuffle in this plan is wider than O(docs × k). Candidate
     verification is a candidates⋈shingle-digest join: each side of the
-    intersection count joins the (doc_id, 128-bit digest) relation, so
+    intersection count joins the (doc_id, 256-bit digest) relation, so
     the wire carries bounded digests, not text — the same discipline as
     the digest-keyed exact dedup, and linear in total shingles at
-    100 TB. (The digest is md5 of the shingle; intersection counts on it
-    equal counts on the shingles themselves absent md5 collisions.)"""
+    100 TB. (The digest is the full 256-bit double-md5 `hh` already
+    computed for the signatures; intersection counts on it equal counts
+    on the shingles themselves because the oracle's shingle-equality
+    join agrees with it — two distinct shingles colliding on BOTH
+    independent md5s has probability ~n²/2²⁵⁷, and the join is no wider
+    per row than the 128-bit prefix previously used plus 32 bytes.)"""
     sh = _doc_shingles(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
@@ -257,8 +261,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # verify candidates with exact jaccard via a digest join: intersect
     # |A ∩ B| by joining each candidate pair against the (doc_id, digest)
-    # relation on both sides — digests only on the wire, never sets
-    shd = hashed.select("doc_id", F.substring("hh", 1, 32).alias("dg"))
+    # relation on both sides — digests only on the wire, never sets.
+    # The join key is the FULL 256-bit hh (not a 128-bit prefix): same
+    # shuffle count, 32 extra bytes per row, and the md5-collision
+    # asterisk on "exact Jaccard" drops to double-collision odds.
+    shd = hashed.select("doc_id", F.col("hh").alias("dg"))
     da = shd.select(F.col("doc_id").alias("doc_a"), "dg")
     db = shd.select(F.col("doc_id").alias("doc_b"), "dg")
     inter = (
@@ -343,9 +350,9 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width and digests only ride the verify shuffle, never shingle
     sets); the extra cost is only the slice-equality sum per pair.
     As with the LSH dedup, the "exact" column counts intersections on
-    128-bit shingle digests: exact absent md5 collisions between
-    distinct shingles (probability ~n²/2¹²⁹ — negligible, and the
-    price of never shipping shingle sets over the wire)."""
+    the full 256-bit double-md5 digest `hh`: exact absent a
+    double-collision of independent md5s (~n²/2²⁵⁷), the price of never
+    shipping shingle sets over the wire."""
     sh = _doc_shingles(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
@@ -397,10 +404,10 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact-Jaccard verify as a candidates⋈shingle-digest join (same
     # discipline as dedup_minhash_lsh): each side of the intersection
-    # count joins the (doc_id, 128-bit digest) relation — the wire
+    # count joins the (doc_id, full 256-bit digest) relation — the wire
     # carries bounded digests, never shingle sets. The inner join drops
     # zero-intersection pairs, exactly mirroring the oracle's inter CTE.
-    shd = hashed.select("doc_id", F.substring("hh", 1, 32).alias("dg"))
+    shd = hashed.select("doc_id", F.col("hh").alias("dg"))
     da = shd.select(F.col("doc_id").alias("doc_a"), "dg")
     db = shd.select(F.col("doc_id").alias("doc_b"), "dg")
     inter = (
