@@ -1178,8 +1178,211 @@ FROM weighted CROSS JOIN tot
 """
 
 
+# --- CCNet-style n-gram LM quality scoring -------------------------------
+# Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+# from Web Crawl Data" (arXiv:1911.00359) scores web documents by the
+# perplexity of a small LM trained on a trusted split and keeps the
+# low-perplexity head. This is the same loop with the LM as a pruned
+# token-bigram model trained on the held-IN split of the corpus itself,
+# and perplexity replaced by BIT-QUANTIZED surprisal: for each bigram
+# (w1, w2), surprisal = bits(c(w1)+V) − bits(c(w1,w2)+1) where
+# bits(x) = ⌊log2 x⌋+1 (= length(bin(x)) — integer-exact in both
+# engines, no floating log anywhere). That is −log2 of the add-one-
+# smoothed conditional P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), rounded to
+# whole bits — the deterministic-exactness trade the BM25 idf surrogate
+# documents: a monotone, uniformly-quantized transform of the true
+# surprisal, identical across engines by construction.
+LM_HOLD_MOD = 5  # doc_id % 5 == 0 is the held-out split; rest trains
+LM_TOP_BIGRAMS = 512  # pruned bigram-model size (top-K by count)
+LM_TOP_CONTEXTS = 24  # pruned context-model size (top-K by count)
+
+# Tokens: lowercase alpha runs (the text_bm25_topk tokenizer, no length
+# floor). The CASE guards Spark's sequence(1, 0) = [1, 0] descending
+# surprise on docs with < 2 tokens.
+_LM_BIGRAMS_SPARK = (
+    "CASE WHEN size(l) >= 2 THEN transform(sequence(1, size(l) - 1),"
+    " i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1)))"
+    " ELSE array() END"
+)
+
+
+def _lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bg) — every consecutive-token bigram occurrence, as a
+    single-space-joined string (tokens are alpha runs, so split_part /
+    substring_index recover the context unambiguously)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(r"filter(split(lower(text), '[^a-z]+'), t -> t <> '')").alias("l"),
+    )
+    return d.select("doc_id", F.explode(F.expr(_LM_BIGRAMS_SPARK)).alias("bg"))
+
+
+_LM_BG_DUCK = r"""
+  SELECT doc_id, unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS bg
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS l
+        FROM documents)
+"""
+
+
+def corpus_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the pruned bigram LM on the held-in split: the
+    LM_TOP_BIGRAMS most frequent bigrams (ties broken lexicographically
+    — a total order, so the cut is engine-identical), each with its
+    full context count. This is the model relation corpus_lm_quality
+    broadcasts; emitting it as its own query makes the LM inspectable
+    and oracle-checked independently of the scoring pass.
+
+    Scale: bigram and context counts are linear keyed aggregates with
+    map-side partials; the top-K cut is sort+limit, which Spark
+    executes as TakeOrderedAndProject — per-partition top-K heaps
+    merged on the driver (the tournament shape), never a full sort of
+    the count relation."""
+    bg = _lm_bigrams(spark, sf_dir).filter(F.col("doc_id") % LM_HOLD_MOD != 0)
+    big = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+        .orderBy(F.desc("c_big"), F.asc("bg"))
+        .limit(LM_TOP_BIGRAMS)
+    )
+    ctx = bg.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.count(F.lit(1)).alias("c_ctx")
+    )
+    return big.withColumn("w1", F.substring_index("bg", " ", 1)).join(
+        ctx, "w1"
+    ).select("bg", "c_big", "c_ctx")
+
+
+LM_TRAIN_ORACLE = f"""
+WITH bg0 AS ({_LM_BG_DUCK}),
+train_bg AS (SELECT * FROM bg0 WHERE doc_id % {LM_HOLD_MOD} <> 0),
+big AS (
+  SELECT bg, count(*) AS c_big FROM train_bg GROUP BY bg
+  ORDER BY c_big DESC, bg ASC LIMIT {LM_TOP_BIGRAMS}
+),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c_ctx
+  FROM train_bg GROUP BY 1
+)
+SELECT big.bg, big.c_big, ctx.c_ctx
+FROM big JOIN ctx ON split_part(big.bg, ' ', 1) = ctx.w1
+"""
+
+
+def corpus_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document's bit-quantized pseudo-perplexity under the
+    pruned bigram LM — the corpus-quality filter between the heuristic
+    signals (corpus_repetition_signals, corpus_token_rarity) and the
+    supervised classifier (cls_linear_*). Per bigram occurrence:
+    surprisal = max(bits(c_ctx + V) − bits(c_big + 1), 0) with pruned
+    lookups coalesced to 0 (an out-of-model bigram or context scores as
+    an unseen event; the max(·, 0) clamp makes the rare
+    modeled-bigram/pruned-context combination harmless and is mirrored
+    in the oracle). Emits per-doc bigram count, total surprisal bits,
+    the fixed-point mean bits-per-bigram, and the split flag — the
+    held-out rows (is_held = 1) are the honest quality read; train
+    rows show memorization. Docs with < 2 tokens have no bigrams and
+    are absent by construction.
+
+    Scale: both model relations are LIMIT-bounded constants and the
+    vocab size is a 1-row aggregate, so all three broadcasts are
+    correct at any corpus size (the fixed-size-relation rule); the
+    corpus side streams map-side through the lookups, and the only
+    corpus-scaled shuffle is the final doc-keyed aggregate — the same
+    train-small/apply-broadcast topology as cls_linear_score."""
+    bg_all = _lm_bigrams(spark, sf_dir)
+    train = bg_all.filter(F.col("doc_id") % LM_HOLD_MOD != 0)
+    big = (
+        train.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+        .orderBy(F.desc("c_big"), F.asc("bg"))
+        .limit(LM_TOP_BIGRAMS)
+    )
+    ctx = (
+        train.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.count(F.lit(1)).alias("c_ctx"))
+        .orderBy(F.desc("c_ctx"), F.asc("w1"))
+        .limit(LM_TOP_CONTEXTS)
+    )
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % LM_HOLD_MOD != 0)
+        .select(
+            F.explode(
+                F.expr(r"filter(split(lower(text), '[^a-z]+'), t -> t <> '')")
+            ).alias("tok")
+        )
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    surp = F.greatest(
+        F.length(F.bin(F.coalesce(F.col("c_ctx"), F.lit(0)) + F.col("v")))
+        - F.length(F.bin(F.coalesce(F.col("c_big"), F.lit(0)) + F.lit(1))),
+        F.lit(0),
+    ).cast("long")
+    return (
+        bg_all.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(big), "bg", "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", surp.alias("surp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("surp").alias("surp_bits"),
+        )
+        .select(
+            "doc_id",
+            (F.col("doc_id") % LM_HOLD_MOD == 0).cast("int").alias("is_held"),
+            "n_bigrams",
+            "surp_bits",
+            F.expr("(surp_bits * 1000000) div n_bigrams").alias(
+                "mean_bits_ppm"
+            ),
+        )
+    )
+
+
+LM_QUALITY_ORACLE = f"""
+WITH bg0 AS ({_LM_BG_DUCK}),
+train_bg AS (SELECT * FROM bg0 WHERE doc_id % {LM_HOLD_MOD} <> 0),
+big AS (
+  SELECT bg, count(*) AS c_big FROM train_bg GROUP BY bg
+  ORDER BY c_big DESC, bg ASC LIMIT {LM_TOP_BIGRAMS}
+),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c_ctx
+  FROM train_bg GROUP BY 1
+  ORDER BY c_ctx DESC, w1 ASC LIMIT {LM_TOP_CONTEXTS}
+),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              t -> t <> '')) AS tok
+    FROM documents WHERE doc_id % {LM_HOLD_MOD} <> 0)
+),
+scored AS (
+  SELECT b0.doc_id,
+         greatest(length(bin(coalesce(ctx.c_ctx, 0) + vocab.v))
+                  - length(bin(coalesce(big.c_big, 0) + 1)), 0) AS surp
+  FROM bg0 b0
+  LEFT JOIN big ON b0.bg = big.bg
+  LEFT JOIN ctx ON split_part(b0.bg, ' ', 1) = ctx.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(doc_id % {LM_HOLD_MOD} = 0 AS INT) AS is_held,
+       count(*) AS n_bigrams,
+       CAST(sum(surp) AS BIGINT) AS surp_bits,
+       (CAST(sum(surp) AS BIGINT) * 1000000) // count(*) AS mean_bits_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERY_DEFS = [
     QueryDef("corpus_decontaminate", corpus_decontaminate, DECONTAMINATE_ORACLE),
+    QueryDef("corpus_lm_train", corpus_lm_train, LM_TRAIN_ORACLE),
+    QueryDef("corpus_lm_quality", corpus_lm_quality, LM_QUALITY_ORACLE),
     QueryDef(
         "corpus_boilerplate_ngrams", corpus_boilerplate_ngrams, BOILERPLATE_ORACLE
     ),

@@ -288,11 +288,18 @@ def _linear_weights(spark: SparkSession, sf_dir: str, pres: DataFrame) -> DataFr
     = (N·pos_h − n_h·P) / (n_h·(N − n_h)) — both sufficient statistics
     are one aggregate pass (n_h = docs containing h, pos_h = positives
     among them; N, P corpus scalars). Emitted in fixed-point ppm via
-    floor(double division): exact in IEEE while |num·10⁶| < 2⁵³, i.e.
-    up to ~9·10⁹ docs — and identical in Spark and DuckDB (both
-    truncating and flooring integer division differ between the
-    engines on negatives; floor-of-double does not). Buckets present
-    in every doc (n_h = N) have zero variance → weight 0.
+    floor(double division), which is ENGINE-IDENTICAL at any N — both
+    engines run the same IEEE ops, whereas truncating vs flooring
+    integer division differ between them on negatives. Numeric bounds
+    (ADVICE r7): the numerator N·pos_h − n_h·P is O(N²), so the ppm
+    equals the true rational's floor only while |num|·10⁶ < 2⁵³, i.e.
+    N ≲ 2·10⁵ docs; beyond that it is the deterministic IEEE rounding,
+    still bit-identical across engines. Hard ceiling: the int64
+    products N·pos_h and n_h·(N − n_h) overflow past N ≈ 3·10⁹ docs
+    (ANSI Spark raises, DuckDB errors — no silent wrap either side);
+    shard the corpus or widen those products to DECIMAL before that.
+    Buckets present in every doc (n_h = N) have zero variance →
+    weight 0.
 
     N and P come straight off the documents table (no tokenize pass —
     a doc with zero tokens is a legitimate x = 0 row of every
@@ -507,12 +514,20 @@ FROM cum
 
 
 def cls_linear_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-vs-rest multiclass extension of the linear classifier: a
-    closed-form least-squares weight per (class, bucket) — the same
-    sufficient statistics, with per-class positives read off ONE
-    (bucket, lang) aggregate (n_h is its per-bucket rollup: every doc
-    has exactly one lang) — then per-document class scores and an
-    argmax prediction.
+    """One-vs-rest multiclass extension of the linear classifier: the
+    EXACT per-class binary closed form — for every class c, the weight
+    of bucket h is the univariate least-squares slope of x_h against
+    y = (lang = c), computed over the FULL present-bucket × class grid
+    (nb ⨯ distinct langs, n_lb coalesced to 0): a (h, c) pair where no
+    doc of class c contains h still gets its negative slope
+    −n_h·P_c·10⁶/(n_h·(N−n_h)), exactly as a standalone binary run for
+    class c would emit (ADVICE r7 — the earlier pb-driven join dropped
+    those pairs, biasing scores toward classes sharing the doc's
+    buckets). Buckets present in NO document have zero variance →
+    slope 0 → contribute nothing, so omitting them from the grid IS
+    the binary form. Per-class positives read off ONE (bucket, lang)
+    aggregate (n_h is its per-bucket rollup: every doc has exactly one
+    lang); then per-document class scores and an argmax prediction.
 
     Scale: the weight relation is bounded by FEATURE_BUCKETS × |langs|
     (a few thousand rows); scoring joins it on bucket with NO hint —
@@ -531,8 +546,8 @@ def cls_linear_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total")
     )
     weights = (
-        pb.join(nb, "bucket")
-        .join(pc, "lang")
+        nb.crossJoin(pc)  # full grid: every present bucket × every class
+        .join(pb, ["bucket", "lang"], "left")  # n_lb, NULL where no pos
         .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
@@ -540,7 +555,7 @@ def cls_linear_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.floor(
                     (
-                        F.col("n_total") * F.col("n_lb")
+                        F.col("n_total") * F.coalesce(F.col("n_lb"), F.lit(0))
                         - F.col("n_docs") * F.col("p_class")
                     ).cast("double")
                     * 1000000.0
@@ -591,13 +606,16 @@ pb AS (
   SELECT lang, count(*) AS p_class FROM documents GROUP BY 1
 ), tot AS (SELECT count(*) AS n_total FROM documents),
 weights AS (
-  SELECT pb.bucket, pb.lang AS cls,
+  -- full present-bucket × class grid: absent (bucket, class) pairs get
+  -- n_lb = 0 and hence the binary form's negative slope
+  SELECT nb.bucket, pc.lang AS cls,
          CAST(coalesce(floor(
-           CAST(t.n_total * pb.n_lb - nb.n_docs * pc.p_class AS DOUBLE)
+           CAST(t.n_total * coalesce(pb.n_lb, 0) - nb.n_docs * pc.p_class AS DOUBLE)
              * 1000000
              / nullif(nb.n_docs * (t.n_total - nb.n_docs), 0)
          ), 0) AS BIGINT) AS w_ppm
-  FROM pb JOIN nb USING (bucket) JOIN pc ON pb.lang = pc.lang CROSS JOIN tot t
+  FROM nb CROSS JOIN pc CROSS JOIN tot t
+  LEFT JOIN pb ON pb.bucket = nb.bucket AND pb.lang = pc.lang
 ), class_scores AS (
   SELECT p.doc_id, p.lang AS actual_lang, w.cls,
          CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm

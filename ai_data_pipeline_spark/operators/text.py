@@ -620,6 +620,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per term, so per-term ranking is identical to log-idf BM25; the
     monotone-transform trick text_tfidf_top_terms already documents).
     Final score is one exact integer division — no floats anywhere.
+    The cleared-denominator products are computed in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB): in int64 the 22·tf·L·idf1000 numerator
+    overflows past ~10¹³ total tokens (ADVICE r7); at 38-digit
+    precision it is exact to ~10³¹ — beyond any physical corpus. All
+    operands are positive, so Spark's truncating `div` and DuckDB's
+    flooring `//` agree. The only int64 site left is the idf surrogate
+    itself, exact to N ≈ 4.6·10¹⁵ docs.
 
     Scale: tokenize/tf/df are the TF-IDF passes (map-side explode, two
     keyed shuffles); the query-term relation is LIMIT-bounded by a
@@ -661,9 +668,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf",
             "dl",
             F.expr(
-                "(22 * tf * total_len"
+                "(cast(22 as decimal(38,0)) * tf * total_len"
                 " * ((2 * (n_docs - df) + 1) * 1000 div (2 * df + 1)))"
-                " div (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"
+                " div (cast(10 as decimal(38,0)) * total_len * tf"
+                "      + cast(3 as decimal(38,0)) * total_len"
+                "      + cast(9 as decimal(38,0)) * dl * n_docs)"
             ).alias("bm25_fp"),
         )
     )
@@ -691,11 +700,14 @@ WITH toks AS (
   WHERE length(term) >= {BM25_MIN_QTERM_LEN} AND df < n_docs
   ORDER BY df DESC, term ASC LIMIT {BM25_N_TERMS}
 ), scored AS (
+  -- HUGEINT products mirror Spark's DECIMAL(38,0): int64 would
+  -- overflow the numerator past ~1e13 total tokens
   SELECT q.term, q.df, tf.doc_id, tf.tf, dl.dl,
-         CAST((22 * tf.tf * s.total_len
+         CAST((CAST(22 AS HUGEINT) * tf.tf * s.total_len
                * ((2 * (s.n_docs - q.df) + 1) * 1000 // (2 * q.df + 1)))
-              // (10 * s.total_len * tf.tf + 3 * s.total_len
-                  + 9 * dl.dl * s.n_docs) AS BIGINT) AS bm25_fp
+              // (CAST(10 AS HUGEINT) * s.total_len * tf.tf
+                  + CAST(3 AS HUGEINT) * s.total_len
+                  + CAST(9 AS HUGEINT) * dl.dl * s.n_docs) AS BIGINT) AS bm25_fp
   FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id) CROSS JOIN scal s
 )
 SELECT term, df, doc_id, tf, dl, bm25_fp, rk FROM (

@@ -139,6 +139,9 @@ HEADLINE = [
     "cls_linear_eval",
     "cls_linear_multiclass",
     "text_bm25_topk",
+    # round-8 additions (anchored in BASELINE.md round-8 section)
+    "corpus_lm_train",
+    "corpus_lm_quality",
 ]
 
 

@@ -52,6 +52,7 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("corpus", "corpus_repetition_signals"),
         ("corpus", "corpus_temperature_mix"),
         ("corpus", "corpus_ngram_novelty"),
+        ("corpus", "corpus_lm_quality"),
         ("similarity", "ann_cosine_topk"),
         ("similarity", "ann_ivf_pq"),
         ("similarity", "emb_random_projection"),

@@ -1635,20 +1635,23 @@ def test_multiclass_matches_full_python_recompute(spark):
     n_b = Counter(b for (_, _, b) in pres)
     p_c = Counter(r.lang for r in docs)
     n = len(docs)
+    # full present-bucket × class grid: a (b, cls) pair with no positive
+    # docs still gets the binary form's negative slope (n_lb = 0)
     w = {}
-    for (b, lg), cnt in n_lb.items():
-        den = n_b[b] * (n - n_b[b])
-        w[(b, lg)] = (
-            0 if den == 0
-            else math.floor(float(n * cnt - n_b[b] * p_c[lg]) * 1e6 / den)
-        )
+    for b in n_b:
+        for lg in p_c:
+            cnt = n_lb.get((b, lg), 0)
+            den = n_b[b] * (n - n_b[b])
+            w[(b, lg)] = (
+                0 if den == 0
+                else math.floor(float(n * cnt - n_b[b] * p_c[lg]) * 1e6 / den)
+            )
     scores = defaultdict(int)
     actual = {}
     for (d, lg, b) in pres:
         actual[d] = lg
         for cls in p_c:
-            if (b, cls) in w:
-                scores[(d, cls)] += w[(b, cls)]
+            scores[(d, cls)] += w[(b, cls)]
     expected = {}
     for d in actual:
         best = min(
@@ -1663,3 +1666,62 @@ def test_multiclass_matches_full_python_recompute(spark):
         a, p, s = expected[r.doc_id]
         assert (r.actual_lang, r.predicted_lang, r.best_score_ppm) == (a, p, s)
         assert r.correct == int(a == p)
+
+
+def test_lm_quality_matches_full_python_recompute(spark):
+    """The bit-quantized LM scorer must match a from-scratch Python
+    recompute row for row: tokenization, train-split bigram/context
+    counts, the (count desc, key asc) top-K cuts, add-one-smoothed
+    surprisal in whole bits via int.bit_length, and the per-doc
+    fixed-point mean. Also pins the semantics that pruned lookups
+    coalesce to 0 and that sub-2-token docs are absent."""
+    import re
+    from collections import Counter, defaultdict
+
+    from ai_data_pipeline_spark.operators.corpus import (
+        LM_HOLD_MOD,
+        LM_TOP_BIGRAMS,
+        LM_TOP_CONTEXTS,
+        corpus_lm_quality,
+    )
+    from ai_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    toks = {
+        r.doc_id: [t for t in re.split("[^a-z]+", r.text.lower()) if t]
+        for r in docs
+    }
+    bgs = {
+        d: [f"{l[i]} {l[i + 1]}" for i in range(len(l) - 1)]
+        for d, l in toks.items()
+    }
+    train_ids = [d for d in toks if d % LM_HOLD_MOD != 0]
+    big_counts = Counter(b for d in train_ids for b in bgs[d])
+    ctx_counts = Counter(b.split(" ")[0] for d in train_ids for b in bgs[d])
+    big = dict(
+        sorted(big_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:LM_TOP_BIGRAMS]
+    )
+    ctx = dict(
+        sorted(ctx_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:LM_TOP_CONTEXTS]
+    )
+    v = len({t for d in train_ids for t in toks[d]})
+    expected = {}
+    for d, bl in bgs.items():
+        if not bl:
+            continue
+        s = sum(
+            max(
+                (ctx.get(b.split(" ")[0], 0) + v).bit_length()
+                - (big.get(b, 0) + 1).bit_length(),
+                0,
+            )
+            for b in bl
+        )
+        expected[d] = (len(bl), s, (s * 1000000) // len(bl))
+
+    rows = corpus_lm_quality(spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, s, m = expected[r.doc_id]
+        assert (r.n_bigrams, r.surp_bits, r.mean_bits_ppm) == (n, s, m)
+        assert r.is_held == int(r.doc_id % LM_HOLD_MOD == 0)

@@ -759,3 +759,19 @@ def test_multiclass_winner_is_aggregate_not_window(spark):
     assert "min_by" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_quality_broadcasts_bounded_models_and_tournament_cuts(spark):
+    """The LM scorer's model lookups must be broadcast joins (both model
+    relations are LIMIT-bounded constants, so broadcast is correct at
+    any corpus size), the top-K cuts must run as TakeOrderedAndProject
+    (per-partition heaps merged on the driver — never a full sort of
+    the count relation), and nothing may go cartesian (the vocab join
+    is a 1-row broadcast nested loop, which is the scalar pattern)."""
+    from ai_data_pipeline_spark.operators.corpus import corpus_lm_quality
+
+    plan = _plan(corpus_lm_quality(spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
