@@ -1379,10 +1379,74 @@ FROM scored GROUP BY doc_id
 """
 
 
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching planner: group documents into
+    power-of-two token-length bands (bucket = bit-length of the token
+    count — the standard padded-batching stratification) and quantify,
+    per band, the padding waste of batching within the band (pad to the
+    band max) versus batching globally (pad to the corpus max). This is
+    the table that justifies length bucketing before tokenized training
+    or batched inference: the ppm columns ARE the fraction of padded
+    positions that would be wasted compute.
+
+    Scale: one map-side projection + one keyed aggregate into ≤ ~40
+    bands (bit-length of any realistic document is < 40), then a 1-row
+    broadcast of the global max — nothing data-scaled ever shuffles
+    wider than the band rollup. Waste ratios are computed in
+    DECIMAL(38,0) / HUGEINT: n_docs·max_tok·10⁶ overflows int64 once a
+    band holds ~10⁹ docs of ~10⁴ tokens, well inside 100 TB reality."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tok")
+    )
+    per = d.groupBy(F.length(F.bin(F.col("n_tok"))).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.max("n_tok").alias("max_tok"),
+    )
+    glob = per.agg(F.max("max_tok").alias("global_max"))
+    return per.crossJoin(F.broadcast(glob)).select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        "max_tok",
+        F.expr(
+            "cast(((cast(n_docs as decimal(38,0)) * max_tok - sum_tokens)"
+            " * 1000000) div (cast(n_docs as decimal(38,0)) * max_tok)"
+            " as bigint)"
+        ).alias("pad_waste_ppm"),
+        F.expr(
+            "cast(((cast(n_docs as decimal(38,0)) * global_max - sum_tokens)"
+            " * 1000000) div (cast(n_docs as decimal(38,0)) * global_max)"
+            " as bigint)"
+        ).alias("global_pad_waste_ppm"),
+    )
+
+
+LENGTH_BUCKETS_ORACLE = r"""
+WITH d AS (
+  SELECT len(string_split_regex(text, '\s+')) AS n_tok FROM documents
+), per AS (
+  SELECT length(bin(n_tok)) AS bucket, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         max(n_tok) AS max_tok
+  FROM d GROUP BY 1
+), gm AS (SELECT max(max_tok) AS global_max FROM per)
+SELECT bucket, n_docs, sum_tokens, max_tok,
+       CAST(((CAST(n_docs AS HUGEINT) * max_tok - sum_tokens) * 1000000)
+            // (CAST(n_docs AS HUGEINT) * max_tok) AS BIGINT)
+         AS pad_waste_ppm,
+       CAST(((CAST(n_docs AS HUGEINT) * global_max - sum_tokens) * 1000000)
+            // (CAST(n_docs AS HUGEINT) * global_max) AS BIGINT)
+         AS global_pad_waste_ppm
+FROM per CROSS JOIN gm
+"""
+
+
 QUERY_DEFS = [
     QueryDef("corpus_decontaminate", corpus_decontaminate, DECONTAMINATE_ORACLE),
     QueryDef("corpus_lm_train", corpus_lm_train, LM_TRAIN_ORACLE),
     QueryDef("corpus_lm_quality", corpus_lm_quality, LM_QUALITY_ORACLE),
+    QueryDef("corpus_length_buckets", corpus_length_buckets, LENGTH_BUCKETS_ORACLE),
     QueryDef(
         "corpus_boilerplate_ngrams", corpus_boilerplate_ngrams, BOILERPLATE_ORACLE
     ),

@@ -117,7 +117,110 @@ UNION ALL SELECT '3_purchase', count(*) FROM s3
 """
 
 
+# CCNet/DataComp-style quality resampling thresholds. The tier cuts are
+# FIXED constants in LM-score units (micro-bits per bigram), not
+# corpus-relative quantiles: data-independent cuts keep the keep/drop
+# decision of a document stable when the corpus is re-sharded or grows
+# — the same determinism argument as hash-based split assignment
+# (corpus_split_assign). CCNet's percentile variant needs one extra
+# quantile pass (sketch_quantile_hist) to pick the constants.
+LM_HEAD_BITS_PPM = 5_100_000  # <= head tier (fluent under the LM)
+LM_TAIL_BITS_PPM = 5_600_000  # <= middle; above = tail
+RESAMPLE_KEEP_PM = {"head": 1000, "middle": 500, "tail": 100}  # per-mille
+
+
+def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision the LM scorer and the linear
+    classifier exist to feed (CCNet §4.4 / DataComp resampling): every
+    scoreable document is assigned an LM-fluency tier
+    (head/middle/tail by fixed mean-bits cuts) and a deterministic
+    md5-coin keep decision at that tier's rate — head kept whole,
+    middle half, tail 10%. Emits per-tier totals, kept counts, kept
+    bigram mass, and the summed classifier score, so the table reads as
+    both the resampling plan (how many tokens survive per tier) and a
+    cross-check of the two quality signals (tail tiers should carry
+    lower classifier scores).
+
+    Scale: composes corpus_lm_quality and cls_linear_score — both
+    broadcast-model pipelines whose only corpus-scaled shuffles are
+    doc-keyed aggregates — plus one hint-free doc_id equi-join of the
+    two per-doc relations (both corpus-sized: AQE decides) and a final
+    3-row rollup. The md5 coin makes the sample reproducible under
+    re-sharding — no rand(), no driver state."""
+    from ai_data_pipeline_spark.operators.corpus import corpus_lm_quality
+    from ai_data_pipeline_spark.operators.stats import cls_linear_score
+
+    lm = corpus_lm_quality(spark, sf_dir)
+    cls = cls_linear_score(spark, sf_dir).select("doc_id", "score_ppm")
+    tier = (
+        F.when(F.col("mean_bits_ppm") <= LM_HEAD_BITS_PPM, "head")
+        .when(F.col("mean_bits_ppm") <= LM_TAIL_BITS_PPM, "middle")
+        .otherwise("tail")
+    )
+    rate = (
+        F.when(F.col("mean_bits_ppm") <= LM_HEAD_BITS_PPM, RESAMPLE_KEEP_PM["head"])
+        .when(F.col("mean_bits_ppm") <= LM_TAIL_BITS_PPM, RESAMPLE_KEEP_PM["middle"])
+        .otherwise(RESAMPLE_KEEP_PM["tail"])
+    )
+    coin = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(1000),
+    )
+    kept = (coin < rate).cast("long")
+    return (
+        lm.join(cls, "doc_id")
+        .select(
+            tier.alias("tier"),
+            kept.alias("kept"),
+            "n_bigrams",
+            "mean_bits_ppm",
+            "score_ppm",
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("n_bigrams") * F.col("kept")).alias("kept_bigrams"),
+            F.sum("mean_bits_ppm").alias("sum_mean_bits_ppm"),
+            F.sum("score_ppm").alias("sum_score_ppm"),
+        )
+    )
+
+
+def _quality_resample_oracle() -> str:
+    from ai_data_pipeline_spark.operators.corpus import LM_QUALITY_ORACLE
+    from ai_data_pipeline_spark.operators.stats import CLS_SCORE_ORACLE
+
+    return f"""
+WITH lm AS ({LM_QUALITY_ORACLE}),
+cls AS ({CLS_SCORE_ORACLE}),
+j AS (
+  SELECT lm.doc_id, lm.n_bigrams, lm.mean_bits_ppm, cls.score_ppm,
+         CASE WHEN lm.mean_bits_ppm <= {LM_HEAD_BITS_PPM} THEN 'head'
+              WHEN lm.mean_bits_ppm <= {LM_TAIL_BITS_PPM} THEN 'middle'
+              ELSE 'tail' END AS tier,
+         CASE WHEN lm.mean_bits_ppm <= {LM_HEAD_BITS_PPM}
+                THEN {RESAMPLE_KEEP_PM["head"]}
+              WHEN lm.mean_bits_ppm <= {LM_TAIL_BITS_PPM}
+                THEN {RESAMPLE_KEEP_PM["middle"]}
+              ELSE {RESAMPLE_KEEP_PM["tail"]} END AS rate,
+         CAST(('0x' || substr(md5(CAST(lm.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000 AS coin
+  FROM lm JOIN cls ON lm.doc_id = cls.doc_id
+)
+SELECT tier, count(*) AS n_docs,
+       CAST(sum(CASE WHEN coin < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN coin < rate THEN n_bigrams ELSE 0 END) AS BIGINT)
+         AS kept_bigrams,
+       CAST(sum(mean_bits_ppm) AS BIGINT) AS sum_mean_bits_ppm,
+       CAST(sum(score_ppm) AS BIGINT) AS sum_score_ppm
+FROM j GROUP BY tier
+"""
+
+
 QUERY_DEFS = [
     QueryDef("pipeline_clean_corpus", clean_corpus, CLEAN_CORPUS_ORACLE),
+    QueryDef("pipeline_quality_resample", quality_resample, _quality_resample_oracle()),
     QueryDef("q_event_funnel", event_funnel, EVENT_FUNNEL_ORACLE),
 ]

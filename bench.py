@@ -142,6 +142,8 @@ HEADLINE = [
     # round-8 additions (anchored in BASELINE.md round-8 section)
     "corpus_lm_train",
     "corpus_lm_quality",
+    "corpus_length_buckets",
+    "pipeline_quality_resample",
 ]
 
 

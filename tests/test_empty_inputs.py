@@ -53,6 +53,7 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("corpus", "corpus_temperature_mix"),
         ("corpus", "corpus_ngram_novelty"),
         ("corpus", "corpus_lm_quality"),
+        ("corpus", "corpus_length_buckets"),
         ("similarity", "ann_cosine_topk"),
         ("similarity", "ann_ivf_pq"),
         ("similarity", "emb_random_projection"),

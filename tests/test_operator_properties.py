@@ -1725,3 +1725,77 @@ def test_lm_quality_matches_full_python_recompute(spark):
         n, s, m = expected[r.doc_id]
         assert (r.n_bigrams, r.surp_bits, r.mean_bits_ppm) == (n, s, m)
         assert r.is_held == int(r.doc_id % LM_HOLD_MOD == 0)
+
+
+def test_length_buckets_match_python_recompute(spark):
+    """Each power-of-two length band's stats and both padding-waste
+    ratios must equal a direct Python recompute (whitespace token
+    counts, bit_length bucketing, exact integer floor division)."""
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.operators.corpus import corpus_length_buckets
+    from ai_data_pipeline_spark.catalog import load_table
+
+    import re
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    per = defaultdict(lambda: [0, 0, 0])  # n_docs, sum_tokens, max_tok
+    for r in docs:
+        # mirror Spark split(text, '\s+'): count of split segments
+        n = len(re.split(r"\s+", r.text))
+        b = n.bit_length()
+        per[b][0] += 1
+        per[b][1] += n
+        per[b][2] = max(per[b][2], n)
+    gmax = max(v[2] for v in per.values())
+    rows = corpus_length_buckets(spark, SF_DIR).collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        nd, st, mt = per[r.bucket]
+        assert (r.n_docs, r.sum_tokens, r.max_tok) == (nd, st, mt)
+        assert r.pad_waste_ppm == ((nd * mt - st) * 1000000) // (nd * mt)
+        assert r.global_pad_waste_ppm == ((nd * gmax - st) * 1000000) // (nd * gmax)
+
+
+def test_quality_resample_composition_identities(spark):
+    """The resampling rollup must be exactly the tier/coin rollup of its
+    two component queries' own outputs: recompute tiers, md5 coins, and
+    keep decisions in Python from corpus_lm_quality and
+    cls_linear_score rows, and match every aggregate cell."""
+    import hashlib
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.operators.corpus import corpus_lm_quality
+    from ai_data_pipeline_spark.operators.pipeline import (
+        LM_HEAD_BITS_PPM,
+        LM_TAIL_BITS_PPM,
+        RESAMPLE_KEEP_PM,
+        quality_resample,
+    )
+    from ai_data_pipeline_spark.operators.stats import cls_linear_score
+
+    lm = {r.doc_id: r for r in corpus_lm_quality(spark, SF_DIR).collect()}
+    cls = {r.doc_id: r.score_ppm for r in cls_linear_score(spark, SF_DIR).collect()}
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for d, r in lm.items():
+        if d not in cls:
+            continue
+        if r.mean_bits_ppm <= LM_HEAD_BITS_PPM:
+            tier = "head"
+        elif r.mean_bits_ppm <= LM_TAIL_BITS_PPM:
+            tier = "middle"
+        else:
+            tier = "tail"
+        coin = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1000
+        kept = int(coin < RESAMPLE_KEEP_PM[tier])
+        a = agg[tier]
+        a[0] += 1
+        a[1] += kept
+        a[2] += r.n_bigrams * kept
+        a[3] += r.mean_bits_ppm
+        a[4] += cls[d]
+    rows = quality_resample(spark, SF_DIR).collect()
+    assert {r.tier for r in rows} == set(agg)
+    for r in rows:
+        assert [r.n_docs, r.n_kept, r.kept_bigrams, r.sum_mean_bits_ppm,
+                r.sum_score_ppm] == agg[r.tier]
