@@ -17,6 +17,7 @@ from ai_data_pipeline_spark.operators import (
     analytic2,
     clustering,
     corpus,
+    curation,
     dedup,
     linkage,
     maintenance,
@@ -74,6 +75,7 @@ QUERY_DEF_MODULES = [
     analytic2,
     clustering,
     corpus,
+    curation,
     dedup,
     linkage,
 ]
@@ -225,11 +227,13 @@ _NEW_DEFERRED: set[str] = set()
 # derived proven tier like any other green query.
 _REFIXED_FIRST: list[str] = []
 
-# Ordering of the never-checked tier. Round-7 state: 7 never-checked
-# (the 5 r6 leftovers + the 2 new classifier queries) + 43 rewritten-
-# since-green = 50 — exactly the driver budget, so every oracled query
-# ends round 7 driver-green on current code IF nothing green is
-# rewritten late. Names listed here but already green just rank in the
+# Ordering of the never-checked tier. Round-8 state: 10 never-checked
+# (3 r7 deferrals + the r8 LM/bucket/resample/curation additions) + 3
+# rewritten-since-green (full-digest MinHash pair, placement-robust
+# compaction) = 13 driver slots on new evidence; the remaining ~37
+# re-confirm the oldest greens (proven tier orders by last-green round
+# ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
+# task #2). Names listed here but already green just rank in the
 # proven tier (the rank() lookup ignores stale priority entries).
 _UNPROVEN_PRIORITY = [
     # flagship TPC-H paths a reference user hits first

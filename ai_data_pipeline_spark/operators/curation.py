@@ -1,0 +1,460 @@
+"""Corpus-curation execution steps: substring-level duplicate-span
+extraction, near-dup cluster representative selection, and the
+deterministic shard shuffle that writes the final training corpus.
+
+These close the loop the pair/cluster dedup operators open
+(dedup.py / clustering.py): after candidate pairs and components are
+known, a pipeline still has to (a) find the duplicated *regions inside*
+documents (Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better" — substring dedup, not just doc-level),
+(b) pick ONE survivor per near-dup cluster, and (c) shuffle the kept
+corpus into training shards deterministically (stable under retries
+and re-sharding — no rand()).
+
+Scale design (100 TB):
+- dup spans: one row per token position (linear), one keyed groupBy on
+  the gram hash (map-side partial counts), one semi-join back (no
+  pair blowup on boilerplate grams — hot keys stay an occurrence
+  LIST, never a self-join), then per-doc windows bounded by document
+  length. Fixed-width md5 gram digests on the wire, never gram text.
+- keep-best: component labels come from the bounded CC loop
+  (clustering.py — label table ≤ near-dup endpoints); the survivor is
+  a keyed max_by over a packed integer score — no window, no sort.
+- shard manifest: one hash-mod groupBy; the per-shard head sample uses
+  the two-level tournament (topk_per_key) so the 8 shard keys never
+  funnel the corpus through 8 reducers.
+
+All arithmetic integer-exact; every query has a DuckDB oracle running
+the same decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.functions.expressions import topk_per_key
+from ai_data_pipeline_spark.registry import QueryDef
+
+# Span-dedup gram width: a position is duplicated if the K-token gram
+# starting there occurs >= 2 times in the corpus (across OR within
+# docs — self-repetition is training waste too). Lee et al. use 50-BPE
+# spans at web scale; K=5 words is the same machinery scaled to the
+# testdata's ~60-token documents. Overlapping/adjacent covered
+# intervals merge into maximal spans, so reported spans never overlap
+# and dup_tokens is an exact coverage count, not a multi-count.
+DUP_SPAN_K = 5
+
+# Packed survivor score: longest doc wins, ties broken toward the
+# smaller doc_id. Injective while n_chars < 2^31 and doc_id < 2^32
+# (score < 2^63); testdata and any practical doc corpus satisfy both —
+# n_chars is a per-document length, not a corpus-scaled quantity.
+_KEEP_SCORE = "n_chars * 4294967296 - doc_id"
+
+N_SHARDS = 8
+SHARD_HEADS = 3  # manifest sample: first docs of each shard's order
+
+
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per document: (doc_id, n_spans,
+    dup_tokens, longest_span) for every doc containing at least one
+    K-gram that occurs >= 2 times corpus-wide.
+
+    Plan: tokenize once behind an exchange (the SHINGLES_SPARK
+    materialization discipline — dedup.py:60), emit (pos, md5(gram))
+    per position from a transform lambda over the bound array, count
+    gram occurrences (one keyed shuffle, partial aggregation),
+    semi-join the duplicated digests back onto positions, then merge
+    covered intervals [pos, pos+K-1] into maximal spans with the
+    gaps-and-islands pattern over a per-doc window (bounded by doc
+    length). The gram relation is localCheckpointed because both the
+    count and the semi-join probe read it."""
+    k = DUP_SPAN_K
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), r"\s+").alias("l"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    grams = (
+        d.filter(F.size("l") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(l) - {k - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" md5(concat_ws(' ', slice(l, i, {k}))) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+        .localCheckpoint()
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("h")
+    )
+    cov = (
+        grams.join(dup, "h", "left_semi")
+        .select("doc_id", "pos", (F.col("pos") + (k - 1)).alias("e"))
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    new_span = (
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1)
+        .otherwise(0)
+    )
+    isl = (
+        cov.withColumn("ns", new_span)
+        .withColumn("isl", F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        (F.max("e") - F.min("pos") + 1).alias("span_tokens")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.max("span_tokens").alias("longest_span"),
+    )
+
+
+def _dup_spans_oracle() -> str:
+    k = DUP_SPAN_K
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents
+), occ AS (
+  SELECT doc_id, i AS pos, pos + {k - 1} AS e,
+         md5(array_to_string(l[i:i+{k - 1}], ' ')) AS h
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(l) - {k - 2}, 1))) AS i
+  ) t
+), dup AS (
+  SELECT h FROM occ GROUP BY h HAVING count(*) >= 2
+), cov AS (
+  SELECT doc_id, pos, e FROM occ WHERE h IN (SELECT h FROM dup)
+), m AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM cov
+), isl AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM m
+), spans AS (
+  SELECT doc_id, isl, max(e) - min(pos) + 1 AS span_tokens
+  FROM isl GROUP BY doc_id, isl
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       max(span_tokens) AS longest_span
+FROM spans GROUP BY doc_id
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster representative selection — the keep/drop decision after
+    connected components: for every near-dup cluster of size >= 2,
+    keep the longest member (ties -> smallest doc_id) and account for
+    what is dropped: (cluster_id, n_docs, kept_doc, kept_chars,
+    dropped_docs, dropped_chars).
+
+    Plan: component labels from dedup_clusters (bounded CC loop over
+    near-dup pairs), one doc-keyed equi-join to attach n_chars
+    (hint-free — both sides corpus-derived, AQE decides), then ONE
+    keyed aggregate with max_by over the packed injective score
+    (_KEEP_SCORE): argmax without a window, the house argmax
+    convention."""
+    from ai_data_pipeline_spark.operators.clustering import dedup_clusters
+
+    members = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("cluster_size") >= 2)
+        .select("doc_id", "cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = members.join(docs, "doc_id").withColumn("score", F.expr(_KEEP_SCORE))
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("max_by(doc_id, score)").alias("kept_doc"),
+            F.expr("max_by(n_chars, score)").alias("kept_chars"),
+            (F.count(F.lit(1)) - 1).alias("dropped_docs"),
+            (F.sum("n_chars") - F.expr("max_by(n_chars, score)")).alias(
+                "dropped_chars"
+            ),
+        )
+    )
+
+
+def _keep_best_oracle() -> str:
+    from ai_data_pipeline_spark.operators.clustering import CLUSTERS_ORACLE
+
+    return f"""
+WITH assign AS ({CLUSTERS_ORACLE}),
+j AS (
+  SELECT a.cluster_id, a.doc_id, d.n_chars,
+         {_KEEP_SCORE} AS score
+  FROM assign a JOIN documents d USING (doc_id)
+  WHERE a.cluster_size >= 2
+)
+SELECT cluster_id, count(*) AS n_docs,
+       arg_max(doc_id, score) AS kept_doc,
+       arg_max(n_chars, score) AS kept_chars,
+       count(*) - 1 AS dropped_docs,
+       CAST(sum(n_chars) - arg_max(n_chars, score) AS BIGINT)
+         AS dropped_chars
+FROM j GROUP BY cluster_id
+"""
+
+
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard shuffle + manifest: every doc is
+    assigned shard = md5(doc_id) mod N_SHARDS and ordered within its
+    shard by the full md5 hex (the global pseudo-random shuffle order
+    a training run reads) — reproducible under retries and
+    re-sharding, no rand(), no driver state. Emits one row per shard:
+    (shard, n_docs, n_tokens, n_chars, head1..head3) where head1-3 are
+    the first docs in shard order (the manifest sample that lets an
+    operator spot-check shard content without reading it).
+
+    Plan: shard/order keys are projections; per-shard totals are one
+    keyed groupBy (map-side combine); the heads come from the
+    two-level tournament (topk_per_key — 8 keys ≪ cluster width is
+    exactly the low-cardinality skew it removes), then an 8-row
+    join of the two aggregates. At 100 TB the same shard column
+    drives the physical write: .repartition("shard").write
+    .partitionBy("shard") — the manifest is the bookkeeping row the
+    writer emits per shard."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.conv(F.substring("h", 1, 8), 16, 10).cast("long"),
+                F.lit(N_SHARDS),
+            ),
+        )
+    )
+    stats = d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    heads = (
+        topk_per_key(
+            d.select("shard", "doc_id", "h"), ["shard"], ["h", "doc_id"],
+            SHARD_HEADS,
+        )
+        .groupBy("shard")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("head1"),
+            F.max(F.when(F.col("rk") == 2, F.col("doc_id"))).alias("head2"),
+            F.max(F.when(F.col("rk") == 3, F.col("doc_id"))).alias("head3"),
+        )
+    )
+    return stats.join(heads, "shard")
+
+
+SHARD_MANIFEST_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         len(string_split_regex(text, '\\s+')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, n_tokens, h,
+         CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {N_SHARDS} AS shard
+  FROM d
+), agg AS (
+  SELECT shard, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM s GROUP BY shard
+), r AS (
+  SELECT shard, doc_id,
+         row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+  FROM s
+), heads AS (
+  SELECT shard,
+         max(CASE WHEN rn = 1 THEN doc_id END) AS head1,
+         max(CASE WHEN rn = 2 THEN doc_id END) AS head2,
+         max(CASE WHEN rn = 3 THEN doc_id END) AS head3
+  FROM r WHERE rn <= {SHARD_HEADS} GROUP BY shard
+)
+SELECT agg.shard, agg.n_docs, agg.n_tokens, agg.n_chars,
+       heads.head1, heads.head2, heads.head3
+FROM agg JOIN heads USING (shard)
+"""
+
+
+# Epoch-allocation planner constants. Budget = EPOCH_BUDGET_X × corpus
+# tokens (a miniature of "train 10T tokens on a 1T corpus"); per-source
+# sampling weight is a clamped monotone map of the linear classifier's
+# mean quality score; epochs are capped at 4 (Muennighoff et al. 2023,
+# "Scaling Data-Constrained Language Models": repeated data loses most
+# of its value past ~4 epochs). The cap is reported alongside the
+# uncapped demand so the wasted-budget gap is visible per source.
+EPOCH_BUDGET_X = 10
+EPOCH_CAP_PPM = 4_000_000  # 4.0 epochs in parts-per-million
+EPOCH_W_BASE = 1_000_000
+EPOCH_W_MIN = 100_000
+EPOCH_W_MAX = 2_000_000
+
+
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch allocation for a fixed training-token budget —
+    the data-recipe table (Pile/LLaMA style) a training run is
+    launched from: (source, n_docs, n_tokens, quality_ppm, weight_ppm,
+    epochs_ppm_raw, epochs_ppm, planned_tokens).
+
+    Semantics: budget B = EPOCH_BUDGET_X × total corpus tokens is
+    split across sources proportionally to weight × n_tokens, so a
+    source's sampling rate in epochs is B·w_s / Σ_j(w_j·n_j) —
+    up-weighting high-quality sources — then capped at EPOCH_CAP_PPM.
+    Quality is the classifier's mean per-doc score (docs outside the
+    model's feature support contribute 0), mapped to a weight clamped
+    to [EPOCH_W_MIN, EPOCH_W_MAX] so every operand below is positive.
+
+    Exactness: quality_ppm = floor(sum/n) via double division — exact
+    while |sum_score| < 2^53, i.e. ~9·10⁹ docs per source at the
+    classifier's ±10⁶ score bound. The allocation ratio is computed in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) with truncating division
+    on all-positive operands (the BM25 discipline — int64 would
+    overflow B·w·10⁶ past ~10¹² corpus tokens); epochs_ppm_raw ≤
+    100·EPOCH_W_MAX fits a long by construction.
+
+    Scale: one broadcast-model scoring pass (cls_linear_score), one
+    doc-keyed left join, one source-keyed aggregate (≤ |sources| rows,
+    map-side combine), one 1-row total broadcast. Nothing iterates."""
+    from ai_data_pipeline_spark.operators.stats import cls_linear_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_toks"),
+    )
+    sc = cls_linear_score(spark, sf_dir).select("doc_id", "score_ppm")
+    src = (
+        docs.join(sc, "doc_id", "left")
+        .select(
+            "source",
+            "n_toks",
+            F.coalesce(F.col("score_ppm"), F.lit(0)).alias("score_ppm"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("score_ppm").alias("sum_score"),
+        )
+        .withColumn(
+            "quality_ppm",
+            F.floor(F.col("sum_score").cast("double") / F.col("n_docs")),
+        )
+        .withColumn(
+            "weight_ppm",
+            F.greatest(
+                F.least(
+                    F.lit(EPOCH_W_BASE) + F.col("quality_ppm"),
+                    F.lit(EPOCH_W_MAX),
+                ),
+                F.lit(EPOCH_W_MIN),
+            ),
+        )
+    )
+    tot = src.agg(
+        F.sum("n_tokens").cast("decimal(38,0)").alias("total_tokens"),
+        F.sum(F.col("weight_ppm").cast("decimal(38,0)") * F.col("n_tokens"))
+        .cast("decimal(38,0)")
+        .alias("total_mass"),
+    )
+    raw = F.expr(
+        f"cast((cast({EPOCH_BUDGET_X} as decimal(38,0)) * total_tokens"
+        f" * weight_ppm * 1000000) div total_mass as long)"
+    )
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("epochs_ppm_raw", raw)
+        .withColumn(
+            "epochs_ppm", F.least(F.col("epochs_ppm_raw"), F.lit(EPOCH_CAP_PPM))
+        )
+        .withColumn(
+            "planned_tokens",
+            F.expr(
+                "cast((cast(n_tokens as decimal(38,0)) * epochs_ppm)"
+                " div 1000000 as long)"
+            ),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "quality_ppm", "weight_ppm",
+            "epochs_ppm_raw", "epochs_ppm", "planned_tokens",
+        )
+    )
+
+
+def _epoch_plan_oracle() -> str:
+    from ai_data_pipeline_spark.operators.stats import CLS_SCORE_ORACLE
+
+    return f"""
+WITH sc AS ({CLS_SCORE_ORACLE}),
+d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(text, '\\s+')) AS n_toks
+  FROM documents
+), j AS (
+  SELECT d.source, d.n_toks, COALESCE(sc.score_ppm, 0) AS score_ppm
+  FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+), src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         CAST(sum(score_ppm) AS BIGINT) AS sum_score
+  FROM j GROUP BY source
+), q AS (
+  SELECT *,
+         CAST(floor(CAST(sum_score AS DOUBLE) / n_docs) AS BIGINT)
+           AS quality_ppm
+  FROM src
+), w AS (
+  SELECT *,
+         greatest(least({EPOCH_W_BASE} + quality_ppm, {EPOCH_W_MAX}),
+                  {EPOCH_W_MIN}) AS weight_ppm
+  FROM q
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS HUGEINT) AS total_tokens,
+         CAST(sum(CAST(weight_ppm AS HUGEINT) * n_tokens) AS HUGEINT)
+           AS total_mass
+  FROM w
+)
+SELECT source, n_docs, n_tokens, quality_ppm, weight_ppm,
+       CAST((CAST({EPOCH_BUDGET_X} AS HUGEINT) * total_tokens
+             * weight_ppm * 1000000) // total_mass AS BIGINT)
+         AS epochs_ppm_raw,
+       least(epochs_ppm_raw, {EPOCH_CAP_PPM}) AS epochs_ppm,
+       CAST((CAST(n_tokens AS HUGEINT) * epochs_ppm) // 1000000
+            AS BIGINT) AS planned_tokens
+FROM w CROSS JOIN tot
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("dedup_dup_spans", dedup_dup_spans, _dup_spans_oracle()),
+    QueryDef("dedup_keep_best", dedup_keep_best, _keep_best_oracle()),
+    QueryDef("corpus_shard_manifest", corpus_shard_manifest, SHARD_MANIFEST_ORACLE),
+    QueryDef("corpus_epoch_plan", corpus_epoch_plan, _epoch_plan_oracle()),
+]

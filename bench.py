@@ -144,6 +144,10 @@ HEADLINE = [
     "corpus_lm_quality",
     "corpus_length_buckets",
     "pipeline_quality_resample",
+    "dedup_dup_spans",
+    "dedup_keep_best",
+    "corpus_shard_manifest",
+    "corpus_epoch_plan",
 ]
 
 

@@ -1799,3 +1799,173 @@ def test_quality_resample_composition_identities(spark):
     for r in rows:
         assert [r.n_docs, r.n_kept, r.kept_bigrams, r.sum_mean_bits_ppm,
                 r.sum_score_ppm] == agg[r.tier]
+
+
+def test_dup_spans_match_full_python_recompute(spark):
+    """Substring-span dedup must equal a from-scratch Python recompute:
+    whitespace tokenization, 5-gram occurrence counting on the RAW gram
+    text (so the test also certifies the md5 digests collide nowhere on
+    this corpus), interval union of [pos, pos+K-1] coverage with
+    adjacency merging, and the per-doc span rollup."""
+    import re
+    from collections import Counter, defaultdict
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.curation import (
+        DUP_SPAN_K,
+        dedup_dup_spans,
+    )
+
+    k = DUP_SPAN_K
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: re.split(r"\s+", r.text) for r in docs}
+    grams = {
+        d: [" ".join(l[i:i + k]) for i in range(len(l) - k + 1)]
+        for d, l in toks.items()
+    }
+    counts = Counter(g for gl in grams.values() for g in gl)
+    expected = {}
+    for d, gl in grams.items():
+        starts = [i + 1 for i, g in enumerate(gl) if counts[g] >= 2]
+        if not starts:
+            continue
+        spans = []
+        for s in starts:
+            e = s + k - 1
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        lens = [e - s + 1 for s, e in spans]
+        expected[d] = (len(spans), sum(lens), max(lens))
+
+    rows = dedup_dup_spans(spark, SF_DIR).collect()
+    assert {r.doc_id for r in rows} == set(expected)
+    for r in rows:
+        assert (r.n_spans, r.dup_tokens, r.longest_span) == expected[r.doc_id]
+
+
+def test_keep_best_identities(spark):
+    """Every keep-best row must agree with the cluster membership the
+    CC operator reports: the survivor is the (n_chars desc, doc_id asc)
+    max of its cluster, counts foot, and dropped_chars is the exact
+    residual mass."""
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.clustering import dedup_clusters
+    from ai_data_pipeline_spark.operators.curation import dedup_keep_best
+
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    members = defaultdict(list)
+    for r in dedup_clusters(spark, SF_DIR).collect():
+        if r.cluster_size >= 2:
+            members[r.cluster_id].append(r.doc_id)
+    rows = dedup_keep_best(spark, SF_DIR).collect()
+    assert {r.cluster_id for r in rows} == set(members)
+    for r in rows:
+        docs = members[r.cluster_id]
+        want = min(docs, key=lambda d: (-chars[d], d))
+        assert r.kept_doc == want
+        assert r.kept_chars == chars[want]
+        assert r.n_docs == len(docs)
+        assert r.dropped_docs == len(docs) - 1
+        assert r.dropped_chars == sum(chars[d] for d in docs) - chars[want]
+
+
+def test_shard_manifest_matches_python_recompute(spark):
+    """Shard assignment, per-shard totals, and the ordered head sample
+    must equal a hashlib/md5 recompute — certifying the shuffle order
+    is exactly md5(doc_id) and stable under Spark's partitioning."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.curation import (
+        N_SHARDS,
+        SHARD_HEADS,
+        corpus_shard_manifest,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    shards = defaultdict(list)
+    for r in docs:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        shard = int(h[:8], 16) % N_SHARDS
+        shards[shard].append(
+            (h, r.doc_id, len(re.split(r"\s+", r.text)), r.n_chars)
+        )
+    rows = corpus_shard_manifest(spark, SF_DIR).collect()
+    assert {r.shard for r in rows} == set(shards)
+    for r in rows:
+        mem = sorted(shards[r.shard])
+        assert r.n_docs == len(mem)
+        assert r.n_tokens == sum(m[2] for m in mem)
+        assert r.n_chars == sum(m[3] for m in mem)
+        heads = [m[1] for m in mem[:SHARD_HEADS]] + [None] * SHARD_HEADS
+        assert (r.head1, r.head2, r.head3) == tuple(heads[:SHARD_HEADS])
+
+
+def test_epoch_plan_matches_python_recompute(spark):
+    """The epoch-allocation plan must equal a from-scratch Python
+    recompute over the classifier's own score output: per-source
+    sufficient statistics, the clamped weight map, the allocation ratio
+    in arbitrary-precision Python int (certifying the DECIMAL(38,0) /
+    HUGEINT path never rounds), the 4-epoch cap, and planned tokens."""
+    import math
+    import re
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.curation import (
+        EPOCH_BUDGET_X,
+        EPOCH_CAP_PPM,
+        EPOCH_W_BASE,
+        EPOCH_W_MAX,
+        EPOCH_W_MIN,
+        corpus_epoch_plan,
+    )
+    from ai_data_pipeline_spark.operators.stats import cls_linear_score
+
+    score = {
+        r.doc_id: r.score_ppm
+        for r in cls_linear_score(spark, SF_DIR).select("doc_id", "score_ppm").collect()
+    }
+    stats = defaultdict(lambda: [0, 0, 0])  # n_docs, n_tokens, sum_score
+    for r in load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect():
+        s = stats[r.source]
+        s[0] += 1
+        s[1] += len(re.split(r"\s+", r.text))
+        s[2] += score.get(r.doc_id, 0)
+
+    expected = {}
+    for src, (n_docs, n_tokens, sum_score) in stats.items():
+        quality = math.floor(sum_score / n_docs)  # double division, IEEE
+        weight = max(min(EPOCH_W_BASE + quality, EPOCH_W_MAX), EPOCH_W_MIN)
+        expected[src] = (n_docs, n_tokens, quality, weight)
+    total_tokens = sum(v[1] for v in expected.values())
+    total_mass = sum(v[3] * v[1] for v in expected.values())
+
+    rows = corpus_epoch_plan(spark, SF_DIR).collect()
+    assert {r.source for r in rows} == set(expected)
+    for r in rows:
+        n_docs, n_tokens, quality, weight = expected[r.source]
+        assert (r.n_docs, r.n_tokens, r.quality_ppm, r.weight_ppm) == (
+            n_docs, n_tokens, quality, weight,
+        )
+        raw = (EPOCH_BUDGET_X * total_tokens * weight * 1_000_000) // total_mass
+        assert r.epochs_ppm_raw == raw
+        assert r.epochs_ppm == min(raw, EPOCH_CAP_PPM)
+        assert r.planned_tokens == (n_tokens * r.epochs_ppm) // 1_000_000
+    # the cap only ever REMOVES budget: planned mass never exceeds B
+    assert sum(r.planned_tokens for r in rows) <= EPOCH_BUDGET_X * total_tokens

@@ -775,3 +775,70 @@ def test_lm_quality_broadcasts_bounded_models_and_tournament_cuts(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dup_spans_shuffles_digests_not_gram_text(spark):
+    """Substring-span dedup must keep gram TEXT off the wire: the only
+    corpus-scaled shuffles carry the fixed-width md5 digest (h) and
+    integer positions; the duplicated-digest set joins back as a
+    semi-join (occurrence list — no pair blowup on boilerplate grams);
+    island windows run per doc_id, and there is no pair self-join or
+    Cartesian product anywhere."""
+    from ai_data_pipeline_spark.operators.curation import dedup_dup_spans
+
+    plan = _plan(dedup_dup_spans(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the gram string expression never appears as an Exchange output:
+    # every Exchange row is (doc_id, pos, h) or narrower
+    for seg in plan.split("Exchange")[1:]:
+        head = seg[:200]
+        assert "slice(l" not in head
+    assert plan.count("Window") >= 2  # interval-union pair of windows
+
+
+def test_keep_best_winner_is_aggregate_not_window(spark):
+    """Survivor selection must be a keyed max_by aggregate over the
+    packed score — no ranking window over the membership relation and
+    no Cartesian product (the house argmax convention)."""
+    from ai_data_pipeline_spark.operators.curation import dedup_keep_best
+
+    plan = _plan(dedup_keep_best(spark, SF_DIR))
+    assert "max_by" in plan
+    assert "CartesianProduct" not in plan
+    # the only Window in the tree is dedup_clusters' cluster_size count
+    # — the keep decision itself adds none on top of it
+    assert plan.count("Window") <= 1
+
+
+def test_shard_manifest_heads_are_tournament(spark):
+    """The per-shard head sample must run as the two-level tournament
+    (8 shard keys ≪ cluster width): Spark's WindowGroupLimit partial
+    pass (or the explicit _lrk local heat) must precede the final
+    8-partition ranking, and per-shard totals must partially aggregate
+    map-side."""
+    from ai_data_pipeline_spark.operators.curation import corpus_shard_manifest
+
+    plan = _plan(corpus_shard_manifest(spark, SF_DIR))
+    assert (
+        "WindowGroupLimit" in plan
+        or "SPARK_PARTITION_ID" in plan
+        or "spark_partition_id" in plan
+    )
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_plan_is_aggregate_bounded(spark):
+    """The epoch planner must stay aggregate-bounded: the only joins
+    above the source-keyed aggregate are 1-row scalar broadcasts (the
+    total-mass relation), the per-source stats partially aggregate
+    map-side, and there is no window or Cartesian product anywhere —
+    the corpus is touched exactly once per scoring pass."""
+    from ai_data_pipeline_spark.operators.curation import corpus_epoch_plan
+
+    plan = _plan(corpus_epoch_plan(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total broadcast
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan
