@@ -1421,8 +1421,125 @@ FROM winner
 """
 
 
+HARD_NEG_MARGIN = 0.1  # semi-hard band below the best positive (FaceNet)
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-mining table for contrastive embedding training: for
+    each anchor vector, the TOP_K most-similar DIFFERENT-label vectors
+    (the hard negatives), each tagged against the anchor's best
+    same-label candidate (the hardest positive) with the semi-hard
+    flag of Schroff et al. 2015 (FaceNet): a negative is semi-hard
+    when it scores below the best positive but within HARD_NEG_MARGIN
+    of it — the band that drives useful gradients.
+
+    Returns (q_id, q_label, neg_id, neg_label, cosine, rk,
+    best_pos_cos, semi_hard). best_pos_cos is −1 when the anchor has
+    no same-label candidate (every negative is then hard, none
+    semi-hard — the strict comparisons are against −1).
+
+    Exactness: cosines are the channel-wise IEEE fold both engines
+    compute identically (rounded to 6 decimals — similarity.py header);
+    the semi-hard comparison subtracts the same double literal from the
+    same rounded double in both engines, so the flag is deterministic.
+
+    Scale: the anchor relation is bounded by the N_QUERIES constant →
+    its broadcast is correct at any corpus size; the best-positive is a
+    keyed MAX aggregate (never a window); negatives rank through the
+    two-level tournament (anchors are a low-cardinality key). The
+    corpus-sized candidate scan is the oracle-checkable brute-force
+    baseline — at 100 TB the same select/flag logic consumes candidate
+    pairs from the bucketed generators (ann_ivf cells / ann_rerank
+    multi-probe LSH) instead of the cross join, exactly as those
+    operators document."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v"), "label"
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(_cosine_udf("v", "qv"), 6).alias("cosine"),
+        )
+    )
+    best_pos = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.max("cosine").alias("best_pos_cos"))
+    )
+    negs = _topk_per_key(
+        scored.filter(F.col("label") != F.col("q_label")),
+        ["q_id"],
+        [F.desc("cosine"), F.asc("vec_id")],
+        TOP_K,
+    )
+    return (
+        negs.join(F.broadcast(best_pos), "q_id", "left")
+        .withColumn(
+            "best_pos_cos", F.coalesce(F.col("best_pos_cos"), F.lit(-1.0))
+        )
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "cosine",
+            "rk",
+            "best_pos_cos",
+            (
+                (F.col("cosine") < F.col("best_pos_cos"))
+                & (F.col("cosine") > F.col("best_pos_cos") - HARD_NEG_MARGIN)
+            )
+            .cast("int")
+            .alias("semi_hard"),
+        )
+    )
+
+
+def _hard_neg_oracle() -> str:
+    cos = _cos_sql("e.v", "q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         round({cos}, 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id >= {N_QUERIES}
+), best_pos AS (
+  SELECT q_id, max(cosine) AS best_pos_cos FROM scored
+  WHERE label = q_label GROUP BY q_id
+), negs AS (
+  SELECT q_id, q_label, vec_id, label, cosine, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cosine DESC, vec_id ASC) AS rk
+    FROM scored WHERE label <> q_label
+  ) WHERE rk <= {TOP_K}
+)
+SELECT n.q_id, n.q_label, n.vec_id AS neg_id, n.label AS neg_label,
+       n.cosine, n.rk,
+       coalesce(b.best_pos_cos, -1.0) AS best_pos_cos,
+       CAST(n.cosine < coalesce(b.best_pos_cos, -1.0)
+            AND n.cosine > coalesce(b.best_pos_cos, -1.0)
+                           - {HARD_NEG_MARGIN} AS INT) AS semi_hard
+FROM negs n LEFT JOIN best_pos b ON n.q_id = b.q_id
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
+    QueryDef("emb_hard_negatives", emb_hard_negatives, _hard_neg_oracle()),
     QueryDef("ann_ivf_pq", ann_ivf_pq, _ivfpq_oracle()),
     QueryDef("emb_prefix_recall", emb_prefix_recall, _prefix_recall_oracle()),
     QueryDef("emb_quality_audit", emb_quality_audit, _emb_quality_oracle()),

@@ -634,8 +634,189 @@ FROM (
 """
 
 
+TAU_LM_BAND_PPM = 1_000_000  # one surprisal bit per band
+TAU_CLS_BAND_PPM = 1_000_000  # one slope unit per band (= CLS_BAND_PPM)
+
+
+def quality_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank agreement between the two independent quality signals —
+    the bigram-LM mean surprisal (corpus_lm_quality) and the linear
+    classifier score (cls_linear_score) — as Kendall's tau-b over the
+    banded signal grid: the diagnostic that says whether the cheap LM
+    filter and the supervised classifier are redundant (|tau| → 1) or
+    complementary (tau → 0) before a pipeline pays for both.
+
+    Semantics: each document lands in a (lm_band, cls_band) cell
+    (1-bit / 1-slope-unit quantization — banding IS the declared
+    statistic, the same band discipline as cls_linear_eval);
+    concordant/discordant/tie pair counts then come exactly off the
+    contingency grid. Output is one row: n_docs, n_cells, concordant,
+    discordant, ties_x, ties_y, n0_pairs, and the signed monotone
+    surrogate tau2_signed_ppm = sign(C−D)·(C−D)²·10⁶ div
+    ((n0−n1)(n0−n2)) — tau-b's square with its sign, exact integer
+    arithmetic instead of the cross-engine-risky sqrt (the
+    monotone-transform trick text_bm25_topk documents); 0 when either
+    signal is constant (degenerate denominator).
+
+    Exactness: all counts and pair sums are DECIMAL(38,0)/HUGEINT —
+    C, D ≤ n²/2 overflow int64 past n ≈ 6·10⁹ docs; the surrogate's
+    (C−D)²·10⁶ product stays inside 38 digits while |C−D| < 10¹⁶,
+    i.e. n ≲ 1.4·10⁸ docs — the documented bound (beyond it, emit the
+    exact C/D/ties columns and form the ratio outside the engine).
+
+    Scale: one hint-free doc_id join of two per-doc relations, one
+    (bx, by) keyed aggregate with map-side partials. The grid is
+    bounded by band counts — bx ≤ 64 (a surprisal-bit count), |by| ≤
+    max per-doc feature count (a document-length bound, not
+    corpus-scaled) — so the pair self-join and the tie rollups run on
+    a broadcast-sized relation at any corpus size."""
+    from ai_data_pipeline_spark.operators.corpus import corpus_lm_quality
+
+    lm = corpus_lm_quality(spark, sf_dir).select("doc_id", "mean_bits_ppm")
+    cl = cls_linear_score(spark, sf_dir).select("doc_id", "score_ppm")
+    # the grid feeds five consumers (both sides of the pair join and
+    # the three rollups); one eager localCheckpoint runs the LM +
+    # classifier scoring pipelines ONCE and every consumer reads the
+    # materialized band-bounded relation (the shared-intermediate
+    # discipline dedup.py:91 documents)
+    grid = (
+        lm.join(cl, "doc_id")
+        .select(
+            F.floor(
+                F.col("mean_bits_ppm").cast("double") / TAU_LM_BAND_PPM
+            ).alias("bx"),
+            F.floor(
+                F.col("score_ppm").cast("double") / TAU_CLS_BAND_PPM
+            ).alias("by"),
+        )
+        .groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+        .localCheckpoint()
+    )
+    pairs = (
+        grid.alias("a")
+        .join(F.broadcast(grid.alias("b")), F.col("b.bx") > F.col("a.bx"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.by") > F.col("a.by"), F.col("a.n") * F.col("b.n")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("concordant"),
+            F.sum(
+                F.when(
+                    F.col("b.by") < F.col("a.by"), F.col("a.n") * F.col("b.n")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("discordant"),
+        )
+    )
+    tx = (
+        grid.groupBy("bx")
+        .agg(F.sum("n").alias("nx"))
+        .agg(F.sum(F.expr("(nx * (nx - 1)) div 2")).alias("ties_x"))
+    )
+    ty = (
+        grid.groupBy("by")
+        .agg(F.sum("n").alias("ny"))
+        .agg(F.sum(F.expr("(ny * (ny - 1)) div 2")).alias("ties_y"))
+    )
+    tot = grid.agg(
+        F.sum("n").alias("n_docs_d"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_docs_d").cast("long").alias("n_docs"),
+            "n_cells",
+            # pair counts are computed in DECIMAL(38,0) and emitted as
+            # BIGINT (the harness contract): the emit saturates at
+            # n ≈ 6·10⁹ docs — the internal arithmetic stays exact far
+            # beyond that (see docstring)
+            F.coalesce(F.col("concordant"), F.lit(0).cast("decimal(38,0)")).alias(
+                "concordant"
+            ),
+            F.coalesce(F.col("discordant"), F.lit(0).cast("decimal(38,0)")).alias(
+                "discordant"
+            ),
+            "ties_x",
+            "ties_y",
+            F.expr("(n_docs_d * (n_docs_d - 1)) div 2").alias("n0_pairs"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "cast(coalesce("
+                "  (case when concordant < discordant then -1 else 1 end)"
+                "  * (((concordant - discordant) * (concordant - discordant)"
+                "      * 1000000)"
+                "     div nullif((n0_pairs - ties_x) * (n0_pairs - ties_y), 0)),"
+                "  0) as long)"
+            ).alias("tau2_signed_ppm"),
+        )
+        .select(
+            "n_docs",
+            "n_cells",
+            F.col("concordant").cast("long").alias("concordant"),
+            F.col("discordant").cast("long").alias("discordant"),
+            F.col("ties_x").cast("long").alias("ties_x"),
+            F.col("ties_y").cast("long").alias("ties_y"),
+            F.col("n0_pairs").cast("long").alias("n0_pairs"),
+            "tau2_signed_ppm",
+        )
+    )
+
+
+def _kendall_oracle() -> str:
+    from ai_data_pipeline_spark.operators.corpus import LM_QUALITY_ORACLE
+
+    return f"""
+WITH lmq AS ({LM_QUALITY_ORACLE}),
+cls AS ({CLS_SCORE_ORACLE}),
+grid AS (
+  SELECT CAST(floor(CAST(l.mean_bits_ppm AS DOUBLE) / {TAU_LM_BAND_PPM})
+              AS BIGINT) AS bx,
+         CAST(floor(CAST(c.score_ppm AS DOUBLE) / {TAU_CLS_BAND_PPM})
+              AS BIGINT) AS by,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM lmq l JOIN cls c ON l.doc_id = c.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT CAST(coalesce(sum(CASE WHEN b.by > a.by THEN a.n * b.n END), 0)
+              AS HUGEINT) AS concordant,
+         CAST(coalesce(sum(CASE WHEN b.by < a.by THEN a.n * b.n END), 0)
+              AS HUGEINT) AS discordant
+  FROM grid a JOIN grid b ON b.bx > a.bx
+), tx AS (
+  SELECT CAST(sum((nx * (nx - 1)) // 2) AS HUGEINT) AS ties_x
+  FROM (SELECT sum(n) AS nx FROM grid GROUP BY bx)
+), ty AS (
+  SELECT CAST(sum((ny * (ny - 1)) // 2) AS HUGEINT) AS ties_y
+  FROM (SELECT sum(n) AS ny FROM grid GROUP BY by)
+), tot AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS n_docs_d, count(*) AS n_cells
+  FROM grid
+)
+SELECT CAST(n_docs_d AS BIGINT) AS n_docs, n_cells,
+       CAST(concordant AS BIGINT) AS concordant,
+       CAST(discordant AS BIGINT) AS discordant,
+       CAST(ties_x AS BIGINT) AS ties_x,
+       CAST(ties_y AS BIGINT) AS ties_y,
+       CAST((n_docs_d * (n_docs_d - 1)) // 2 AS BIGINT) AS n0_pairs,
+       CAST(coalesce(
+         (CASE WHEN concordant < discordant THEN -1 ELSE 1 END)
+         * (((concordant - discordant) * (concordant - discordant)
+             * 1000000)
+            // nullif(((n_docs_d * (n_docs_d - 1)) // 2 - ties_x)
+                      * ((n_docs_d * (n_docs_d - 1)) // 2 - ties_y), 0)),
+         0) AS BIGINT) AS tau2_signed_ppm
+FROM pairs CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_corr_matrix", q_corr_matrix, _corr_oracle()),
+    QueryDef("quality_kendall_tau", quality_kendall_tau, _kendall_oracle()),
     QueryDef("q_gini_segments", q_gini_segments, GINI_ORACLE),
     QueryDef("q_chi_square", q_chi_square, CHI_SQUARE_ORACLE),
     QueryDef("text_feature_hashing", text_feature_hashing, FEATURE_HASHING_ORACLE),

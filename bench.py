@@ -148,6 +148,9 @@ HEADLINE = [
     "dedup_keep_best",
     "corpus_shard_manifest",
     "corpus_epoch_plan",
+    "retrieval_rrf_fusion",
+    "emb_hard_negatives",
+    "quality_kendall_tau",
 ]
 
 

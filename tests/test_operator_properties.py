@@ -1969,3 +1969,209 @@ def test_epoch_plan_matches_python_recompute(spark):
         assert r.planned_tokens == (n_tokens * r.epochs_ppm) // 1_000_000
     # the cap only ever REMOVES budget: planned mass never exceeds B
     assert sum(r.planned_tokens for r in rows) <= EPOCH_BUDGET_X * total_tokens
+
+
+def test_hard_negatives_match_python_recompute(spark):
+    """Triplet mining must equal a from-scratch numpy recompute: the
+    channel-wise cosine fold (same op order as the kernel), top-K
+    different-label selection, the keyed best-positive max, and the
+    FaceNet semi-hard band."""
+    import numpy as np
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.similarity import (
+        HARD_NEG_MARGIN,
+        N_QUERIES,
+        TOP_K,
+        emb_hard_negatives,
+    )
+
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    cands = sorted(v for v in vecs if v >= N_QUERIES)
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        dot = na = nb = 0.0
+        for i in range(len(va)):
+            dot += va[i] * vb[i]
+            na += va[i] * va[i]
+            nb += vb[i] * vb[i]
+        return float(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
+
+    expected = {}
+    for q in sorted(v for v in vecs if v < N_QUERIES):
+        scored = {c: cos(q, c) for c in cands}
+        pos = [scored[c] for c in cands if labels[c] == labels[q]]
+        bp = max(pos) if pos else -1.0
+        negs = sorted(
+            (c for c in cands if labels[c] != labels[q]),
+            key=lambda c: (-scored[c], c),
+        )[:TOP_K]
+        for rk, c in enumerate(negs, 1):
+            expected[(q, c)] = (
+                labels[q], labels[c], scored[c], rk, bp,
+                int(bp > scored[c] > bp - HARD_NEG_MARGIN),
+            )
+
+    out = emb_hard_negatives(spark, SF_DIR).collect()
+    assert {(r.q_id, r.neg_id) for r in out} == set(expected)
+    for r in out:
+        ql, nl, c, rk, bp, semi = expected[(r.q_id, r.neg_id)]
+        assert (r.q_label, r.neg_label, r.rk, r.semi_hard) == (ql, nl, rk, semi)
+        assert abs(r.cosine - c) <= 1e-6
+        assert abs(r.best_pos_cos - bp) <= 1e-6
+
+
+def test_rrf_fusion_matches_python_recompute(spark):
+    """Hybrid RRF retrieval must equal a from-scratch Python recompute
+    of both rankers and the fusion: distinct-term inverted index,
+    integer idf surrogate, per-query keyword LIMIT, sparse and dense
+    rankings, and RRF = sum of 10^6 // (60 + rank)."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.retrieval import (
+        RRF_DEPTH,
+        RRF_K,
+        RRF_MAX_QTERMS,
+        RRF_N_QUERIES,
+        RRF_TOP,
+        retrieval_rrf_fusion,
+    )
+    from ai_data_pipeline_spark.operators.text import MIN_TERM_LEN
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    terms = {
+        r.doc_id: {
+            t
+            for t in re.split(r"[^a-z]+", r.text.lower())
+            if len(t) >= MIN_TERM_LEN
+        }
+        for r in docs
+    }
+    n = len(docs)
+    df = Counter(t for s in terms.values() for t in s)
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb}
+    cands = sorted(v for v in vecs if v >= RRF_N_QUERIES and v in terms)
+
+    def fold_cos(a, b):
+        dot = na = nb = 0.0
+        for i in range(len(a)):
+            dot += a[i] * b[i]
+            na += a[i] * a[i]
+            nb += b[i] * b[i]
+        return float(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
+
+    expected = {}
+    for q in range(RRF_N_QUERIES):
+        idf = {
+            t: (2 * (n - df[t]) + 1) * 1000 // (2 * df[t] + 1)
+            for t in terms[q]
+        }
+        qsel = dict(
+            sorted(idf.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_MAX_QTERMS]
+        )
+        sparse = {
+            c: sum(w for t, w in qsel.items() if t in terms[c]) for c in cands
+        }
+        sparse = {c: s for c, s in sparse.items() if s}  # no shared term -> no row
+        s_rank = {
+            c: rk
+            for rk, c in enumerate(
+                sorted(sparse, key=lambda c: (-sparse[c], c))[:RRF_DEPTH], 1
+            )
+        }
+        dense = {c: fold_cos(vecs[q], vecs[c]) for c in cands}
+        d_rank = {
+            c: rk
+            for rk, c in enumerate(
+                sorted(dense, key=lambda c: (-dense[c], c))[:RRF_DEPTH], 1
+            )
+        }
+        fused = {
+            c: (1_000_000 // (RRF_K + s_rank[c]) if c in s_rank else 0)
+            + (1_000_000 // (RRF_K + d_rank[c]) if c in d_rank else 0)
+            for c in set(s_rank) | set(d_rank)
+        }
+        top = sorted(fused, key=lambda c: (-fused[c], c))[:RRF_TOP]
+        for rk, c in enumerate(top, 1):
+            expected[(q, c)] = (
+                s_rank.get(c), d_rank.get(c), fused[c], rk
+            )
+
+    out = retrieval_rrf_fusion(spark, SF_DIR).collect()
+    assert {(r.q_id, r.doc_id) for r in out} == set(expected)
+    for r in out:
+        assert (r.rk_sparse, r.rk_dense, r.rrf_ppm, r.rk) == expected[
+            (r.q_id, r.doc_id)
+        ]
+
+
+def test_kendall_tau_matches_bruteforce_grid(spark):
+    """The tau-b contingency algebra must equal a brute-force pass over
+    the banded per-doc signals (taken from the two scorers' own
+    outputs, each independently recompute-tested), and the pair
+    accounting must foot: C + D + ties_x + ties_y - ties_xy = n0."""
+    import math
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.corpus import corpus_lm_quality
+    from ai_data_pipeline_spark.operators.stats import (
+        TAU_CLS_BAND_PPM,
+        TAU_LM_BAND_PPM,
+        cls_linear_score,
+        quality_kendall_tau,
+    )
+
+    lm = {
+        r.doc_id: r.mean_bits_ppm
+        for r in corpus_lm_quality(spark, SF_DIR).collect()
+    }
+    cl = {
+        r.doc_id: r.score_ppm for r in cls_linear_score(spark, SF_DIR).collect()
+    }
+    cells = Counter(
+        (
+            math.floor(lm[d] / TAU_LM_BAND_PPM),
+            math.floor(cl[d] / TAU_CLS_BAND_PPM),
+        )
+        for d in lm
+        if d in cl
+    )
+    n = sum(cells.values())
+    grid = list(cells.items())
+    C = D = 0
+    for (bx1, by1), n1 in grid:
+        for (bx2, by2), n2 in grid:
+            if bx2 > bx1 and by2 > by1:
+                C += n1 * n2
+            elif bx2 > bx1 and by2 < by1:
+                D += n1 * n2
+    tx = Counter()
+    ty = Counter()
+    for (bx, by), m in grid:
+        tx[bx] += m
+        ty[by] += m
+    n0 = n * (n - 1) // 2
+    ties_x = sum(v * (v - 1) // 2 for v in tx.values())
+    ties_y = sum(v * (v - 1) // 2 for v in ty.values())
+    ties_xy = sum(m * (m - 1) // 2 for m in cells.values())
+
+    [row] = quality_kendall_tau(spark, SF_DIR).collect()
+    assert (row.n_docs, row.n_cells) == (n, len(grid))
+    assert (row.concordant, row.discordant) == (C, D)
+    assert (row.ties_x, row.ties_y, row.n0_pairs) == (ties_x, ties_y, n0)
+    # pair accounting: every unordered pair is concordant, discordant,
+    # or tied in at least one coordinate
+    assert C + D + ties_x + ties_y - ties_xy == n0
+    den = (n0 - ties_x) * (n0 - ties_y)
+    # both engine paths apply the sign AFTER the all-positive division,
+    # so mirror that order (sign*(num//den), not (sign*num)//den)
+    want = (-1 if C < D else 1) * (((C - D) * (C - D) * 1_000_000) // den) if den else 0
+    assert row.tau2_signed_ppm == want

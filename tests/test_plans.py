@@ -842,3 +842,48 @@ def test_epoch_plan_is_aggregate_bounded(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "partial_sum" in plan
+
+
+def test_rrf_fusion_broadcasts_bounded_query_relations(spark):
+    """Hybrid RRF must keep every query-derived relation broadcast
+    (LIMIT-bounded keyword set, constant query-vector set) and run
+    every per-query ranking as a tournament; no Cartesian product, and
+    the only SortMergeJoin is the term-keyed df lookup (vocab-sized,
+    not doc-pair-sized)."""
+    from ai_data_pipeline_spark.operators.retrieval import retrieval_rrf_fusion
+
+    plan = _plan(retrieval_rrf_fusion(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # sparse candidates x broadcast keywords
+    assert "BroadcastNestedLoopJoin" in plan  # dense candidates x query vectors
+    assert "WindowGroupLimit" in plan or "spark_partition_id" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "LeftSemi" in plan  # candidate restriction to embedding holders
+
+
+def test_hard_negatives_best_positive_is_aggregate(spark):
+    """Hard-negative mining must compute the best positive as a keyed
+    MAX aggregate (never a window over candidates) and join only
+    broadcast-sized relations against the corpus-scaled scan — no
+    SortMergeJoin, no Cartesian product."""
+    from ai_data_pipeline_spark.operators.similarity import emb_hard_negatives
+
+    plan = _plan(emb_hard_negatives(spark, SF_DIR))
+    assert "partial_max" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # constant-bounded anchor cross
+
+
+def test_kendall_tau_grid_algebra_is_windowless(spark):
+    """The tau-b pair algebra must run entirely on the banded grid: no
+    window anywhere (the corpus reduces through one keyed aggregate),
+    the grid self-join is a broadcast nested-loop over a band-bounded
+    relation, and partial aggregation happens map-side."""
+    from ai_data_pipeline_spark.operators.stats import quality_kendall_tau
+
+    plan = _plan(quality_kendall_tau(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_sum" in plan and "partial_count" in plan
