@@ -290,8 +290,97 @@ SELECT k, new_bal, DATE '{SCD2_EFFECTIVE}', NULL, 1 FROM changes
 """
 
 
+BUCKETED_N = 8  # bucket count for the co-located join demonstration
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple:
+    """Persist orders and lineitem as bucketed+sorted parquet tables on
+    the join key and return the catalog-backed reads. Table names are
+    (sf, pid)-scoped so concurrent sessions never collide; the paths
+    live under the atexit-cleaned scratch root."""
+    import hashlib
+    import os as _os
+
+    from ai_data_pipeline_spark.sources.readers import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = scratch_dir("bucketed_")
+
+    def persist(name: str, df: DataFrame, key: str) -> DataFrame:
+        tbl = f"{name}_{tag}_{_os.getpid()}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.bucketBy(BUCKETED_N, key)
+            .sortBy(key)
+            .option("path", f"{base}/{tbl}")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        return spark.table(tbl)
+
+    return (
+        persist("orders_bkt", o, "o_orderkey"),
+        persist("lineitem_bkt", li, "l_orderkey"),
+    )
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: persist orders and lineitem as
+    bucketed+sorted tables (`bucketBy(8, key).sortBy(key)`), read them
+    back, and join on the bucket key — the physical plan carries NO
+    Exchange on either join input (pinned by
+    tests/test_plans.py::test_bucketed_join_has_no_join_exchange):
+    Spark's bucketing-aware SortMergeJoin reads co-located buckets
+    directly, so the join shuffle is paid ONCE at write time and
+    amortized across every downstream join on the same key.
+
+    This is the core 100 TB layout decision for repeated fact-fact
+    joins (orders⋈lineitem runs in half the TPC-H suite): at cluster
+    scale the bucketed write replaces a per-query exchange of the
+    larger table with a one-time layout, exactly like Hive/Iceberg
+    bucket transforms. The aggregated result is bucket-invariant,
+    which is what the oracle (plain join + group) checks.
+
+    The reference persists nothing (empty ``database/`` package), so
+    this is reconstruction of its storage intent in lakehouse form —
+    the same family as compaction_roundtrip_events / q_zorder_layout."""
+    ob, lb = _bucketed_tables(spark, sf_dir)
+    return (
+        lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_upsert_merge", q_upsert_merge, Q_UPSERT_ORACLE),
+    QueryDef(
+        "bucketed_colocated_join", bucketed_colocated_join, BUCKETED_JOIN_ORACLE
+    ),
     QueryDef("q_cdc_apply", q_cdc_apply, Q_CDC_APPLY_ORACLE),
     QueryDef("q_table_diff", q_table_diff, _table_diff_oracle()),
     QueryDef("q_scd2_merge", q_scd2_merge, Q_SCD2_MERGE_ORACLE),

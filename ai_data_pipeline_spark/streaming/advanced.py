@@ -156,6 +156,110 @@ FROM kept GROUP BY 1, 2
 """
 
 
+_FT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("first_event_id", T.LongType()),
+    ]
+)
+_FT_STATE_SCHEMA = T.StructType(
+    [T.StructField("us", T.LongType()), T.StructField("eid", T.LongType())]
+)
+
+
+def _first_touch_fn(key, pdf_iter, state):
+    """Keep the lexicographic minimum (epoch_us, event_id) per key in
+    GroupState; emit only when a batch improves it. Because the winner
+    is the global MINIMUM of a total order, the final answer is
+    invariant under any micro-batch split or arrival order — the
+    streaming analogue of dedup_keep_best's packed-argmax discipline."""
+    import pandas as pd
+
+    prev = tuple(state.get) if state.exists else None
+    best = prev
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        m = int(pdf["us"].min())
+        e = int(pdf.loc[pdf["us"] == m, "event_id"].min())
+        if best is None or (m, e) < best:
+            best = (m, e)
+    if best is not None and best != prev:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "first_us": [best[0]],
+                "first_event_id": [best[1]],
+            }
+        )
+
+
+def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-touch attribution: the earliest event per
+    (user_id, event_type), maintained incrementally across micro-batches
+    in explicit GroupState (applyInPandasWithState) — the keyed
+    earliest-record survivor a CDC/attribution pipeline keeps while the
+    stream runs, and the streaming counterpart of batch
+    dedup_keep_best. Runs over the three-micro-batch source (the late
+    batches arrive AFTER the on-time batch, so cross-batch state
+    improvement is actually exercised: late events often predate the
+    on-time minimum and must overwrite it).
+
+    Determinism: the survivor is min over a TOTAL order
+    (epoch micros, event_id), so the result is independent of batching,
+    partitioning, and arrival order; emissions are monotone-improving,
+    so the post-drain rollup (keyed MIN over the emission log) is
+    exact. State is one 2-long tuple per live key; in production an
+    EventTimeTimeout would retire keys the watermark passed."""
+    src = _three_batch_source_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(_NTZ_EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .load(src)
+    )
+    ev = raw.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    upd = ev.groupBy("user_id", "event_type").applyInPandasWithState(
+        _first_touch_fn,
+        outputStructType=_FT_OUT_SCHEMA,
+        stateStructType=_FT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    got = run_to_completion(upd, "drv_stream_first_touch", output_mode="update")
+    return (
+        got.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("first_us", "first_event_id")).alias("m"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.first_us").alias("first_us"),
+            F.col("m.first_event_id").alias("first_event_id"),
+        )
+    )
+
+
+STREAM_FIRST_TOUCH_ORACLE = """
+SELECT user_id, event_type, first_us, first_event_id FROM (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS first_us, event_id AS first_event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming top-k: hourly windowed counts flow through foreachBatch
     in update mode into a keyed store; the rank runs over the compact
@@ -327,6 +431,7 @@ def advanced_query_defs():
 
     return [
         QueryDef("stream_late_data_drop", stream_late_data_drop, STREAM_LATE_DROP_ORACLE),
+        QueryDef("stream_first_touch", stream_first_touch, STREAM_FIRST_TOUCH_ORACLE),
         QueryDef("stream_sink_parquet", stream_sink_parquet, STREAM_SINK_ORACLE),
         QueryDef("stream_topk_per_window", stream_topk_per_window, STREAM_TOPK_ORACLE),
         QueryDef("stream_chained_windows", stream_chained_windows, STREAM_CHAINED_ORACLE),

@@ -151,6 +151,8 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "emb_hard_negatives",
     "quality_kendall_tau",
+    "bucketed_colocated_join",
+    "stream_first_touch",
 ]
 
 

@@ -47,3 +47,45 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
     assert j.count() == o.join(c, o["o_custkey"] == c["c_custkey"]).count()
     for name in ("b_orders", "b_customer"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_contract_bucketed_join_is_shuffle_free(spark, no_broadcast):
+    """The contract query's bucketed tables must join with NO exchange
+    on either input (the write-once/join-forever co-location), and the
+    aggregated result must be bucket-invariant (equal to the plain
+    join over the raw parquet)."""
+    from ai_data_pipeline_spark.operators.maintenance import (
+        _bucketed_tables,
+        bucketed_colocated_join,
+    )
+
+    ob, lb = _bucketed_tables(spark, SF_DIR)
+    j = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    got = {
+        r.o_orderpriority: (r.n_orders, r.n_items, r.revenue)
+        for r in bucketed_colocated_join(spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    want = {
+        r.o_orderpriority: (r.n_orders, r.n_items, r.revenue)
+        for r in li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -88,3 +88,37 @@ def test_sink_parquet_batch_replay_is_idempotent(spark, tmp_path):
     write_batch(batch, 0)  # replay the same batch
     n2 = spark.read.option("basePath", sink).parquet(sink).count()
     assert n1 == n2 == 100
+
+
+def test_first_touch_equals_batch_min(spark):
+    """The stateful first-touch survivor must equal the batch argmin of
+    (epoch micros, event_id) per (user, event_type) — invariant under
+    the three-micro-batch split (late batches arrive after the on-time
+    batch, so the state genuinely improves across batches)."""
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.streaming.advanced import stream_first_touch
+    from tests.conftest import SF_DIR
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .collect()
+    )
+    want = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        c = (r.us, r.event_id)
+        if k not in want or c < want[k]:
+            want[k] = c
+    got = {
+        (r.user_id, r.event_type): (r.first_us, r.first_event_id)
+        for r in stream_first_touch(spark, SF_DIR).collect()
+    }
+    assert got == want
