@@ -452,8 +452,97 @@ FROM w CROSS JOIN tot
 """
 
 
+SAMPLE_K = 64  # priority-sample size
+_PRI_SCALE = 10**15  # priority = w_ppm * 1e15 div (u60 + 1)
+
+
+def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement — priority
+    sampling (Duffield, Lund & Thorup 2007): each document gets a
+    priority w/u from its quality weight w and a uniform key u, and the
+    SAMPLE_K highest-priority documents form the sample (higher weight
+    ⇒ stochastically higher priority ⇒ more likely sampled). This is
+    the quality-weighted eval-subset selector a curation pipeline runs
+    (audit high-value docs more often), with the md5-key discipline of
+    corpus_split_assign: u = first 60 bits of md5(doc_id), so the
+    sample is stable under re-sharding, retries, and engine — no
+    rand() anywhere.
+
+    Weight: the clamped classifier-quality map corpus_epoch_plan uses
+    (w = clamp(10⁶ + score_ppm, 10⁵, 2·10⁶); docs outside the model's
+    feature support score 0 ⇒ w = 10⁶). Priority = w·10¹⁵ div (u+1)
+    in DECIMAL(38,0)/HUGEINT (w·10¹⁵ ≤ 2·10²¹ overflows int64) —
+    integer-exact, identical truncation both engines on all-positive
+    operands. Emitted as DECIMAL (≤ 2·10²¹ — beyond BIGINT by design;
+    the harness normalizes DECIMAL exactly).
+
+    Scale: one broadcast-model scoring pass (the classifier topology),
+    one map-side priority expression, one two-level tournament for the
+    global top-K (a single key — the exact low-cardinality funnel
+    topk_per_key removes). Nothing else shuffles."""
+    from ai_data_pipeline_spark.operators.stats import cls_linear_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sc = cls_linear_score(spark, sf_dir).select("doc_id", "score_ppm")
+    w = F.greatest(
+        F.least(
+            F.lit(EPOCH_W_BASE) + F.coalesce(F.col("score_ppm"), F.lit(0)),
+            F.lit(EPOCH_W_MAX),
+        ),
+        F.lit(EPOCH_W_MIN),
+    )
+    u60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    scored = (
+        docs.join(sc, "doc_id", "left")
+        .select("doc_id", "source", w.alias("w_ppm"), u60.alias("u60"))
+        .withColumn(
+            "priority",
+            F.expr(
+                f"(cast(w_ppm as decimal(38,0)) * {_PRI_SCALE}) div (u60 + 1)"
+            ),
+        )
+    )
+    return topk_per_key(
+        scored.withColumn("_g", F.lit(1)),
+        ["_g"],
+        [F.desc("priority"), F.asc("doc_id")],
+        SAMPLE_K,
+    ).select("doc_id", "source", "w_ppm", "u60", "priority", "rk")
+
+
+def _priority_sample_oracle() -> str:
+    from ai_data_pipeline_spark.operators.stats import CLS_SCORE_ORACLE
+
+    return f"""
+WITH sc AS ({CLS_SCORE_ORACLE}),
+scored AS (
+  SELECT d.doc_id, d.source,
+         greatest(least({EPOCH_W_BASE} + COALESCE(sc.score_ppm, 0),
+                        {EPOCH_W_MAX}), {EPOCH_W_MIN}) AS w_ppm,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS u60
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+)
+SELECT doc_id, source, w_ppm, u60,
+       CAST((CAST(w_ppm AS HUGEINT) * {_PRI_SCALE}) // (u60 + 1)
+            AS DECIMAL(38,0)) AS priority,
+       rk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY (CAST(w_ppm AS HUGEINT) * {_PRI_SCALE}) // (u60 + 1) DESC,
+             doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {SAMPLE_K}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("dedup_dup_spans", dedup_dup_spans, _dup_spans_oracle()),
+    QueryDef(
+        "corpus_priority_sample", corpus_priority_sample, _priority_sample_oracle()
+    ),
     QueryDef("dedup_keep_best", dedup_keep_best, _keep_best_oracle()),
     QueryDef("corpus_shard_manifest", corpus_shard_manifest, SHARD_MANIFEST_ORACLE),
     QueryDef("corpus_epoch_plan", corpus_epoch_plan, _epoch_plan_oracle()),

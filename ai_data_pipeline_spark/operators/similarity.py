@@ -1421,6 +1421,154 @@ FROM winner
 """
 
 
+OUTLIER_MULT = 4  # flag vectors beyond 4x their cell's mean sq-distance
+
+
+def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA by distance-to-centroid: run the fixed-point
+    k-means loop (same constants and arithmetic as
+    emb_kmeans_fixed_point — integer folds, floor-division centroids),
+    keep each vector's squared distance to its final centroid, and
+    flag outliers at OUTLIER_MULT× the cell's mean squared distance —
+    the off-manifold / corrupt-embedding screen a curation pipeline
+    runs before trusting ANN candidates or semantic dedup.
+
+    Exactness: distances are pure integer folds over ×10⁶ quantized
+    vectors (bit-identical both engines); the outlier test multiplies
+    instead of dividing — dist·n > MULT·sum_d — so no rounding exists
+    anywhere in the flag; the reported cell mean is the one
+    floor-of-double division (exact while sum_d < 2⁵³, i.e. ~30k
+    vectors/cell at this quantization; the FLAG itself has no such
+    bound). mean_dist products stay in long: dist ≤ 3·10¹⁴ (64 dims ×
+    (2·10⁶)²), n·MULT· that needs DECIMAL past ~7000 vectors/cell —
+    computed in DECIMAL(38,0)/HUGEINT like the house convention.
+
+    Scale: assignment is the broadcast-K integer fold (corpus never
+    shuffles for it); cell stats are a ≤K-row keyed aggregate joined
+    back as a broadcast; one corpus-scaled exchange total (the
+    assignment min_by groupBy)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> {_FP})").alias("v_fp"),
+    )
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cell"), F.col("v_fp").alias("c_fp")
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("dist", F.expr(_DIST_SPARK))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cell", "v_fp", "dist"), F.struct("dist", "cell")
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                F.col("best.v_fp").alias("v_fp"),
+                F.col("best.cell").alias("cell"),
+                F.col("best.dist").alias("dist"),
+            )
+        )
+        dims = assigned.select("cell", F.posexplode("v_fp").alias("dim", "val"))
+        cell_dims = dims.groupBy("cell", "dim").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cents = (
+            cell_dims.withColumn(
+                "c", F.floor(F.col("s") / F.col("n")).cast("long")
+            )
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, c))), t -> t.c)"
+                ).alias("c_fp")
+            )
+        )
+    # distance to the FINAL centroids (the loop's `dist` is to the
+    # previous iteration's), then per-cell stats + multiplicative flag
+    final = (
+        assigned.select("vec_id", "v_fp", "cell")
+        .join(F.broadcast(cents), "cell")
+        .select("vec_id", "cell", F.expr(_DIST_SPARK).alias("dist"))
+    )
+    stats = final.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dist").alias("sum_d"),
+    )
+    return (
+        final.join(F.broadcast(stats), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "dist",
+            F.floor(F.col("sum_d").cast("double") / F.col("n_vecs"))
+            .cast("long")
+            .alias("cell_mean_dist"),
+            (
+                F.col("dist").cast("decimal(38,0)") * F.col("n_vecs")
+                > F.lit(OUTLIER_MULT) * F.col("sum_d").cast("decimal(38,0)")
+            )
+            .cast("int")
+            .alias("is_outlier"),
+        )
+    )
+
+
+def _outlier_oracle() -> str:
+    base = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> {_FP}) AS v_fp
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cell, v_fp AS c_fp FROM vecs WHERE vec_id < {KMEANS_K}
+)"""
+    prev = "c0"
+    final_assign = None
+    for it in range(KMEANS_ITERS):
+        a = f"a{it + 1}"
+        c = f"c{it + 1}"
+        base += f""", {a} AS (
+  SELECT vec_id, v_fp, cell FROM (
+    SELECT v.vec_id, v.v_fp, k.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_dist_duck("v.v_fp", "k.c_fp")} ASC, k.cell ASC) AS rk
+    FROM vecs v CROSS JOIN {prev} k
+  ) WHERE rk = 1
+)"""
+        base += f""", {c} AS (
+  SELECT cell,
+         list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS c_fp
+  FROM (
+    SELECT cell, dim, sum(val) AS s, count(*) AS n FROM (
+      SELECT cell, generate_subscripts(v_fp, 1) AS dim, unnest(v_fp) AS val
+      FROM {a}
+    ) GROUP BY cell, dim
+  ) GROUP BY cell
+)"""
+        prev = c
+        final_assign = a
+    return base + f""", fin AS (
+  SELECT a.vec_id, a.cell,
+         {_dist_duck("a.v_fp", "k.c_fp")} AS dist
+  FROM {final_assign} a JOIN {prev} k USING (cell)
+), st AS (
+  SELECT cell, count(*) AS n_vecs, CAST(sum(dist) AS BIGINT) AS sum_d
+  FROM fin GROUP BY cell
+)
+SELECT vec_id, fin.cell, dist,
+       CAST(floor(CAST(sum_d AS DOUBLE) / n_vecs) AS BIGINT)
+         AS cell_mean_dist,
+       CAST(CAST(dist AS HUGEINT) * n_vecs
+            > {OUTLIER_MULT} * CAST(sum_d AS HUGEINT) AS INT) AS is_outlier
+FROM fin JOIN st ON fin.cell = st.cell
+"""
+
+
 HARD_NEG_MARGIN = 0.1  # semi-hard band below the best positive (FaceNet)
 
 
@@ -1540,6 +1688,7 @@ FROM negs n LEFT JOIN best_pos b ON n.q_id = b.q_id
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QueryDef("emb_hard_negatives", emb_hard_negatives, _hard_neg_oracle()),
+    QueryDef("emb_outlier_distance", emb_outlier_distance, _outlier_oracle()),
     QueryDef("ann_ivf_pq", ann_ivf_pq, _ivfpq_oracle()),
     QueryDef("emb_prefix_recall", emb_prefix_recall, _prefix_recall_oracle()),
     QueryDef("emb_quality_audit", emb_quality_audit, _emb_quality_oracle()),

@@ -153,6 +153,8 @@ HEADLINE = [
     "quality_kendall_tau",
     "bucketed_colocated_join",
     "stream_first_touch",
+    "emb_outlier_distance",
+    "corpus_priority_sample",
 ]
 
 

@@ -2175,3 +2175,102 @@ def test_kendall_tau_matches_bruteforce_grid(spark):
     # so mirror that order (sign*(num//den), not (sign*num)//den)
     want = (-1 if C < D else 1) * (((C - D) * (C - D) * 1_000_000) // den) if den else 0
     assert row.tau2_signed_ppm == want
+
+
+def test_outlier_distance_matches_numpy_recompute(spark):
+    """Distance-to-centroid QA must equal a from-scratch integer numpy
+    recompute of the whole fixed-point k-means loop (quantize, 2
+    Lloyd iterations, floor-division centroids), the final distances,
+    and the multiplicative outlier flag."""
+    import numpy as np
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        OUTLIER_MULT,
+        emb_outlier_distance,
+    )
+
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    ids = sorted(r.vec_id for r in rows)
+    v = {
+        r.vec_id: np.floor(
+            np.asarray(r.embedding, dtype=np.float64) * 1_000_000
+        ).astype(np.int64)
+        for r in rows
+    }
+    cents = {c: v[c].copy() for c in ids if c < KMEANS_K}
+    assign = {}
+    for _ in range(KMEANS_ITERS):
+        for i in ids:
+            assign[i] = min(
+                cents, key=lambda c: (int(((v[i] - cents[c]) ** 2).sum()), c)
+            )
+        for c in set(assign.values()):
+            mem = np.stack([v[i] for i in ids if assign[i] == c])
+            cents[c] = np.floor(
+                mem.sum(axis=0, dtype=np.int64) / len(mem)
+            ).astype(np.int64)
+        cents = {c: cents[c] for c in set(assign.values())}
+    dist = {i: int(((v[i] - cents[assign[i]]) ** 2).sum()) for i in ids}
+    n_c = {c: sum(1 for i in ids if assign[i] == c) for c in cents}
+    sum_c = {c: sum(dist[i] for i in ids if assign[i] == c) for c in cents}
+
+    out = emb_outlier_distance(spark, SF_DIR).collect()
+    assert {r.vec_id for r in out} == set(ids)
+    for r in out:
+        i = r.vec_id
+        assert (r.cell, r.dist) == (assign[i], dist[i])
+        assert r.cell_mean_dist == int(
+            np.floor(sum_c[assign[i]] / n_c[assign[i]])
+        )
+        assert r.is_outlier == int(
+            dist[i] * n_c[assign[i]] > OUTLIER_MULT * sum_c[assign[i]]
+        )
+
+
+def test_priority_sample_matches_python_recompute(spark):
+    """Priority sampling must equal an arbitrary-precision Python
+    recompute: md5 60-bit keys, the clamped quality-weight map over
+    the classifier's own scores, exact integer priorities, and the
+    global top-K with its deterministic tie-break."""
+    import hashlib
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.curation import (
+        _PRI_SCALE,
+        EPOCH_W_BASE,
+        EPOCH_W_MAX,
+        EPOCH_W_MIN,
+        SAMPLE_K,
+        corpus_priority_sample,
+    )
+    from ai_data_pipeline_spark.operators.stats import cls_linear_score
+
+    score = {
+        r.doc_id: r.score_ppm
+        for r in cls_linear_score(spark, SF_DIR).select(
+            "doc_id", "score_ppm"
+        ).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    pri = {}
+    src = {}
+    for r in docs:
+        w = max(min(EPOCH_W_BASE + score.get(r.doc_id, 0), EPOCH_W_MAX),
+                EPOCH_W_MIN)
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        pri[r.doc_id] = (w, u, (w * _PRI_SCALE) // (u + 1))
+        src[r.doc_id] = r.source
+    top = sorted(pri, key=lambda d: (-pri[d][2], d))[:SAMPLE_K]
+
+    out = corpus_priority_sample(spark, SF_DIR).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rk)] == top
+    for r in out:
+        w, u, p = pri[r.doc_id]
+        assert (r.source, r.w_ppm, r.u60, int(r.priority)) == (
+            src[r.doc_id], w, u, p,
+        )

@@ -887,3 +887,32 @@ def test_kendall_tau_grid_algebra_is_windowless(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_outlier_distance_is_windowless_min_by(spark):
+    """The distance-to-centroid screen must keep the corpus unshuffled
+    for assignment (broadcast-K nested loop + min_by aggregate — never
+    a per-vector ranking window) and join only broadcast-sized cell
+    relations; no SortMergeJoin, no Cartesian product anywhere."""
+    from ai_data_pipeline_spark.operators.similarity import emb_outlier_distance
+
+    plan = _plan(emb_outlier_distance(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "min_by" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast-K assignment
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_sample_is_tournament_topk(spark):
+    """Priority sampling must rank through the two-level tournament
+    (the sample is a single global key — the exact reducer funnel
+    topk_per_key removes): the local heat must appear (partition-id
+    window or WindowGroupLimit) before the bounded global ranking, the
+    model join must be broadcast, and nothing is a Cartesian product."""
+    from ai_data_pipeline_spark.operators.curation import corpus_priority_sample
+
+    plan = _plan(corpus_priority_sample(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan or "SPARK_PARTITION_ID" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
