@@ -1,15 +1,19 @@
 """Corpus-curation execution steps: substring-level duplicate-span
-extraction, near-dup cluster representative selection, and the
-deterministic shard shuffle that writes the final training corpus.
+extraction, near-dup cluster representative selection, the
+deterministic shard shuffle that writes the final training corpus,
+the per-source epoch-allocation plan, and deterministic weighted
+(priority) sampling.
 
 These close the loop the pair/cluster dedup operators open
 (dedup.py / clustering.py): after candidate pairs and components are
 known, a pipeline still has to (a) find the duplicated *regions inside*
 documents (Lee et al. 2022, "Deduplicating Training Data Makes
 Language Models Better" — substring dedup, not just doc-level),
-(b) pick ONE survivor per near-dup cluster, and (c) shuffle the kept
+(b) pick ONE survivor per near-dup cluster, (c) shuffle the kept
 corpus into training shards deterministically (stable under retries
-and re-sharding — no rand()).
+and re-sharding — no rand()), (d) turn quality scores into the
+epoch-capped data recipe a training run launches from, and (e) draw
+quality-weighted audit samples reproducibly.
 
 Scale design (100 TB):
 - dup spans: one row per token position (linear), one keyed groupBy on

@@ -219,8 +219,112 @@ FROM j GROUP BY tier
 """
 
 
+def doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation scorecard — the materialized feature table
+    a real pipeline writes before the keep-decision, joining every
+    independent quality signal per doc: exact-dup survivorship
+    (normalized md5 fingerprint, min-doc_id keeper — text_fingerprint's
+    grouping), the LM pseudo-perplexity tier (head/middle/tail by the
+    fixed resampling cuts; docs too short for bigrams read 'nolm'),
+    and the linear-classifier score (docs outside the model's feature
+    support score 0). keep = dedup survivor AND LM tier ≠ tail —
+    the deterministic hard-filter variant of quality_resample's
+    probabilistic keep (both documented; a production run picks one).
+
+    Scale: the fingerprint pass is one md5 groupBy + one hint-free
+    fingerprint equi-join back (digests travel, text does not); LM and
+    classifier are the broadcast-model pipelines; the three per-doc
+    relations meet in hint-free doc_id equi-joins (all corpus-sized —
+    AQE decides). Everything is one linear pass per signal plus
+    doc-keyed joins: no windows, no self-joins."""
+    from ai_data_pipeline_spark.operators.corpus import corpus_lm_quality
+    from ai_data_pipeline_spark.operators.stats import cls_linear_score
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    groups = d.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+    lm = corpus_lm_quality(spark, sf_dir).select("doc_id", "mean_bits_ppm")
+    cls = cls_linear_score(spark, sf_dir).select("doc_id", "score_ppm")
+    tier = (
+        F.when(F.col("mean_bits_ppm").isNull(), "nolm")
+        .when(F.col("mean_bits_ppm") <= LM_HEAD_BITS_PPM, "head")
+        .when(F.col("mean_bits_ppm") <= LM_TAIL_BITS_PPM, "middle")
+        .otherwise("tail")
+    )
+    dup_loser = (
+        (F.col("n_dups") >= 2) & (F.col("doc_id") != F.col("keep_doc_id"))
+    ).cast("int")
+    return (
+        d.join(groups, "fp")
+        .join(lm, "doc_id", "left")
+        .join(cls, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "mean_bits_ppm",
+            F.coalesce(F.col("score_ppm"), F.lit(0)).alias("score_ppm"),
+            tier.alias("lm_tier"),
+            dup_loser.alias("is_dup_loser"),
+            (
+                (dup_loser == 0) & (tier != F.lit("tail"))
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def _doc_scorecard_oracle() -> str:
+    from ai_data_pipeline_spark.operators.corpus import LM_QUALITY_ORACLE
+    from ai_data_pipeline_spark.operators.stats import CLS_SCORE_ORACLE
+
+    return rf"""
+WITH lmq AS ({LM_QUALITY_ORACLE}),
+cls AS ({CLS_SCORE_ORACLE}),
+d AS (
+  SELECT doc_id, source, lang,
+         len(string_split_regex(text, '\s+')) AS n_tokens,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), groups AS (
+  SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+  FROM d GROUP BY fp
+), j AS (
+  SELECT d.doc_id, d.source, d.lang, d.n_tokens,
+         lmq.mean_bits_ppm,
+         COALESCE(cls.score_ppm, 0) AS score_ppm,
+         CASE WHEN lmq.mean_bits_ppm IS NULL THEN 'nolm'
+              WHEN lmq.mean_bits_ppm <= {LM_HEAD_BITS_PPM} THEN 'head'
+              WHEN lmq.mean_bits_ppm <= {LM_TAIL_BITS_PPM} THEN 'middle'
+              ELSE 'tail' END AS lm_tier,
+         CAST(g.n_dups >= 2 AND d.doc_id <> g.keep_doc_id AS INT)
+           AS is_dup_loser
+  FROM d
+  JOIN groups g USING (fp)
+  LEFT JOIN lmq ON d.doc_id = lmq.doc_id
+  LEFT JOIN cls ON d.doc_id = cls.doc_id
+)
+SELECT doc_id, source, lang, n_tokens, mean_bits_ppm, score_ppm,
+       lm_tier, is_dup_loser,
+       CAST(is_dup_loser = 0 AND lm_tier <> 'tail' AS INT) AS keep
+FROM j
+"""
+
+
 QUERY_DEFS = [
     QueryDef("pipeline_clean_corpus", clean_corpus, CLEAN_CORPUS_ORACLE),
+    QueryDef("pipeline_doc_scorecard", doc_scorecard, _doc_scorecard_oracle()),
     QueryDef("pipeline_quality_resample", quality_resample, _quality_resample_oracle()),
     QueryDef("q_event_funnel", event_funnel, EVENT_FUNNEL_ORACLE),
 ]

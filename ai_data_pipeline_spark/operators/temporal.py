@@ -630,8 +630,62 @@ FROM per_dow CROSS JOIN totals
 """
 
 
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type pivot via the DataFrame pivot() API — the
+    wide-format report every dashboard export runs (one column per
+    event type). The pivot value list is EXPLICIT
+    (PIVOT_EVENT_TYPES): with an explicit list Spark skips the extra
+    distinct-values job AND the output schema is fixed — both
+    mandatory at 100 TB (an inferred pivot over high-cardinality
+    values is a driver OOM). Unseen types coalesce to 0 so the shape
+    is stable across scale factors.
+
+    Scale: exactly one shuffle — pivot compiles to the same
+    one-pass conditional aggregation the oracle spells out
+    (map-side partials per (day, type) land as columns, not rows)."""
+    e = load_table(spark, sf_dir, "events")
+    piv = (
+        e.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    total = sum(
+        (F.coalesce(F.col(t), F.lit(0)) for t in PIVOT_EVENT_TYPES),
+        F.lit(0),
+    )
+    return piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in PIVOT_EVENT_TYPES
+        ],
+        total.alias("n_total"),
+    )
+
+
+def _pivot_oracle() -> str:
+    cols = ",\n       ".join(
+        f"CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+        f" AS BIGINT) AS n_{t}"
+        for t in PIVOT_EVENT_TYPES
+    )
+    in_list = ", ".join(f"'{t}'" for t in PIVOT_EVENT_TYPES)
+    return f"""
+SELECT CAST(ts AS DATE) AS day,
+       {cols},
+       CAST(coalesce(sum(CASE WHEN event_type IN ({in_list}) THEN 1 END), 0)
+            AS BIGINT) AS n_total
+FROM events GROUP BY 1
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
+    QueryDef("q_pivot_daily_events", q_pivot_daily_events, _pivot_oracle()),
     QueryDef("q_interval_sweep", q_interval_sweep, Q_INTERVAL_SWEEP_ORACLE),
     QueryDef("q_seasonal_index", q_seasonal_index, Q_SEASONAL_ORACLE),
     QueryDef("q_scd2_status_history", q_scd2_status_history, Q_SCD2_ORACLE),

@@ -155,6 +155,8 @@ HEADLINE = [
     "stream_first_touch",
     "emb_outlier_distance",
     "corpus_priority_sample",
+    "pipeline_doc_scorecard",
+    "q_pivot_daily_events",
 ]
 
 

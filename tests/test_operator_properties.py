@@ -2274,3 +2274,93 @@ def test_priority_sample_matches_python_recompute(spark):
         assert (r.source, r.w_ppm, r.u60, int(r.priority)) == (
             src[r.doc_id], w, u, p,
         )
+
+
+def test_doc_scorecard_composition_identities(spark):
+    """The scorecard must agree row-for-row with its component signals
+    recomputed independently: hashlib fingerprint groups, the LM and
+    classifier operators' own outputs, the tier cuts, and the
+    deterministic keep rule."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.corpus import corpus_lm_quality
+    from ai_data_pipeline_spark.operators.pipeline import (
+        LM_HEAD_BITS_PPM,
+        LM_TAIL_BITS_PPM,
+        doc_scorecard,
+    )
+    from ai_data_pipeline_spark.operators.stats import cls_linear_score
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    fp_groups = defaultdict(list)
+    n_toks = {}
+    meta = {}
+    for r in docs:
+        norm = re.sub(r"\s+", " ", r.text.lower().strip())
+        fp_groups[hashlib.md5(norm.encode()).hexdigest()].append(r.doc_id)
+        n_toks[r.doc_id] = len(re.split(r"\s+", r.text))
+        meta[r.doc_id] = (r.source, r.lang)
+    dup_loser = {
+        d: int(len(g) >= 2 and d != min(g))
+        for g in fp_groups.values()
+        for d in g
+    }
+    lm = {
+        r.doc_id: r.mean_bits_ppm
+        for r in corpus_lm_quality(spark, SF_DIR).collect()
+    }
+    cls = {
+        r.doc_id: r.score_ppm for r in cls_linear_score(spark, SF_DIR).collect()
+    }
+
+    rows = doc_scorecard(spark, SF_DIR).collect()
+    assert {r.doc_id for r in rows} == set(n_toks)
+    for r in rows:
+        d = r.doc_id
+        bits = lm.get(d)
+        tier = (
+            "nolm"
+            if bits is None
+            else "head"
+            if bits <= LM_HEAD_BITS_PPM
+            else "middle"
+            if bits <= LM_TAIL_BITS_PPM
+            else "tail"
+        )
+        assert (r.source, r.lang) == meta[d]
+        assert r.n_tokens == n_toks[d]
+        assert r.mean_bits_ppm == bits
+        assert r.score_ppm == cls.get(d, 0)
+        assert r.lm_tier == tier
+        assert r.is_dup_loser == dup_loser[d]
+        assert r.keep == int(dup_loser[d] == 0 and tier != "tail")
+
+
+def test_pivot_daily_events_matches_python_recompute(spark):
+    """The pivot must equal a per-day/type Counter over the raw events,
+    with unseen types as 0 and the total covering only the pivoted
+    types."""
+    from collections import Counter
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.temporal import (
+        PIVOT_EVENT_TYPES,
+        q_pivot_daily_events,
+    )
+
+    counts = Counter()
+    for r in load_table(spark, SF_DIR, "events").select(
+        "ts", "event_type"
+    ).collect():
+        counts[(r.ts.date(), r.event_type)] += 1
+    days = {d for d, _ in counts}
+
+    rows = q_pivot_daily_events(spark, SF_DIR).collect()
+    assert {r.day for r in rows} == days
+    for r in rows:
+        per_type = [counts.get((r.day, t), 0) for t in PIVOT_EVENT_TYPES]
+        assert [r[f"n_{t}"] for t in PIVOT_EVENT_TYPES] == per_type
+        assert r.n_total == sum(per_type)

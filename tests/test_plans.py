@@ -916,3 +916,28 @@ def test_priority_sample_is_tournament_topk(spark):
     assert "WindowGroupLimit" in plan or "SPARK_PARTITION_ID" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_scorecard_is_windowless_linear_joins(spark):
+    """The scorecard must stay one linear pass per signal plus keyed
+    equi-joins: no window anywhere, no Cartesian product, model
+    lookups broadcast, and every corpus-sized join an equi-join."""
+    from ai_data_pipeline_spark.operators.pipeline import doc_scorecard
+
+    plan = _plan(doc_scorecard(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # LM / classifier model lookups
+
+
+def test_pivot_compiles_to_single_pass_aggregate(spark):
+    """An explicit-values pivot must compile to one conditional
+    aggregation pass: map-side partials, no join, no window, no extra
+    distinct-values job in the plan."""
+    from ai_data_pipeline_spark.operators.temporal import q_pivot_daily_events
+
+    plan = _plan(q_pivot_daily_events(spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2
