@@ -229,12 +229,13 @@ _NEW_DEFERRED: set[str] = set()
 # derived proven tier like any other green query.
 _REFIXED_FIRST: list[str] = []
 
-# Ordering of the never-checked tier. Round-8 state: 20 never-checked
+# Ordering of the never-checked tier. Round-8 state: 21 never-checked
 # (3 r7 deferrals + the r8 LM/bucket/resample/curation additions, the
 # retrieval/mining/tau batch, the bucketed-join/first-touch batch, the
-# outlier-screen/priority-sample batch, and the scorecard/pivot batch)
-# + 3 rewritten-since-green (full-digest MinHash pair, placement-robust
-# compaction) = 23 driver slots on new evidence; the remaining ~27
+# outlier-screen/priority-sample batch, the scorecard/pivot batch, and
+# the corrupt-ingest query) + 3 rewritten-since-green (full-digest
+# MinHash pair, placement-robust compaction) = 24 driver slots on new
+# evidence; the remaining ~26
 # re-confirm the oldest greens (proven tier orders by last-green round
 # ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
 # task #2). Names listed here but already green just rank in the

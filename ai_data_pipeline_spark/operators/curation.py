@@ -15,6 +15,13 @@ and re-sharding — no rand()), (d) turn quality scores into the
 epoch-capped data recipe a training run launches from, and (e) draw
 quality-weighted audit samples reproducibly.
 
+The reference has no curation surface (its pipeline ends at column
+classification — `/root/reference/src/ai_pipeline/core/classifiers/`
+is the whole engine; the `core/generators/` directory is empty);
+this module is part of the north-star extension (SURVEY.md §2.8,
+§7.5): the execution steps an LLM training-data pipeline runs after
+profiling/classification.
+
 Scale design (100 TB):
 - dup spans: one row per token position (linear), one keyed groupBy on
   the gram hash (map-side partial counts), one semi-join back (no

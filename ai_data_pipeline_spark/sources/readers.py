@@ -337,8 +337,86 @@ FROM unioned
 """
 
 
+CORRUPT_MOD = 97  # custkeys divisible by this get a malformed acctbal
+
+
+def csv_corrupt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant CSV ingest — the robustness half of the
+    reference's upload flow (op02): rows whose c_custkey %
+    CORRUPT_MOD == 0 are written with a non-numeric c_acctbal, the
+    read runs PERMISSIVE with columnNameOfCorruptRecord, and the query
+    routes records into good/quarantine channels in one pass. The
+    outputs prove three PERMISSIVE semantics at once: bad rows are
+    counted not dropped (n_bad), their PARSEABLE fields are still
+    recovered (sum_key_bad — c_custkey parses even when c_acctbal does
+    not), and good-row aggregates are unaffected by the poison lines
+    (sum_bal_good equals the oracle's clean-subset sum).
+
+    Scale: the quarantine channel is a conditional aggregate over the
+    same single scan — no second read, no driver involvement; at
+    100 TB the same plan writes `_corrupt IS NOT NULL` rows to a
+    quarantine sink with foreachBatch/partitioned write instead of
+    counting them."""
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    bad = F.col("c_custkey") % CORRUPT_MOD == 0
+    line = F.concat_ws(
+        ",",
+        F.col("c_custkey").cast("string"),
+        F.col("c_mktsegment"),
+        F.when(bad, F.lit("#corrupt")).otherwise(
+            F.col("c_acctbal").cast("string")
+        ),
+    )
+    tmp = scratch_dir("csvbad_")
+    src.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(tmp)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(tmp)
+    )
+    is_bad = F.col("_corrupt").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_bad.cast("long")).alias("n_bad"),
+        F.sum((~is_bad).cast("long")).alias("n_good"),
+        F.sum(
+            F.when(~is_bad, F.col("c_acctbal").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("sum_bal_good"),
+        F.sum(F.when(is_bad, F.col("c_custkey"))).alias("sum_key_bad"),
+    )
+
+
+CSV_CORRUPT_ORACLE = f"""
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN c_custkey % {CORRUPT_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad,
+       CAST(sum(CASE WHEN c_custkey % {CORRUPT_MOD} <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN c_custkey % {CORRUPT_MOD} <> 0
+                THEN CAST(c_acctbal AS DECIMAL(18,4)) END) AS DOUBLE)
+         AS sum_bal_good,
+       CAST(sum(CASE WHEN c_custkey % {CORRUPT_MOD} = 0 THEN c_custkey END)
+            AS BIGINT) AS sum_key_bad
+FROM customer
+"""
+
+
 QUERY_DEFS = [
     QueryDef("csv_roundtrip_customer", csv_roundtrip_customer, CSV_ROUNDTRIP_ORACLE),
+    QueryDef("csv_corrupt_ingest", csv_corrupt_ingest, CSV_CORRUPT_ORACLE),
     QueryDef(
         "compaction_roundtrip_events",
         compaction_roundtrip_events,

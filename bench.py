@@ -157,6 +157,7 @@ HEADLINE = [
     "corpus_priority_sample",
     "pipeline_doc_scorecard",
     "q_pivot_daily_events",
+    "csv_corrupt_ingest",
 ]
 
 

@@ -2364,3 +2364,34 @@ def test_pivot_daily_events_matches_python_recompute(spark):
         per_type = [counts.get((r.day, t), 0) for t in PIVOT_EVENT_TYPES]
         assert [r[f"n_{t}"] for t in PIVOT_EVENT_TYPES] == per_type
         assert r.n_total == sum(per_type)
+
+
+def test_csv_corrupt_ingest_channel_accounting(spark):
+    """PERMISSIVE ingest must count poison lines instead of dropping
+    them, keep their parseable fields, and leave good-row aggregates
+    untouched — checked against a Decimal recompute from the parquet
+    originals."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.sources.readers import (
+        CORRUPT_MOD,
+        csv_corrupt_ingest,
+    )
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).collect()
+    bad = [r for r in cust if r.c_custkey % CORRUPT_MOD == 0]
+    good = [r for r in cust if r.c_custkey % CORRUPT_MOD != 0]
+    q = Decimal("0.0001")
+    want_bal = sum(
+        Decimal(r.c_acctbal).quantize(q, ROUND_HALF_UP) for r in good
+    )
+
+    [row] = csv_corrupt_ingest(spark, SF_DIR).collect()
+    assert (row.n_rows, row.n_bad, row.n_good) == (
+        len(cust), len(bad), len(good),
+    )
+    assert row.sum_key_bad == (sum(r.c_custkey for r in bad) or None)
+    assert abs(row.sum_bal_good - float(want_bal)) < 1e-6
