@@ -229,13 +229,18 @@ _NEW_DEFERRED: set[str] = set()
 # derived proven tier like any other green query.
 _REFIXED_FIRST: list[str] = []
 
-# Ordering of the never-checked tier. Round-8 state: 21 never-checked
+# Ordering of the never-checked tier. Round-8 state: 27 never-checked
 # (3 r7 deferrals + the r8 LM/bucket/resample/curation additions, the
 # retrieval/mining/tau batch, the bucketed-join/first-touch batch, the
-# outlier-screen/priority-sample batch, the scorecard/pivot batch, and
-# the corrupt-ingest query) + 3 rewritten-since-green (full-digest
-# MinHash pair, placement-robust compaction) = 24 driver slots on new
-# evidence; the remaining ~26
+# outlier-screen/priority-sample batch, the scorecard/pivot batch, the
+# corrupt-ingest query, the classifier-eval closure pair
+# cls_roc_auc / cls_confusion_matrix, the LSH banding audit
+# dedup_lsh_recall, the RAKE keyword extractor text_keyword_rake, and
+# the IVF routing audit ann_ivf_recall, and the linkage accuracy
+# audit er_linkage_eval)
+# + 3 rewritten-since-green (full-digest MinHash pair,
+# placement-robust compaction) = 30 driver
+# slots on new evidence; the remaining ~20
 # re-confirm the oldest greens (proven tier orders by last-green round
 # ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
 # task #2). Names listed here but already green just rank in the
@@ -309,6 +314,11 @@ _UNPROVEN_PRIORITY = [
     # train + broadcast-model scoring) — after the r6 leftovers so the
     # five queries the judge already queued keep their slots
     "cls_linear_train", "cls_linear_score",
+    # round-8 classifier-eval closure
+    "cls_roc_auc", "cls_confusion_matrix",
+    # round-8 tenth batch: LSH banding audit + RAKE keywords + IVF audit
+    "dedup_lsh_recall", "text_keyword_rake", "ann_ivf_recall",
+    "er_linkage_eval",
 ]
 
 

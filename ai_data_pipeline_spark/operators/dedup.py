@@ -499,6 +499,185 @@ JOIN sig sb ON sb.doc_id = i.doc_b
 """
 
 
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-stage audit of the MinHash LSH path: ONE row putting the
+    band-bucket candidate set against the exhaustive truth set — the
+    go/no-go number for the (k, r, b) banding choice before a 100 TB
+    dedup run. Truth = the df-capped exhaustive self-join's pairs at
+    the SAME threshold the LSH verify uses (capped Jaccard ≥
+    JACCARD_NUM/JACCARD_DEN — the cap is the declared similarity
+    universe of the standalone path: boilerplate shingles carry no
+    near-dup signal). Candidates = the raw banded pairs BEFORE
+    verification, so the ratios price the banding stage itself:
+    recall says what the bands miss (pairs no band agrees on),
+    precision says what the verify stage must pay to reject.
+
+    The two pair universes differ deliberately (truth caps df,
+    banding sees all shingles) — that mismatch is part of what the
+    audit measures, and both definitions are mirrored exactly in the
+    oracle.
+
+    Scale: composes two already-bounded plans (df-capped self-join:
+    ≤ C(cap,2) rows per shingle; banded equi-join on fixed-width
+    signatures) and reduces their pair sets with one full-outer join +
+    a 1-row aggregate. All ratios integer ppm on non-negative operands
+    (div == //)."""
+    sh = _doc_shingles(spark, sf_dir)
+    # truth: exhaustive capped-universe Jaccard at the verify threshold
+    capped = _df_capped_shingles(sh, NGRAM_DF_CAP)
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a0, b0 = capped.alias("a"), capped.alias("b")
+    pair_inter = (
+        a0.join(
+            b0,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    truth = (
+        pair_inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            JACCARD_DEN * F.col("inter")
+            >= JACCARD_NUM * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    # candidates: the banded pairs, pre-verify (same construction as
+    # dedup_minhash_lsh)
+    hashed = sh.select(
+        "doc_id",
+        F.concat(
+            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
+            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
+        ).alias("hh"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col("hh"), 1 + 5 * j, 5)).alias(f"m{j}")
+            for j in range(MINHASH_K)
+        ]
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"m{b * MINHASH_BAND_R + r}")
+                                    for r in range(MINHASH_BAND_R)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bhash")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    joined = truth.withColumn("t", F.lit(1)).join(
+        cands.withColumn("c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return joined.agg(
+        F.sum(F.coalesce("t", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("n_cands"),
+        F.sum(
+            F.coalesce("t", F.lit(0)) * F.coalesce("c", F.lit(0))
+        ).cast("long").alias("n_hit"),
+        F.expr(
+            "cast((sum(coalesce(t, 0) * coalesce(c, 0)) * 1000000)"
+            " div nullif(sum(coalesce(t, 0)), 0) as bigint)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "cast((sum(coalesce(t, 0) * coalesce(c, 0)) * 1000000)"
+            " div nullif(sum(coalesce(c, 0)), 0) as bigint)"
+        ).alias("precision_ppm"),
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(substr(hh, {1 + 5 * j}, 5)) AS m{j}" for j in range(MINHASH_K)
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cc}) AS bhash FROM sig".format(
+            b=b,
+            cc=" || '|' || ".join(
+                f"m{b * MINHASH_BAND_R + r}" for r in range(MINHASH_BAND_R)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return rf"""
+WITH sh0 AS (
+  SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM {SHINGLES_DUCK_FROM}
+), capped AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b
+  FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE {JACCARD_DEN}*inter >= {JACCARD_NUM}*(sa.sz + sb.sz - inter)
+), shh AS (
+  SELECT doc_id, md5('0|' || shingle) || md5('1|' || shingle) AS hh
+  FROM sh0
+), sig AS (
+  SELECT doc_id, {sig_cols} FROM shh GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+), joined AS (
+  SELECT coalesce(t.t, 0) AS t, coalesce(c.c, 0) AS c
+  FROM (SELECT doc_a, doc_b, 1 AS t FROM truth) t
+  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS c FROM cands) c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+       CAST(sum(c) AS BIGINT) AS n_cands,
+       CAST(sum(t * c) AS BIGINT) AS n_hit,
+       CAST((sum(t * c) * 1000000) // nullif(sum(t), 0) AS BIGINT) AS recall_ppm,
+       CAST((sum(t * c) * 1000000) // nullif(sum(c), 0) AS BIGINT)
+         AS precision_ppm
+FROM joined
+"""
+
+
 SIMHASH_BITS = 16
 
 
@@ -765,5 +944,6 @@ QUERY_DEFS = [
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle()),
     QueryDef("dedup_minhash_estimate", dedup_minhash_estimate, _minhash_estimate_oracle()),
+    QueryDef("dedup_lsh_recall", dedup_lsh_recall, _lsh_recall_oracle()),
     QueryDef("dedup_simhash", dedup_simhash, _simhash_oracle()),
 ]

@@ -109,6 +109,68 @@ SELECT dirty_id, c_custkey AS matched_custkey, dist FROM (
 """
 
 
+def er_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit of the fuzzy-linkage stage: the dirtied registry
+    is planted (dirty_id IS the master key it was derived from), so
+    linkage quality is measurable exactly — ONE row with n_dirty,
+    n_linked, n_correct (best match == the planted key), and
+    precision / recall / F1 in ppm. This is the ER-family member of
+    the audit-before-scale-up set (minhash estimate, LSH banding, IVF
+    routing): the number that validates the blocking keys and the
+    distance cutoff before an MDM consolidation commits to them.
+
+    Scale: composes er_fuzzy_linkage (blocked, window bounded per
+    dirty record) plus one count of the dirty side; the reconciliation
+    is a 1-row × 1-row broadcast join. F1 = 2·correct/(linked+dirty)
+    in one integer division (the cls_confusion_matrix identity)."""
+    c = load_table(spark, sf_dir, "customer")
+    totals = c.filter(F.col("c_custkey") % 3 == 0).agg(
+        F.count(F.lit(1)).alias("n_dirty")
+    )
+    links = er_fuzzy_linkage(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_linked"),
+        F.sum(
+            (F.col("matched_custkey") == F.col("dirty_id")).cast("long")
+        ).alias("n_correct"),
+    )
+    return links.crossJoin(F.broadcast(totals)).select(
+        "n_dirty",
+        "n_linked",
+        "n_correct",
+        F.expr(
+            "cast((n_correct * 1000000) div nullif(n_linked, 0) as bigint)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "cast((n_correct * 1000000) div nullif(n_dirty, 0) as bigint)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "cast((2 * n_correct * 1000000) div nullif(n_linked + n_dirty, 0)"
+            " as bigint)"
+        ).alias("f1_ppm"),
+    )
+
+
+ER_EVAL_ORACLE = f"""
+WITH links AS ({ER_ORACLE}),
+l AS (
+  SELECT count(*) AS n_linked,
+         CAST(sum(CASE WHEN matched_custkey = dirty_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM links
+), t AS (
+  SELECT count(*) AS n_dirty FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT t.n_dirty, l.n_linked, l.n_correct,
+       CAST((l.n_correct * 1000000) // nullif(l.n_linked, 0) AS BIGINT)
+         AS precision_ppm,
+       CAST((l.n_correct * 1000000) // nullif(t.n_dirty, 0) AS BIGINT)
+         AS recall_ppm,
+       CAST((2 * l.n_correct * 1000000) // nullif(l.n_linked + t.n_dirty, 0)
+            AS BIGINT) AS f1_ppm
+FROM l CROSS JOIN t
+"""
+
+
 GOLDEN_KEY_OFFSET = 20_000_000  # import-twin rec_id = master key + offset
 
 
@@ -198,5 +260,6 @@ FROM ranked GROUP BY entity_id
 
 QUERY_DEFS = [
     QueryDef("er_fuzzy_linkage", er_fuzzy_linkage, ER_ORACLE),
+    QueryDef("er_linkage_eval", er_linkage_eval, ER_EVAL_ORACLE),
     QueryDef("er_golden_record", er_golden_record, GOLDEN_ORACLE),
 ]

@@ -279,6 +279,62 @@ SELECT q_id, vec_id, cosine, rk FROM (
 """
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit of the IVF path: per query, how much of the
+    exact brute-force top-k does the cell-routed search recover? This
+    is the measurement that validates the (N_CELLS, N_PROBE) routing
+    choice before a 100 TB index build — the ANN-family analogue of
+    dedup_lsh_recall (banding) and dedup_minhash_estimate (signature
+    width), completing the audit-before-scale-up set. A miss means the
+    true neighbor's cell was not probed; n_ivf < k means the probed
+    cells held fewer than k candidates.
+
+    Scale: composes two already-bounded plans (the tournament
+    brute-force ranking and the broadcast-centroid IVF ranking) and
+    reconciles two k-row-per-query relations with one full-outer
+    equi-join + a query-keyed aggregate — both sides are
+    |queries|·k rows, so the reconciliation is negligible at any
+    corpus size. Ratios integer ppm (div == // on non-negatives)."""
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("e")
+    )
+    ivf = ann_ivf(spark, sf_dir).select("q_id", "vec_id", F.lit(1).alias("i"))
+    return (
+        exact.join(ivf, ["q_id", "vec_id"], "full_outer")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce("e", F.lit(0))).cast("long").alias("n_exact"),
+            F.sum(F.coalesce("i", F.lit(0))).cast("long").alias("n_ivf"),
+            F.sum(F.coalesce("e", F.lit(0)) * F.coalesce("i", F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+            F.expr(
+                "cast((sum(coalesce(e, 0) * coalesce(i, 0)) * 1000000)"
+                " div nullif(sum(coalesce(e, 0)), 0) as bigint)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _ann_ivf_recall_oracle() -> str:
+    return f"""
+WITH ex AS ({ANN_TOPK_ORACLE}), iv AS ({_ann_ivf_oracle()}),
+j AS (
+  SELECT coalesce(ex.q_id, iv.q_id) AS q_id,
+         CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS e,
+         CASE WHEN iv.vec_id IS NULL THEN 0 ELSE 1 END AS i
+  FROM ex FULL OUTER JOIN iv
+    ON ex.q_id = iv.q_id AND ex.vec_id = iv.vec_id
+)
+SELECT q_id, CAST(sum(e) AS BIGINT) AS n_exact,
+       CAST(sum(i) AS BIGINT) AS n_ivf,
+       CAST(sum(e * i) AS BIGINT) AS n_hit,
+       CAST((sum(e * i) * 1000000) // nullif(sum(e), 0) AS BIGINT)
+         AS recall_ppm
+FROM j GROUP BY q_id
+"""
+
+
 def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval — the canonical ANN serving plan: candidate
     generation via multi-probe sign-LSH (each query probes its own
@@ -1702,6 +1758,7 @@ QUERY_DEFS = [
     QueryDef("ann_lsh_buckets", ann_lsh_buckets, _lsh_oracle()),
     QueryDef("ann_rerank", ann_rerank, _ann_rerank_oracle()),
     QueryDef("ann_ivf", ann_ivf, _ann_ivf_oracle()),
+    QueryDef("ann_ivf_recall", ann_ivf_recall, _ann_ivf_recall_oracle()),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_ORACLE),
     QueryDef("ann_mllib_brp", ann_mllib_brp, None),  # rows-only (see docstring)
 ]

@@ -596,7 +596,11 @@ def cls_linear_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CLS_MULTI_ORACLE = f"""
+# Shared CTE chain for the one-vs-rest multiclass family: ends at the
+# per-(doc, class) score relation plus the argmax prediction. Both
+# CLS_MULTI_ORACLE and CLS_CONFUSION_ORACLE build on it, so the two
+# oracles cannot drift apart.
+CLS_MULTI_CTES_DUCK = f"""
 WITH pres AS ({CLS_PRES_DUCK}),
 pb AS (
   SELECT bucket, lang, count(*) AS n_lb FROM pres GROUP BY 1, 2
@@ -622,15 +626,200 @@ weights AS (
   FROM (SELECT DISTINCT doc_id, lang, bucket FROM pres) p
   JOIN weights w ON p.bucket = w.bucket
   GROUP BY 1, 2, 3
+), pred AS (
+  SELECT doc_id, actual_lang, cls AS predicted_lang, score_ppm AS best_score_ppm
+  FROM (
+    SELECT doc_id, actual_lang, cls, score_ppm,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_ppm DESC, cls ASC) AS rk
+    FROM class_scores
+  ) WHERE rk = 1
 )
+"""
+
+CLS_MULTI_ORACLE = f"""
+{CLS_MULTI_CTES_DUCK}
 SELECT doc_id, actual_lang, predicted_lang, best_score_ppm,
        CAST(predicted_lang = actual_lang AS INT) AS correct
-FROM (
-  SELECT doc_id, actual_lang, cls AS predicted_lang, score_ppm AS best_score_ppm,
-         row_number() OVER (PARTITION BY doc_id
-           ORDER BY score_ppm DESC, cls ASC) AS rk
-  FROM class_scores
-) WHERE rk = 1
+FROM pred
+"""
+
+
+def cls_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC summary of the binary linear classifier as ONE exact number:
+    the area under the banded ROC curve via the trapezoid rule — equal
+    to the tie-corrected Mann-Whitney statistic at band granularity
+    (P(random positive outscores random negative) + ½·P(tie), ties
+    taken at CLS_BAND_PPM width, the same declared quantization as
+    cls_linear_eval's PR curve). This is the single-figure complement
+    to the operating-curve table: the threshold-free quality gate a
+    curation pipeline alerts on before re-training its filter model.
+
+    Exactness: between consecutive descending bands, the ROC step adds
+    trapezoid area ΔFP·(TP_prev + TP_cur)/2, so
+    2·P·N_neg·AUC = Σ_bands n_neg_band·(2·cum_pos − n_pos_band) — an
+    integer identity. The products run in DECIMAL(38,0) (HUGEINT in
+    DuckDB): the summed numerator is ≤ 2·P·N_neg ≤ N²/2 and the ·10⁶
+    scaling keeps it inside 38 digits while N ≲ 10¹⁵ docs; int64 would
+    wrap past N ≈ 3·10⁶. All operands non-negative, so truncating div
+    and flooring // agree. Degenerate corpora (no positives or no
+    negatives) emit NULL auc_ppm via the nullif guard.
+
+    Scale: identical shape to cls_linear_eval — scores reduce to the
+    provably bounded band relation (|score_ppm| ≤ n_feats·10⁶ ⇒
+    O(hundreds) bands) BEFORE the cumulative window, and the final
+    aggregate is one row. No corpus-sized sort, window, or broadcast
+    anywhere."""
+    from pyspark.sql import Window as W
+
+    scored = cls_linear_score(spark, sf_dir)
+    bands = scored.groupBy(
+        F.floor(F.col("score_ppm").cast("double") / CLS_BAND_PPM)
+        .cast("long")
+        .alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("label").alias("n_pos"),
+    )
+    w = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    terms = bands.withColumn("cum_pos", F.sum("n_pos").over(w)).select(
+        "n_docs",
+        "n_pos",
+        # twice the trapezoid area this band contributes: ΔFP·(TP_prev+TP_cur)
+        (
+            (F.col("n_docs") - F.col("n_pos")).cast("decimal(38,0)")
+            * (2 * F.col("cum_pos") - F.col("n_pos"))
+        ).alias("trap2"),
+    )
+    return terms.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        (F.sum("n_docs") - F.sum("n_pos")).cast("long").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_bands"),
+        F.expr(
+            "cast((sum(trap2) * 1000000) div "
+            "nullif(2 * cast(sum(n_docs) - sum(n_pos) as decimal(38,0))"
+            "         * sum(n_pos), 0) as bigint)"
+        ).alias("auc_ppm"),
+    )
+
+
+CLS_ROC_AUC_ORACLE = f"""
+WITH pres AS ({CLS_PRES_DUCK}),
+w AS ({CLS_WEIGHTS_DUCK}),
+scored AS (
+  SELECT p.doc_id, p.y AS label, CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm
+  FROM pres p JOIN w ON p.bucket = w.bucket
+  GROUP BY p.doc_id, p.y
+), bands AS (
+  SELECT CAST(floor(CAST(score_ppm AS DOUBLE) / {CLS_BAND_PPM}) AS BIGINT) AS band,
+         count(*) AS n_docs, CAST(sum(label) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1
+), cum AS (
+  SELECT n_docs, n_pos,
+         CAST(sum(n_pos) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+  FROM bands
+)
+SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n_docs) - sum(n_pos) AS BIGINT) AS n_neg,
+       count(*) AS n_bands,
+       CAST((sum(CAST(n_docs - n_pos AS HUGEINT) * (2 * cum_pos - n_pos)) * 1000000)
+            // nullif(2 * CAST(sum(n_docs) - sum(n_pos) AS HUGEINT) * sum(n_pos), 0)
+            AS BIGINT) AS auc_ppm
+FROM cum
+"""
+
+
+def cls_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class evaluation of the one-vs-rest multiclass classifier:
+    the confusion matrix reduced to the standard per-class scorecard —
+    support, predicted count, true positives, and precision / recall /
+    F1 in exact fixed-point ppm. This is the table a curation run
+    publishes next to its language-filter model so downstream mixing
+    (corpus_temperature_mix) knows which languages the filter is
+    actually trustworthy on.
+
+    Exactness: F1 = 2·tp/(support + predicted_n) — the harmonic mean
+    identity in one integer division, no intermediate rational. All
+    numerators are ≤ 2·N·10⁶, inside int64 while N < 4.6·10¹² docs.
+    Division is `div` vs `//` on non-negative operands (identical);
+    classes never predicted keep predicted_n = 0 and NULL precision
+    via nullif.
+
+    Scale: composes the multiclass scorer (bounded-weight join, min_by
+    argmax) and then reduces the corpus to the |langs|² confusion grid
+    in ONE keyed aggregate with map-side partials; everything after is
+    arithmetic over a few dozen rows (full-outer join of two
+    class-keyed rollups of that grid). No window, no corpus-sized
+    broadcast."""
+    mc = cls_linear_multiclass(spark, sf_dir)
+    cm = mc.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_actual = cm.groupBy(F.col("actual_lang").alias("cls")).agg(
+        F.sum("n_docs").alias("support"),
+        F.sum(
+            F.when(
+                F.col("actual_lang") == F.col("predicted_lang"), F.col("n_docs")
+            ).otherwise(F.lit(0))
+        ).alias("tp"),
+    )
+    per_pred = cm.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.sum("n_docs").alias("predicted_n")
+    )
+    return (
+        per_actual.join(per_pred, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("predicted_n", F.lit(0)).cast("long").alias("predicted_n"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+        .select(
+            "cls",
+            "support",
+            "predicted_n",
+            "tp",
+            F.expr(
+                "cast((tp * 1000000) div nullif(predicted_n, 0) as bigint)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "cast((tp * 1000000) div nullif(support, 0) as bigint)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "cast((2 * tp * 1000000) div nullif(support + predicted_n, 0)"
+                " as bigint)"
+            ).alias("f1_ppm"),
+        )
+    )
+
+
+CLS_CONFUSION_ORACLE = f"""
+{CLS_MULTI_CTES_DUCK},
+cm AS (
+  SELECT actual_lang, predicted_lang, count(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+), pa AS (
+  SELECT actual_lang AS cls, CAST(sum(n_docs) AS BIGINT) AS support,
+         CAST(sum(CASE WHEN actual_lang = predicted_lang THEN n_docs
+                       ELSE 0 END) AS BIGINT) AS tp
+  FROM cm GROUP BY 1
+), pp AS (
+  SELECT predicted_lang AS cls, CAST(sum(n_docs) AS BIGINT) AS predicted_n
+  FROM cm GROUP BY 1
+)
+SELECT coalesce(pa.cls, pp.cls) AS cls,
+       coalesce(support, 0) AS support,
+       coalesce(predicted_n, 0) AS predicted_n,
+       coalesce(tp, 0) AS tp,
+       CAST((coalesce(tp, 0) * 1000000)
+            // nullif(coalesce(predicted_n, 0), 0) AS BIGINT) AS precision_ppm,
+       CAST((coalesce(tp, 0) * 1000000)
+            // nullif(coalesce(support, 0), 0) AS BIGINT) AS recall_ppm,
+       CAST((2 * coalesce(tp, 0) * 1000000)
+            // nullif(coalesce(support, 0) + coalesce(predicted_n, 0), 0)
+            AS BIGINT) AS f1_ppm
+FROM pa FULL OUTER JOIN pp ON pa.cls = pp.cls
 """
 
 
@@ -824,4 +1013,6 @@ QUERY_DEFS = [
     QueryDef("cls_linear_score", cls_linear_score, CLS_SCORE_ORACLE),
     QueryDef("cls_linear_eval", cls_linear_eval, CLS_EVAL_ORACLE),
     QueryDef("cls_linear_multiclass", cls_linear_multiclass, CLS_MULTI_ORACLE),
+    QueryDef("cls_roc_auc", cls_roc_auc, CLS_ROC_AUC_ORACLE),
+    QueryDef("cls_confusion_matrix", cls_confusion_matrix, CLS_CONFUSION_ORACLE),
 ]

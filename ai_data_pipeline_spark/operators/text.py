@@ -718,6 +718,131 @@ SELECT term, df, doc_id, tf, dl, bm25_fp, rk FROM (
 """
 
 
+RAKE_MAX_PHRASE = 4  # candidate phrases longer than this are noise
+RAKE_TOP_K = 3  # keywords kept per document
+# RAKE breaks candidate phrases at stopwords; the en set is the same
+# tiny deterministic list the language-ID heuristic declares.
+RAKE_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), exact and
+    integer-deterministic: tokenize each document, break candidate
+    phrases at stopwords (gaps-and-islands over token positions), score
+    each word by degree/frequency — degree = Σ length of the phrases the
+    word occurs in, frequency = its occurrence count, both PER DOCUMENT
+    (RAKE's co-occurrence statistics are within-document by
+    definition) — and score each phrase as the sum of its words'
+    scores. Word scores floor to ppm BEFORE the phrase sum
+    (floor-before-sum is the declared statistic, identical in both
+    engines on non-negative operands). Top RAKE_TOP_K distinct phrases
+    of ≤ RAKE_MAX_PHRASE words per document, ties broken by phrase
+    text.
+
+    Scale: one tokenize pass materialized behind an exchange
+    (localCheckpoint — four consumers read it), then every shuffle is
+    keyed by (doc_id[, isl|tok]) and every window is partitioned by
+    doc_id — bounded by document length, never corpus-sized. The
+    word-score join is (doc_id, tok)-equi-keyed with no hints. This is
+    the per-doc keyword tagging stage of a corpus enrichment pipeline;
+    the corpus-level counterpart (global salient terms) is
+    text_tfidf_top_terms."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    arr = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RX), F.lit(0))
+    toks = d.select("doc_id", F.posexplode(arr).alias("pos", "tok"))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    kept = (
+        toks.filter(~F.col("tok").isin(*RAKE_STOPWORDS))
+        .withColumn("isl", F.col("pos") - F.row_number().over(wdoc))
+        .localCheckpoint()
+    )
+    plen = F.count(F.lit(1)).over(W.partitionBy("doc_id", "isl"))
+    tokp = kept.withColumn("plen", plen)
+    wscore = tokp.groupBy("doc_id", "tok").agg(
+        F.expr("cast((sum(plen) * 1000000) div count(*) as bigint)").alias(
+            "w_ppm"
+        )
+    )
+    phrases = kept.groupBy("doc_id", "isl").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    pscore = (
+        kept.join(wscore, ["doc_id", "tok"])
+        .groupBy("doc_id", "isl")
+        .agg(F.sum("w_ppm").alias("score_ppm"))
+    )
+    cand = (
+        phrases.join(pscore, ["doc_id", "isl"])
+        .filter(F.col("n_words") <= RAKE_MAX_PHRASE)
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.max("score_ppm").alias("score_ppm"),
+        )
+    )
+    wrank = W.partitionBy("doc_id").orderBy(F.desc("score_ppm"), F.asc("phrase"))
+    return (
+        cand.withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") <= RAKE_TOP_K)
+        .select("doc_id", "phrase", "n_words", "n_occ", "score_ppm", "rk")
+    )
+
+
+def _rake_oracle() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RX_SQL}', 0) AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, i AS pos, l[i] AS tok
+  FROM docs, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) t
+), kept AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM toks WHERE tok NOT IN ({stoplist})
+), plens AS (
+  SELECT doc_id, isl, count(*) AS plen FROM kept GROUP BY 1, 2
+), wscore AS (
+  SELECT k.doc_id, k.tok,
+         (CAST(sum(p.plen) AS BIGINT) * 1000000) // count(*) AS w_ppm
+  FROM kept k JOIN plens p ON p.doc_id = k.doc_id AND p.isl = k.isl
+  GROUP BY 1, 2
+), phrases AS (
+  SELECT doc_id, isl, count(*) AS n_words,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM kept GROUP BY 1, 2
+), pscore AS (
+  SELECT k.doc_id, k.isl, CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm
+  FROM kept k JOIN wscore w ON w.doc_id = k.doc_id AND w.tok = k.tok
+  GROUP BY 1, 2
+), cand AS (
+  SELECT p.doc_id, p.phrase, max(p.n_words) AS n_words,
+         count(*) AS n_occ, CAST(max(s.score_ppm) AS BIGINT) AS score_ppm
+  FROM phrases p JOIN pscore s ON s.doc_id = p.doc_id AND s.isl = p.isl
+  WHERE p.n_words <= {RAKE_MAX_PHRASE}
+  GROUP BY 1, 2
+)
+SELECT doc_id, phrase, n_words, n_occ, score_ppm, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY score_ppm DESC, phrase ASC) AS rk
+  FROM cand
+) WHERE rk <= {RAKE_TOP_K}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("text_stats", text_stats, _text_stats_oracle()),
     QueryDef("text_bm25_topk", text_bm25_topk, BM25_ORACLE),
@@ -730,4 +855,5 @@ QUERY_DEFS = [
     QueryDef("text_winnowing", winnowing_fingerprint, WINNOW_ORACLE),
     QueryDef("text_tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE),
     QueryDef("text_vocab_top_terms", vocab_top_terms, VOCAB_ORACLE),
+    QueryDef("text_keyword_rake", text_keyword_rake, _rake_oracle()),
 ]

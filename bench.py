@@ -158,6 +158,12 @@ HEADLINE = [
     "pipeline_doc_scorecard",
     "q_pivot_daily_events",
     "csv_corrupt_ingest",
+    "cls_roc_auc",
+    "cls_confusion_matrix",
+    "dedup_lsh_recall",
+    "text_keyword_rake",
+    "ann_ivf_recall",
+    "er_linkage_eval",
 ]
 
 

@@ -2395,3 +2395,296 @@ def test_csv_corrupt_ingest_channel_accounting(spark):
     )
     assert row.sum_key_bad == (sum(r.c_custkey for r in bad) or None)
     assert abs(row.sum_bal_good - float(want_bal)) < 1e-6
+
+
+def test_cls_roc_auc_matches_python_recompute(spark):
+    """The banded AUC must equal a direct Python recompute of the
+    tie-corrected Mann-Whitney statistic over the same CLS_BAND_PPM
+    quantization of the scores, and the corpus totals must reconcile
+    with the scoring pass."""
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.stats import (
+        CLS_BAND_PPM,
+        cls_linear_score,
+        cls_roc_auc,
+    )
+    import math
+
+    scored = cls_linear_score(spark, SF_DIR).collect()
+    bands = Counter()
+    for r in scored:
+        bands[math.floor(r.score_ppm / CLS_BAND_PPM)] += 1
+    pos = Counter()
+    for r in scored:
+        if r.label == 1:
+            pos[math.floor(r.score_ppm / CLS_BAND_PPM)] += 1
+
+    p_total = sum(pos.values())
+    n_total = len(scored)
+    n_neg = n_total - p_total
+    num = 0
+    cum_pos = 0
+    for b in sorted(bands, reverse=True):
+        n_d, n_p = bands[b], pos.get(b, 0)
+        cum_pos += n_p
+        num += (n_d - n_p) * (2 * cum_pos - n_p)
+    want_auc = (num * 1000000) // (2 * p_total * n_neg)
+
+    [row] = cls_roc_auc(spark, SF_DIR).collect()
+    assert (row.n_pos, row.n_neg, row.n_bands) == (
+        p_total, n_neg, len(bands),
+    )
+    assert row.auc_ppm == want_auc
+    # the trained classifier must rank better than chance on its own
+    # training corpus (word presence carries real language signal)
+    assert row.auc_ppm > 500000
+
+
+def test_cls_confusion_matrix_reconciles_with_multiclass(spark):
+    """The per-class scorecard must reconcile exactly with a Python
+    tally of the multiclass predictions: supports sum to the corpus,
+    predicted counts sum to the corpus, tp == per-class correct count,
+    and every ppm ratio equals its integer-floor recompute."""
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.stats import (
+        cls_confusion_matrix,
+        cls_linear_multiclass,
+    )
+
+    mc = cls_linear_multiclass(spark, SF_DIR).collect()
+    support = Counter(r.actual_lang for r in mc)
+    predicted = Counter(r.predicted_lang for r in mc)
+    tp = Counter(
+        r.actual_lang for r in mc if r.actual_lang == r.predicted_lang
+    )
+
+    rows = cls_confusion_matrix(spark, SF_DIR).collect()
+    assert sorted(r.cls for r in rows) == sorted(
+        set(support) | set(predicted)
+    )
+    assert sum(r.support for r in rows) == len(mc)
+    assert sum(r.predicted_n for r in rows) == len(mc)
+    for r in rows:
+        assert r.support == support.get(r.cls, 0)
+        assert r.predicted_n == predicted.get(r.cls, 0)
+        assert r.tp == tp.get(r.cls, 0)
+        if r.predicted_n:
+            assert r.precision_ppm == r.tp * 1000000 // r.predicted_n
+        else:
+            assert r.precision_ppm is None
+        assert r.recall_ppm == r.tp * 1000000 // r.support
+        assert r.f1_ppm == 2 * r.tp * 1000000 // (r.support + r.predicted_n)
+
+
+def test_dedup_lsh_recall_matches_python(spark):
+    """The banding-audit row must equal a direct Python recompute of
+    both pair universes: truth = df-capped trigram Jaccard >= 1/2
+    pairs, candidates = pairs sharing at least one LSH band bucket."""
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from ai_data_pipeline_spark.operators.dedup import (
+        JACCARD_DEN,
+        JACCARD_NUM,
+        MINHASH_BAND_R,
+        MINHASH_K,
+        NGRAM_DF_CAP,
+        dedup_lsh_recall,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def shingles(text):
+        toks = re.split(r"\s+", text)
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    sh = {d: shingles(t) for d, t in docs.items()}
+    df = Counter(s for ss in sh.values() for s in ss)
+    capped = {d: {s for s in ss if df[s] <= NGRAM_DF_CAP} for d, ss in sh.items()}
+
+    inv = defaultdict(set)
+    for d, ss in capped.items():
+        for s in ss:
+            inv[s].add(d)
+    pair_docs = {
+        tuple(sorted(p))
+        for members in inv.values()
+        for p in combinations(members, 2)
+    }
+    truth = set()
+    for a, b in pair_docs:
+        inter = len(capped[a] & capped[b])
+        un = len(capped[a]) + len(capped[b]) - inter
+        if JACCARD_DEN * inter >= JACCARD_NUM * un:
+            truth.add((a, b))
+
+    def sig(ss):
+        hh = [
+            hashlib.md5(("0|" + s).encode()).hexdigest()
+            + hashlib.md5(("1|" + s).encode()).hexdigest()
+            for s in ss
+        ]
+        return [min(h[5 * j : 5 * j + 5] for h in hh) for j in range(MINHASH_K)]
+
+    sg = {d: sig(ss) for d, ss in sh.items() if ss}
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    cands = set()
+    for bb in range(n_bands):
+        buckets = defaultdict(set)
+        for d, s in sg.items():
+            buckets[
+                tuple(s[bb * MINHASH_BAND_R : (bb + 1) * MINHASH_BAND_R])
+            ].add(d)
+        for members in buckets.values():
+            for p in combinations(sorted(members), 2):
+                cands.add(p)
+
+    hit = truth & cands
+    [row] = dedup_lsh_recall(spark, SF_DIR).collect()
+    assert (row.n_truth, row.n_cands, row.n_hit) == (
+        len(truth), len(cands), len(hit),
+    )
+    assert row.recall_ppm == (
+        len(hit) * 1_000_000 // len(truth) if truth else None
+    )
+    assert row.precision_ppm == (
+        len(hit) * 1_000_000 // len(cands) if cands else None
+    )
+
+
+def test_rake_keywords_match_python(spark):
+    """Every emitted RAKE keyword row must equal a direct Python
+    recompute: stopword-broken phrase islands, per-doc degree/frequency
+    word scores floored to ppm, phrase sums, distinct-phrase top-3."""
+    import re
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.operators.text import (
+        RAKE_MAX_PHRASE,
+        RAKE_STOPWORDS,
+        RAKE_TOP_K,
+        TOKEN_RX,
+        text_keyword_rake,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    stop = set(RAKE_STOPWORDS)
+    want = []
+    for d, t in docs.items():
+        toks = re.findall(TOKEN_RX, t.lower())
+        runs, cur = [], []
+        for tok in toks:
+            if tok in stop:
+                if cur:
+                    runs.append(cur)
+                cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            runs.append(cur)
+        if not runs:
+            continue
+        deg, freq = defaultdict(int), defaultdict(int)
+        for run in runs:
+            for tok in run:
+                deg[tok] += len(run)
+                freq[tok] += 1
+        w_ppm = {tok: deg[tok] * 1_000_000 // freq[tok] for tok in freq}
+        by_phrase = defaultdict(list)
+        for run in runs:
+            if len(run) <= RAKE_MAX_PHRASE:
+                by_phrase[" ".join(run)].append(
+                    (len(run), sum(w_ppm[tok] for tok in run))
+                )
+        cand = [
+            (phrase, occ[0][0], len(occ), occ[0][1])
+            for phrase, occ in by_phrase.items()
+        ]
+        cand.sort(key=lambda x: (-x[3], x[0]))
+        for rk, (phrase, n_words, n_occ, score) in enumerate(
+            cand[:RAKE_TOP_K], start=1
+        ):
+            want.append((d, phrase, n_words, n_occ, score, rk))
+
+    got = sorted(
+        (r.doc_id, r.phrase, r.n_words, r.n_occ, r.score_ppm, r.rk)
+        for r in text_keyword_rake(spark, SF_DIR).collect()
+    )
+    assert got == sorted(want)
+
+
+def test_ann_ivf_recall_reconciles_component_rankings(spark):
+    """The IVF recall audit must equal a direct reconciliation of its
+    two component rankings (whose values are pinned by their own
+    recompute tests): per query, n_exact = |exact top-k|, n_ivf =
+    |IVF top-k|, n_hit = overlap, recall floored to ppm."""
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_ivf,
+        ann_ivf_recall,
+    )
+
+    exact = defaultdict(set)
+    for r in ann_cosine_topk(spark, SF_DIR).collect():
+        exact[r.q_id].add(r.vec_id)
+    ivf = defaultdict(set)
+    for r in ann_ivf(spark, SF_DIR).collect():
+        ivf[r.q_id].add(r.vec_id)
+
+    rows = {r.q_id: r for r in ann_ivf_recall(spark, SF_DIR).collect()}
+    assert set(rows) == set(exact) | set(ivf)
+    for q, r in rows.items():
+        hit = len(exact[q] & ivf[q])
+        assert (r.n_exact, r.n_ivf, r.n_hit) == (
+            len(exact[q]), len(ivf[q]), hit,
+        )
+        assert r.n_exact == TOP_K
+        assert r.recall_ppm == hit * 1_000_000 // len(exact[q])
+
+
+def test_er_linkage_eval_matches_python(spark):
+    """The linkage audit must equal a direct reconciliation of the
+    linkage output against the planted ground truth (dirty_id IS the
+    master key it was dirtied from)."""
+    from ai_data_pipeline_spark.operators.linkage import (
+        er_fuzzy_linkage,
+        er_linkage_eval,
+    )
+
+    links = er_fuzzy_linkage(spark, SF_DIR).collect()
+    n_dirty = (
+        load_table(spark, SF_DIR, "customer")
+        .filter("c_custkey % 3 = 0")
+        .count()
+    )
+    n_linked = len(links)
+    n_correct = sum(1 for r in links if r.matched_custkey == r.dirty_id)
+
+    [row] = er_linkage_eval(spark, SF_DIR).collect()
+    assert (row.n_dirty, row.n_linked, row.n_correct) == (
+        n_dirty, n_linked, n_correct,
+    )
+    assert row.precision_ppm == n_correct * 1_000_000 // n_linked
+    assert row.recall_ppm == n_correct * 1_000_000 // n_dirty
+    assert row.f1_ppm == 2 * n_correct * 1_000_000 // (n_linked + n_dirty)
+    # the planted dirtying (one char truncated) must be recoverable:
+    # blocking + distance-1 linkage should be near-perfect on this data
+    assert row.recall_ppm > 900_000

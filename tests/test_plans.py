@@ -941,3 +941,66 @@ def test_pivot_compiles_to_single_pass_aggregate(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_cls_roc_auc_aggregates_before_window(spark):
+    """The AUC query must follow the eval query's shape: scores reduce
+    to the bounded band relation BEFORE the cumulative window, and the
+    final reduction is a plain aggregate — no corpus-sized sort and no
+    cartesian anywhere."""
+    from ai_data_pipeline_spark.operators.stats import cls_roc_auc
+
+    plan = _plan(cls_roc_auc(spark, SF_DIR))
+    agg_pos = plan.rfind("HashAggregate")
+    win_pos = plan.rfind("Window")
+    assert win_pos < agg_pos  # window sits above the band aggregate
+    assert "CartesianProduct" not in plan
+
+
+def test_cls_confusion_matrix_is_windowless_grid_reduction(spark):
+    """The scorecard must reduce the corpus to the |langs|^2 confusion
+    grid with keyed aggregates and keep the argmax as min_by — no
+    window operator and no cartesian in the whole tree."""
+    from ai_data_pipeline_spark.operators.stats import cls_confusion_matrix
+
+    plan = _plan(cls_confusion_matrix(spark, SF_DIR))
+    assert "min_by" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_lsh_recall_is_equi_joined_and_noncartesian(spark):
+    """The banding audit composes two bounded candidate generators; its
+    pair joins must all be equi-joins (band equi-join, shingle
+    semi-join, full-outer pair reconciliation) with no cartesian and no
+    pinned broadcast of an SF-scaled relation."""
+    from ai_data_pipeline_spark.operators.dedup import dedup_lsh_recall
+
+    plan = _plan(dedup_lsh_recall(spark, SF_DIR))
+    assert "LeftSemi" in plan  # the df-cap screen
+    assert "FullOuter" in plan  # the pair reconciliation
+    assert "CartesianProduct" not in plan
+
+
+def test_rake_windows_are_doc_partitioned(spark):
+    """Every window in the RAKE plan must be partitioned by doc_id
+    (bounded by document length) — no global window, no cartesian."""
+    import re
+
+    from ai_data_pipeline_spark.operators.text import text_keyword_rake
+
+    plan = _plan(text_keyword_rake(spark, SF_DIR))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in spec, spec
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_recall_reconciliation_is_bounded(spark):
+    """The recall audit's reconciliation must be a full-outer equi-join
+    of two k-row-per-query relations plus a query-keyed aggregate — no
+    cartesian anywhere in the composed tree."""
+    from ai_data_pipeline_spark.operators.similarity import ann_ivf_recall
+
+    plan = _plan(ann_ivf_recall(spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
