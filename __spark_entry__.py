@@ -235,12 +235,13 @@ _REFIXED_FIRST: list[str] = []
 # outlier-screen/priority-sample batch, the scorecard/pivot batch, the
 # corrupt-ingest query, the classifier-eval closure pair
 # cls_roc_auc / cls_confusion_matrix, the LSH banding audit
-# dedup_lsh_recall, the RAKE keyword extractor text_keyword_rake, and
-# the IVF routing audit ann_ivf_recall, and the linkage accuracy
-# audit er_linkage_eval)
+# dedup_lsh_recall, the RAKE keyword extractor text_keyword_rake, the
+# IVF routing audit ann_ivf_recall, the linkage accuracy audit
+# er_linkage_eval, and the MMR diverse selection
+# retrieval_mmr_select)
 # + 3 rewritten-since-green (full-digest MinHash pair,
-# placement-robust compaction) = 30 driver
-# slots on new evidence; the remaining ~20
+# placement-robust compaction) = 31 driver
+# slots on new evidence; the remaining ~19
 # re-confirm the oldest greens (proven tier orders by last-green round
 # ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
 # task #2). Names listed here but already green just rank in the
@@ -319,6 +320,8 @@ _UNPROVEN_PRIORITY = [
     # round-8 tenth batch: LSH banding audit + RAKE keywords + IVF audit
     "dedup_lsh_recall", "text_keyword_rake", "ann_ivf_recall",
     "er_linkage_eval",
+    # round-8 eleventh batch: MMR diverse selection
+    "retrieval_mmr_select",
 ]
 
 

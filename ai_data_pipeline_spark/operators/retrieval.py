@@ -209,6 +209,197 @@ SELECT q_id, doc_id, rk_sparse, rk_dense, rrf_ppm, rk FROM (
 """
 
 
+MMR_N_QUERIES = 4  # vec_id < 4 are the query vectors
+MMR_POOL = 16  # relevance-ranked candidate pool entering the selection
+MMR_SELECT = 5  # diverse results returned per query
+MMR_LAMBDA_PPM = 700_000  # λ in ppm: 0.7·relevance − 0.3·redundancy
+
+# micro-unit conversion of a 6-decimal-rounded cosine: ×10⁶ then round
+# to the nearest integer. Both engines run the identical double ops
+# (the ×10⁶ product of a 6-decimal value is integral up to one ulp, so
+# the final round is deterministic), after which ALL selection
+# arithmetic is exact int64.
+_REL_U = "CAST(round(cosine * 1000000, 0) AS BIGINT)"
+
+
+def retrieval_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse selection (Carbonell &
+    Goldstein 1998): from each query's relevance-ranked candidate pool,
+    greedily pick MMR_SELECT results maximizing
+    λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — the de-duplicating
+    re-rank that keeps a retrieval page (or a training-batch exemplar
+    set) from filling up with near-copies of one hit. Pick 1 is the
+    pure-relevance argmax (max over the empty selected set is defined
+    as 0); ties break on vec_id.
+
+    Exactness: cosines round to 6 decimals (cross-engine IEEE-identical
+    — similarity.py header), convert once to integer micro-units, and
+    every subsequent score is exact int64 (|λppm·rel_u| ≤ 10¹²);
+    row-value tie-breaks are total, so the greedy trajectory is fully
+    deterministic in both engines.
+
+    Scale: candidate generation is the tournament top-MMR_POOL against
+    a broadcast constant-size query set — the ann_cosine_topk plan.
+    Everything after operates on the pooled relation
+    (|queries|·MMR_POOL rows — a CONSTANT independent of corpus size,
+    localCheckpointed so its three consumers re-read a materialized
+    block instead of re-scanning the corpus). The greedy selection
+    itself is inherently sequential per query over that bounded pool,
+    so it runs as ONE `applyInPandas` over q_id groups (pool rows ∪
+    pairwise-sim rows in a single keyed exchange) doing exact integer
+    arithmetic in Python — one shuffle replaces MMR_SELECT−1 unrolled
+    join+aggregate rounds (measured 4.9 s → the join ladder's ~25
+    fixed-overhead stages dominated at sf0.1). Cosines stay in the
+    proven cross-engine path (pandas_udf fold, rounded to 6 decimals)
+    BEFORE the apply, so the Python stage touches only int64 values.
+    No window, join, or broadcast ever scales with the corpus beyond
+    the initial tournament."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < MMR_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= MMR_N_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            "v",
+            F.round(_cosine_udf("v", "qv"), 6).alias("cosine"),
+        )
+    )
+    pool = (
+        topk_per_key(
+            scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], MMR_POOL
+        )
+        .select("q_id", "vec_id", "v", F.expr(_REL_U).alias("rel_u"))
+        .localCheckpoint()
+    )
+    pa, pb = pool.alias("a"), pool.alias("b")
+    pairs = pa.join(
+        pb,
+        (F.col("a.q_id") == F.col("b.q_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.q_id").alias("q_id"),
+        F.col("a.vec_id").alias("a"),
+        F.col("b.vec_id").alias("b"),
+        F.round(F.round(_cosine_udf("a.v", "b.v"), 6) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("sim_u"),
+    )
+    both = pool.select(
+        "q_id",
+        F.col("vec_id").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.col("rel_u").alias("val"),
+    ).unionByName(pairs.select("q_id", "a", "b", F.col("sim_u").alias("val")))
+
+    def greedy(pdf):
+        import pandas as pd
+
+        rel = {
+            int(r.a): int(r.val)
+            for r in pdf[pdf.b.isna()].itertuples()
+        }
+        sim: dict[tuple[int, int], int] = {}
+        for r in pdf[pdf.b.notna()].itertuples():
+            sim[(int(r.a), int(r.b))] = int(r.val)
+        q_id = int(pdf.q_id.iloc[0])
+        lam, lam_c = MMR_LAMBDA_PPM, 1_000_000 - MMR_LAMBDA_PPM
+        selected: list[int] = []
+        out = []
+        while len(selected) < min(MMR_SELECT, len(rel)):
+            best = None
+            for d, r in rel.items():
+                if d in selected:
+                    continue
+                ms = max((sim[(d, s)] for s in selected), default=0)
+                score = lam * r - lam_c * ms if selected else lam * r
+                key = (score, -d)
+                if best is None or key > best[0]:
+                    best = (key, d, r, ms if selected else 0, score)
+            out.append(
+                (q_id, len(selected) + 1, best[1], best[2], best[3], best[4])
+            )
+            selected.append(best[1])
+        return pd.DataFrame(
+            out,
+            columns=["q_id", "pick", "vec_id", "rel_u", "maxsim_u", "mmr_score"],
+        )
+
+    return both.groupBy("q_id").applyInPandas(
+        greedy,
+        schema=(
+            "q_id long, pick int, vec_id long, rel_u long,"
+            " maxsim_u long, mmr_score long"
+        ),
+    )
+
+
+def _mmr_oracle() -> str:
+    lam = MMR_LAMBDA_PPM
+    lam_c = 1_000_000 - MMR_LAMBDA_PPM
+    cos_q = _cos_sql("e.v", "q.qv")
+    cos_p = _cos_sql("a.v", "b.v")
+    sql = f"""
+WITH ev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), qv AS (
+  SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < {MMR_N_QUERIES}
+), scored AS (
+  SELECT q.q_id, e.vec_id, e.v, round({cos_q}, 6) AS cosine
+  FROM ev e CROSS JOIN qv q WHERE e.vec_id >= {MMR_N_QUERIES}
+), pool AS (
+  SELECT q_id, vec_id, v, {_REL_U} AS rel_u FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cosine DESC, vec_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {MMR_POOL}
+), pairs AS (
+  SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+         CAST(round(round({cos_p}, 6) * 1000000, 0) AS BIGINT) AS sim_u
+  FROM pool a JOIN pool b
+    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+), sel1 AS (
+  SELECT q_id, vec_id, 1 AS pick, rel_u, CAST(0 AS BIGINT) AS maxsim_u,
+         CAST({lam} * rel_u AS BIGINT) AS score
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY rel_u DESC, vec_id ASC) AS rk
+    FROM pool
+  ) WHERE rk = 1
+)"""
+    prev = "sel1"
+    for t in range(2, MMR_SELECT + 1):
+        sql += f""", ms{t} AS (
+  SELECT p.q_id, p.a AS vec_id, max(p.sim_u) AS maxsim_u
+  FROM pairs p JOIN {prev} s ON p.q_id = s.q_id AND p.b = s.vec_id
+  GROUP BY 1, 2
+), s{t} AS (
+  SELECT q_id, vec_id, {t} AS pick, rel_u, maxsim_u, score FROM (
+    SELECT c.q_id, c.vec_id, c.rel_u, m.maxsim_u,
+           CAST({lam} * c.rel_u - {lam_c} * m.maxsim_u AS BIGINT) AS score,
+           row_number() OVER (PARTITION BY c.q_id
+             ORDER BY {lam} * c.rel_u - {lam_c} * m.maxsim_u DESC,
+                      c.vec_id ASC) AS rk
+    FROM pool c JOIN ms{t} m ON m.q_id = c.q_id AND m.vec_id = c.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                      WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)
+  ) WHERE rk = 1
+), sel{t} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM s{t}
+)"""
+        prev = f"sel{t}"
+    return sql + (
+        f"\nSELECT q_id, pick, vec_id, rel_u, maxsim_u,"
+        f" score AS mmr_score FROM {prev}"
+    )
+
+
 QUERY_DEFS = [
     QueryDef("retrieval_rrf_fusion", retrieval_rrf_fusion, _rrf_oracle()),
+    QueryDef("retrieval_mmr_select", retrieval_mmr_select, _mmr_oracle()),
 ]

@@ -164,6 +164,7 @@ HEADLINE = [
     "text_keyword_rake",
     "ann_ivf_recall",
     "er_linkage_eval",
+    "retrieval_mmr_select",
 ]
 
 

@@ -2688,3 +2688,73 @@ def test_er_linkage_eval_matches_python(spark):
     # the planted dirtying (one char truncated) must be recoverable:
     # blocking + distance-1 linkage should be near-perfect on this data
     assert row.recall_ppm > 900_000
+
+
+def test_retrieval_mmr_select_matches_python_greedy(spark):
+    """The MMR trajectory must equal an independent Python greedy over
+    the same pool: same per-dim cosine fold, same micro-unit
+    conversion, same λ·rel − (1−λ)·maxsim scoring with (score desc,
+    vec_id asc) ties — every pick, including its rel_u / maxsim_u /
+    score provenance columns."""
+    from ai_data_pipeline_spark.operators.retrieval import (
+        MMR_LAMBDA_PPM,
+        MMR_N_QUERIES,
+        MMR_POOL,
+        MMR_SELECT,
+        retrieval_mmr_select,
+    )
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def cos(a, b):
+        acc = na = nb = 0.0
+        for i in range(len(a)):
+            acc += a[i] * b[i]
+            na += a[i] * a[i]
+            nb += b[i] * b[i]
+        return round(acc / (na**0.5 * nb**0.5), 6)
+
+    def u(c):
+        return int(round(c * 1_000_000))
+
+    lam, lam_c = MMR_LAMBDA_PPM, 1_000_000 - MMR_LAMBDA_PPM
+    corpus = sorted(v for v in emb if v >= MMR_N_QUERIES)
+    want = []
+    for q in sorted(v for v in emb if v < MMR_N_QUERIES):
+        pool = sorted(corpus, key=lambda v: (-cos(emb[q], emb[v]), v))[
+            :MMR_POOL
+        ]
+        rel = {d: u(cos(emb[q], emb[d])) for d in pool}
+        selp = []
+        while len(selp) < min(MMR_SELECT, len(pool)):
+            best = None
+            for d in pool:
+                if d in selp:
+                    continue
+                ms = max((u(cos(emb[d], emb[s])) for s in selp), default=0)
+                score = lam * rel[d] - lam_c * ms if selp else lam * rel[d]
+                key = (score, -d)
+                if best is None or key > best[0]:
+                    best = (key, d, ms, score)
+            want.append(
+                (q, len(selp) + 1, best[1], rel[best[1]], best[2], best[3])
+            )
+            selp.append(best[1])
+
+    got = sorted(
+        (r["q_id"], r["pick"], r["vec_id"], r["rel_u"], r["maxsim_u"],
+         r["mmr_score"])
+        for r in retrieval_mmr_select(spark, SF_DIR).collect()
+    )
+    assert got == sorted(want)
+    # picks are distinct per query and pick 1 is the relevance argmax
+    per_q = {}
+    for q_id, pick, vec_id, rel_u, _, _ in got:
+        per_q.setdefault(q_id, []).append(vec_id)
+    for q_id, vids in per_q.items():
+        assert len(vids) == len(set(vids)) == MMR_SELECT

@@ -1004,3 +1004,17 @@ def test_ann_ivf_recall_reconciliation_is_bounded(spark):
     plan = _plan(ann_ivf_recall(spark, SF_DIR))
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_retrieval_mmr_select_single_python_stage(spark):
+    """The greedy selection must run as exactly ONE applyInPandas over
+    q_id groups — not an unrolled join ladder — and the only corpus
+    fan-out is the broadcast query cross join (no CartesianProduct).
+    The candidate-pool ranking windows are q_id-partitioned."""
+    from ai_data_pipeline_spark.operators.retrieval import (
+        retrieval_mmr_select,
+    )
+
+    plan = _plan(retrieval_mmr_select(spark, SF_DIR))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
