@@ -237,11 +237,14 @@ _REFIXED_FIRST: list[str] = []
 # cls_roc_auc / cls_confusion_matrix, the LSH banding audit
 # dedup_lsh_recall, the RAKE keyword extractor text_keyword_rake, the
 # IVF routing audit ann_ivf_recall, the linkage accuracy audit
-# er_linkage_eval, and the MMR diverse selection
-# retrieval_mmr_select)
+# er_linkage_eval, the MMR diverse selection retrieval_mmr_select,
+# the calibration/funnel pair cls_score_percentile /
+# pipeline_curation_funnel, the covariance statistics
+# emb_covariance_stats, and the streaming ingest dedup
+# stream_index_dedup)
 # + 3 rewritten-since-green (full-digest MinHash pair,
-# placement-robust compaction) = 31 driver
-# slots on new evidence; the remaining ~19
+# placement-robust compaction) = 35 driver
+# slots on new evidence; the remaining ~15
 # re-confirm the oldest greens (proven tier orders by last-green round
 # ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
 # task #2). Names listed here but already green just rank in the
@@ -322,6 +325,12 @@ _UNPROVEN_PRIORITY = [
     "er_linkage_eval",
     # round-8 eleventh batch: MMR diverse selection
     "retrieval_mmr_select",
+    # round-8 twelfth batch: percentile calibration + curation funnel
+    "cls_score_percentile", "pipeline_curation_funnel",
+    # round-8 thirteenth batch: covariance sufficient statistics
+    "emb_covariance_stats",
+    # round-8 fourteenth batch: streaming ingest dedup vs static index
+    "stream_index_dedup",
 ]
 
 

@@ -322,9 +322,114 @@ FROM j
 """
 
 
+CLS_FUNNEL_PCT_PPM = 500_000  # classifier stage keeps the top half
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel report — the per-stage survivor
+    accounting (docs AND tokens) a production data-curation run
+    publishes with every corpus release: ingest → exact-dedup survivor
+    → LM quality (tier ≠ tail) → classifier approval, each stage
+    cumulative over the previous, with retained-ppm ratios against
+    ingest. Composes the materialized scorecard
+    (pipeline_doc_scorecard), so the funnel is guaranteed consistent
+    with the per-doc keep decisions it summarizes.
+
+    The classifier stage is DISTRIBUTION-relative: it keeps documents
+    at or above the corpus median of the quality score
+    (cls_score_percentile's banded pct_ppm ≥ CLS_FUNNEL_PCT_PPM) —
+    absolute slope thresholds do not transfer across corpus
+    statistics (measured on the driver testdata: a fixed −450k ppm
+    cut keeps 100% of LM survivors at sf0.1 and ~0% at sf0.001, while
+    the top-half rule keeps ~50% at every SF). Documents the scorer
+    never saw (no feature bucket) have no percentile and are dropped
+    by the stage, explicitly.
+
+    Scale: the scorecard's per-signal pipelines plus the percentile
+    annotation (one doc-keyed equi-join), then ONE conditional
+    aggregate over the joined relation (all four stages' doc/token
+    sums in a single map-side-combined pass — the
+    q_pivot_daily_events one-pass shape) and a 1-row → 4-row inline
+    expansion. No second corpus scan, no window, nothing after the
+    aggregate exceeds four rows."""
+    from ai_data_pipeline_spark.operators.stats import cls_score_percentile
+
+    sc = doc_scorecard(spark, sf_dir).join(
+        cls_score_percentile(spark, sf_dir).select("doc_id", "pct_ppm"),
+        "doc_id",
+        "left",
+    )
+    s1 = F.col("is_dup_loser") == 0
+    s2 = s1 & (F.col("lm_tier") != "tail")
+    s3 = s2 & (F.col("pct_ppm") >= CLS_FUNNEL_PCT_PPM)
+    agg = sc.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        F.sum(s1.cast("long")).alias("d1"),
+        F.sum(s1.cast("long") * F.col("n_tokens")).alias("t1"),
+        F.sum(s2.cast("long")).alias("d2"),
+        F.sum(s2.cast("long") * F.col("n_tokens")).alias("t2"),
+        F.sum(s3.cast("long")).alias("d3"),
+        F.sum(s3.cast("long") * F.col("n_tokens")).alias("t3"),
+    )
+    stages = ", ".join(
+        f"named_struct('stage_id', {i}, 'stage', '{name}',"
+        f" 'n_docs', d{i - 1}, 'n_tokens', t{i - 1},"
+        f" 'docs_retained_ppm', cast((d{i - 1} * 1000000) div d0 as bigint),"
+        f" 'tokens_retained_ppm', cast((t{i - 1} * 1000000) div t0 as bigint))"
+        for i, name in enumerate(
+            ["ingest", "dedup_survivor", "lm_not_tail", "cls_approved"], 1
+        )
+    )
+    return agg.select(F.expr(f"inline(array({stages}))"))
+
+
+def _funnel_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS stage_id, '{name}' AS stage,"
+        f" d{i - 1} AS n_docs, t{i - 1} AS n_tokens,"
+        f" CAST((d{i - 1} * 1000000) // d0 AS BIGINT) AS docs_retained_ppm,"
+        f" CAST((t{i - 1} * 1000000) // t0 AS BIGINT) AS tokens_retained_ppm"
+        " FROM agg"
+        for i, name in enumerate(
+            ["ingest", "dedup_survivor", "lm_not_tail", "cls_approved"], 1
+        )
+    )
+    from ai_data_pipeline_spark.operators.stats import CLS_PCT_ORACLE
+
+    return f"""
+WITH sc0 AS ({_doc_scorecard_oracle()}),
+pct AS ({CLS_PCT_ORACLE}),
+sc AS (
+  SELECT sc0.*, pct.pct_ppm
+  FROM sc0 LEFT JOIN pct ON sc0.doc_id = pct.doc_id
+),
+agg AS (
+  SELECT count(*) AS d0, CAST(sum(n_tokens) AS BIGINT) AS t0,
+         CAST(sum(CASE WHEN is_dup_loser = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d1,
+         CAST(sum(CASE WHEN is_dup_loser = 0 THEN n_tokens ELSE 0 END)
+           AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN is_dup_loser = 0 AND lm_tier <> 'tail'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN is_dup_loser = 0 AND lm_tier <> 'tail'
+                       THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+         CAST(sum(CASE WHEN is_dup_loser = 0 AND lm_tier <> 'tail'
+                       AND pct_ppm >= {CLS_FUNNEL_PCT_PPM}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         CAST(sum(CASE WHEN is_dup_loser = 0 AND lm_tier <> 'tail'
+                       AND pct_ppm >= {CLS_FUNNEL_PCT_PPM}
+                       THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
+  FROM sc
+)
+{rows}
+"""
+
+
 QUERY_DEFS = [
     QueryDef("pipeline_clean_corpus", clean_corpus, CLEAN_CORPUS_ORACLE),
     QueryDef("pipeline_doc_scorecard", doc_scorecard, _doc_scorecard_oracle()),
     QueryDef("pipeline_quality_resample", quality_resample, _quality_resample_oracle()),
+    QueryDef("pipeline_curation_funnel", curation_funnel, _funnel_oracle()),
     QueryDef("q_event_funnel", event_funnel, EVENT_FUNNEL_ORACLE),
 ]

@@ -1741,6 +1741,85 @@ FROM negs n LEFT JOIN best_pos b ON n.q_id = b.q_id
 """
 
 
+def emb_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance sufficient statistics of the embedding table —
+    the single-pass reduction behind PCA / whitening / Mahalanobis
+    screening: for every dimension pair (i ≤ j), the corpus sums
+    (n, Σxᵢ, Σxⱼ, Σxᵢxⱼ) over ×10⁶ fixed-point values. The covariance
+    matrix itself is a trivial driver-side closed form of these
+    ((n·Σxy − Σx·Σy)/n²) finished in arbitrary precision; the
+    operator's job at 100 TB is the one-pass EXACT statistics, kept
+    integer so the merge is associative and engine-identical (a
+    floored covariance division is deliberately NOT emitted: Spark
+    `div` truncates while DuckDB `//` floors, and the numerator is
+    negative-capable — the statistics are the portable artifact).
+
+    Scale: the canonical map-side-combine shape — one `mapInPandas`
+    pass computes per-Arrow-batch partials with a single numpy
+    Gram-matrix op (AᵀA per batch; int64-exact: |v_fp| ≤ 2·10⁶ ⇒
+    batch partial ≤ 4·10¹²·rows, inside int64 for any Arrow batch),
+    emitting D(D+1)/2 rows per batch; the only shuffle carries those
+    fixed-width partials (never vectors), and the final keyed sums run
+    in DECIMAL(38,0)/HUGEINT — exact to ~10²⁵ corpus rows. Output is
+    D(D+1)/2 = 2,080 rows regardless of corpus size.
+
+    Cross-engine note: sums are emitted as DECIMAL(38,0); the harness
+    normalizes decimals through float(), and equal exact decimals
+    round to equal floats, so comparison stays exact even past 2⁵³."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(f"transform(embedding, x -> {_FP})").alias("v_fp")
+    )
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(EMB_DIM)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["v_fp"].to_numpy()).astype(np.int64)
+            g = a.T @ a
+            sx = a.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "sxy": g[iu],
+                    "sx": sx[iu[0]],
+                    "sy": sx[iu[1]],
+                    "n": np.full(len(iu[0]), len(pdf), dtype=np.int64),
+                }
+            )
+
+    p = e.mapInPandas(
+        partials, schema="i int, j int, sxy long, sx long, sy long, n long"
+    )
+    return p.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(F.col("sx").cast("decimal(38,0)")).alias("s_x"),
+        F.sum(F.col("sy").cast("decimal(38,0)")).alias("s_y"),
+        F.sum(F.col("sxy").cast("decimal(38,0)")).alias("s_xy"),
+    )
+
+
+EMB_COV_ORACLE = f"""
+WITH e AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+       count(*) AS n,
+       CAST(CAST(sum(v[i]) AS HUGEINT) AS DECIMAL(38,0)) AS s_x,
+       CAST(CAST(sum(v[j]) AS HUGEINT) AS DECIMAL(38,0)) AS s_y,
+       CAST(CAST(sum(v[i] * v[j]) AS HUGEINT) AS DECIMAL(38,0)) AS s_xy
+FROM e, range(1, {EMB_DIM} + 1) t(i), range(1, {EMB_DIM} + 1) u(j)
+WHERE i <= j
+GROUP BY 1, 2
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QueryDef("emb_hard_negatives", emb_hard_negatives, _hard_neg_oracle()),
@@ -1760,5 +1839,6 @@ QUERY_DEFS = [
     QueryDef("ann_ivf", ann_ivf, _ann_ivf_oracle()),
     QueryDef("ann_ivf_recall", ann_ivf_recall, _ann_ivf_recall_oracle()),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_ORACLE),
+    QueryDef("emb_covariance_stats", emb_covariance_stats, EMB_COV_ORACLE),
     QueryDef("ann_mllib_brp", ann_mllib_brp, None),  # rows-only (see docstring)
 ]

@@ -823,6 +823,89 @@ FROM pa FULL OUTER JOIN pp ON pa.cls = pp.cls
 """
 
 
+PCT_BAND_PPM = 10_000  # fine percentile band (0.01 slope units)
+
+
+def cls_score_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document percentile rank of the classifier quality score —
+    the calibration a curation run needs to turn "keep the top 30%"
+    into a score threshold, and to report each document's standing in
+    distribution terms rather than raw slope units. Percentile is at
+    declared band granularity: pct_ppm = (docs in strictly lower
+    bands)·10⁶ div N, so same-band documents share a percentile — the
+    banded analogue of `PERCENT_RANK`, chosen because an exact global
+    rank would be a full corpus sort.
+
+    Scale: the aggregate-before-window discipline applied to
+    percentile-rank. Scores reduce to a band histogram first; the band
+    relation is MODEL-bounded, not corpus-bounded (|score_ppm| ≤
+    n_feats·10⁶ with per-bucket slopes in ±1, so bands ≤
+    2·FEATURE_BUCKETS·10⁶/PCT_BAND_PPM — a constant), the strictly-
+    below cumulative window runs over that bounded relation, and the
+    per-doc annotation is a broadcast join of the ≤ constant-size
+    cumulative table back onto the corpus-sized scored relation. One
+    corpus shuffle (the histogram groupBy), no corpus window, no sort."""
+    from pyspark.sql import Window as W
+
+    scored = cls_linear_score(spark, sf_dir)
+    # materialize the banded scores once (localCheckpoint): the scoring
+    # pipeline runs a single time, and the histogram/total/annotation
+    # consumers all read the materialized block
+    banded = scored.select(
+        "doc_id",
+        "score_ppm",
+        F.floor(F.col("score_ppm").cast("double") / PCT_BAND_PPM)
+        .cast("long")
+        .alias("band"),
+    ).localCheckpoint()
+    bands = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_band"))
+    w = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    cum = bands.select(
+        "band",
+        F.coalesce(F.sum("n_band").over(w), F.lit(0))
+        .cast("long")
+        .alias("n_below"),
+    )
+    total = bands.agg(F.sum("n_band").cast("long").alias("n_total"))
+    return (
+        banded.join(F.broadcast(cum), "band")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "score_ppm",
+            "band",
+            "n_below",
+            F.expr(
+                "cast((n_below * 1000000) div n_total as bigint)"
+            ).alias("pct_ppm"),
+        )
+    )
+
+
+CLS_PCT_ORACLE = f"""
+WITH scored AS ({CLS_SCORE_ORACLE}),
+banded AS (
+  SELECT doc_id, score_ppm,
+         CAST(floor(CAST(score_ppm AS DOUBLE) / {PCT_BAND_PPM}) AS BIGINT)
+           AS band
+  FROM scored
+), bands AS (
+  SELECT band, count(*) AS n_band FROM banded GROUP BY 1
+), cum AS (
+  SELECT band,
+         COALESCE(CAST(sum(n_band) OVER (ORDER BY band ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS n_below
+  FROM bands
+), t AS (
+  SELECT count(*) AS n_total FROM scored
+)
+SELECT b.doc_id, b.score_ppm, b.band, c.n_below,
+       CAST((c.n_below * 1000000) // n_total AS BIGINT) AS pct_ppm
+FROM banded b JOIN cum c USING (band) CROSS JOIN t
+"""
+
+
 TAU_LM_BAND_PPM = 1_000_000  # one surprisal bit per band
 TAU_CLS_BAND_PPM = 1_000_000  # one slope unit per band (= CLS_BAND_PPM)
 
@@ -1015,4 +1098,5 @@ QUERY_DEFS = [
     QueryDef("cls_linear_multiclass", cls_linear_multiclass, CLS_MULTI_ORACLE),
     QueryDef("cls_roc_auc", cls_roc_auc, CLS_ROC_AUC_ORACLE),
     QueryDef("cls_confusion_matrix", cls_confusion_matrix, CLS_CONFUSION_ORACLE),
+    QueryDef("cls_score_percentile", cls_score_percentile, CLS_PCT_ORACLE),
 ]

@@ -426,10 +426,146 @@ FROM events GROUP BY event_type
 """
 
 
+STREAM_IDX_OFFSET = 10_000_000  # planted-duplicate re-key offset
+
+
+def stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup against a STATIC corpus index — the
+    production online-ingest topology (the existing streaming dedup,
+    `stream_dedup_pairs`, is within-stream only): each micro-batch of
+    incoming documents is reduced to its per-fingerprint keeper (min
+    doc_id), anti-joined against the already-ingested corpus's
+    fingerprint index, anti-joined against everything the stream has
+    accepted so far (the accepted sink doubles as the incremental
+    index), and appended to an idempotent batch_id-partitioned sink.
+    Result: per-language accepted counts + doc_id checksum over the
+    sink read-back.
+
+    The duplicate channels are PLANTED so both rejections provably
+    fire at every SF (the er_fuzzy_linkage discipline): the stream is
+    the odd-doc_id half of `documents` PLUS re-keyed copies of every
+    doc_id % 10 == 0 document (already in the even-half index →
+    rejected against the static index) PLUS re-keyed copies of every
+    odd doc_id % 20 == 1 document (its original is already in the
+    stream → rejected as a within-stream duplicate). Acceptance is
+    therefore exactly min-doc_id-per-new-fingerprint — the batch
+    semantics the oracle states — because the two-file source is
+    mtime-ordered with all re-keyed ids in the later batch.
+
+    Scale: the per-batch work is two fingerprint equi-joins (digests
+    travel, text does not) and one keyed min_by — at 100 TB/day the
+    static index side is a bucketed or Bloom-pruned digest table and
+    the accepted sink is the same partitioned parquet log used here;
+    nothing passes through the driver."""
+    from ai_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    base = docs.select("doc_id", "lang", fp.alias("fp"))
+    idx = (
+        base.filter(F.col("doc_id") % 2 == 0)
+        .select("fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    odds = base.filter(F.col("doc_id") % 2 == 1)
+    planted_vs_index = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + STREAM_IDX_OFFSET).alias("doc_id"), "lang", "fp"
+    )
+    planted_in_stream = odds.filter(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + 2 * STREAM_IDX_OFFSET).alias("doc_id"), "lang", "fp"
+    )
+    tmp = scratch_dir("sidx_")
+    src, sink = f"{tmp}/src", f"{tmp}/accepted"
+    os.makedirs(src, exist_ok=True)
+    now = 1_700_000_000
+    batches = [odds, planted_vs_index.unionByName(planted_in_stream)]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
+        part = next(
+            f for f in os.listdir(f"{tmp}/b{i}") if f.endswith(".parquet")
+        )
+        dst = f"{src}/file_{i}.parquet"
+        os.rename(f"{tmp}/b{i}/{part}", dst)
+        os.utime(dst, (now + i * 60, now + i * 60))
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def accept(batch_df: DataFrame, batch_id: int) -> None:
+        keep = (
+            batch_df.groupBy("fp")
+            .agg(
+                F.expr(
+                    "min_by(named_struct('doc_id', doc_id, 'lang', lang),"
+                    " doc_id)"
+                ).alias("b")
+            )
+            .select(
+                F.col("b.doc_id").alias("doc_id"),
+                F.col("b.lang").alias("lang"),
+                "fp",
+            )
+            .join(idx, "fp", "left_anti")
+        )
+        if os.path.isdir(sink) and any(
+            d.startswith("batch_id=") for d in os.listdir(sink)
+        ):
+            prior = spark.read.option("basePath", sink).parquet(sink)
+            keep = keep.join(prior.select("fp"), "fp", "left_anti")
+        keep.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(accept)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    acc = spark.read.option("basePath", sink).parquet(sink)
+    return acc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_accepted"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+STREAM_IDX_DEDUP_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), stream AS (
+  SELECT doc_id, lang, fp FROM d WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {STREAM_IDX_OFFSET}, lang, fp FROM d WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {2 * STREAM_IDX_OFFSET}, lang, fp FROM d
+  WHERE doc_id % 2 = 1 AND doc_id % 20 = 1
+), idx AS (
+  SELECT DISTINCT fp FROM d WHERE doc_id % 2 = 0
+), firsts AS (
+  SELECT fp, min(doc_id) AS doc_id FROM stream GROUP BY fp
+), acc AS (
+  SELECT f.fp, f.doc_id, min(s.lang) AS lang
+  FROM firsts f
+  JOIN stream s ON s.doc_id = f.doc_id AND s.fp = f.fp
+  WHERE f.fp NOT IN (SELECT fp FROM idx)
+  GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_accepted,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM acc GROUP BY lang
+"""
+
+
 def advanced_query_defs():
     from ai_data_pipeline_spark.registry import QueryDef
 
     return [
+        QueryDef("stream_index_dedup", stream_index_dedup, STREAM_IDX_DEDUP_ORACLE),
         QueryDef("stream_late_data_drop", stream_late_data_drop, STREAM_LATE_DROP_ORACLE),
         QueryDef("stream_first_touch", stream_first_touch, STREAM_FIRST_TOUCH_ORACLE),
         QueryDef("stream_sink_parquet", stream_sink_parquet, STREAM_SINK_ORACLE),

@@ -165,6 +165,10 @@ HEADLINE = [
     "ann_ivf_recall",
     "er_linkage_eval",
     "retrieval_mmr_select",
+    "cls_score_percentile",
+    "pipeline_curation_funnel",
+    "emb_covariance_stats",
+    "stream_index_dedup",
 ]
 
 

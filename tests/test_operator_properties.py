@@ -2758,3 +2758,125 @@ def test_retrieval_mmr_select_matches_python_greedy(spark):
         per_q.setdefault(q_id, []).append(vec_id)
     for q_id, vids in per_q.items():
         assert len(vids) == len(set(vids)) == MMR_SELECT
+
+
+def test_cls_score_percentile_matches_python_recompute(spark):
+    """Per-doc percentile must equal the strictly-lower-band count over
+    total from a Python recompute of the same banding, and must be
+    non-decreasing in band."""
+    import math
+
+    from ai_data_pipeline_spark.operators.stats import (
+        PCT_BAND_PPM,
+        cls_linear_score,
+        cls_score_percentile,
+    )
+
+    scored = {
+        r.doc_id: r.score_ppm
+        for r in cls_linear_score(spark, SF_DIR).collect()
+    }
+    n_total = len(scored)
+    from collections import Counter
+
+    hist = Counter(math.floor(s / PCT_BAND_PPM) for s in scored.values())
+    below = {}
+    acc = 0
+    for b in sorted(hist):
+        below[b] = acc
+        acc += hist[b]
+
+    rows = cls_score_percentile(spark, SF_DIR).collect()
+    assert len(rows) == n_total
+    prev = None
+    for r in sorted(rows, key=lambda r: (r.band, r.doc_id)):
+        b = math.floor(scored[r.doc_id] / PCT_BAND_PPM)
+        assert r.band == b and r.n_below == below[b]
+        assert r.pct_ppm == below[b] * 1_000_000 // n_total
+        if prev is not None:
+            assert r.pct_ppm >= prev if r.band >= prev_band else True
+        prev, prev_band = r.pct_ppm, r.band
+
+
+def test_pipeline_curation_funnel_reconciles_with_scorecard(spark):
+    """The funnel rows must tally exactly with a Python pass over the
+    joined scorecard + percentile relations, stages must be monotone
+    non-increasing, and ingest must read 10^6 ppm."""
+    from ai_data_pipeline_spark.operators.pipeline import (
+        CLS_FUNNEL_PCT_PPM,
+        curation_funnel,
+        doc_scorecard,
+    )
+    from ai_data_pipeline_spark.operators.stats import cls_score_percentile
+
+    pct = {
+        r.doc_id: r.pct_ppm
+        for r in cls_score_percentile(spark, SF_DIR).collect()
+    }
+    sc = doc_scorecard(spark, SF_DIR).collect()
+    d = [0] * 4
+    t = [0] * 4
+    for r in sc:
+        flags = [
+            True,
+            r.is_dup_loser == 0,
+            r.is_dup_loser == 0 and r.lm_tier != "tail",
+            r.is_dup_loser == 0
+            and r.lm_tier != "tail"
+            and pct.get(r.doc_id) is not None
+            and pct[r.doc_id] >= CLS_FUNNEL_PCT_PPM,
+        ]
+        for i, f in enumerate(flags):
+            if f:
+                d[i] += 1
+                t[i] += r.n_tokens
+
+    rows = {r.stage_id: r for r in curation_funnel(spark, SF_DIR).collect()}
+    assert len(rows) == 4
+    for i in range(4):
+        r = rows[i + 1]
+        assert (r.n_docs, r.n_tokens) == (d[i], t[i])
+        assert r.docs_retained_ppm == d[i] * 1_000_000 // d[0]
+        assert r.tokens_retained_ppm == t[i] * 1_000_000 // t[0]
+    assert rows[1].docs_retained_ppm == 1_000_000
+    assert d[0] >= d[1] >= d[2] >= d[3] > 0
+
+
+def test_emb_covariance_stats_matches_python_exact(spark):
+    """All D(D+1)/2 sufficient-statistic rows must equal an exact
+    big-int Python recompute over the same fixed-point quantization,
+    and the derived covariance matrix must be symmetric PSD and match
+    numpy's population covariance of the quantized data."""
+    import math
+
+    import numpy as np
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        EMB_DIM,
+        emb_covariance_stats,
+    )
+
+    vecs = [
+        [int(math.floor(float(x) * 1_000_000)) for x in r.embedding]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("embedding")
+        .collect()
+    ]
+    n = len(vecs)
+    a = np.array(vecs, dtype=object)  # exact Python ints
+    rows = emb_covariance_stats(spark, SF_DIR).collect()
+    assert len(rows) == EMB_DIM * (EMB_DIM + 1) // 2
+    cov = np.zeros((EMB_DIM, EMB_DIM))
+    for r in rows:
+        i, j = r.i, r.j
+        assert i <= j and r.n == n
+        sx = sum(int(v[i]) for v in vecs)
+        sy = sum(int(v[j]) for v in vecs)
+        sxy = sum(int(v[i]) * int(v[j]) for v in vecs)
+        assert (int(r.s_x), int(r.s_y), int(r.s_xy)) == (sx, sy, sxy)
+        c = (n * sxy - sx * sy) / (n * n)
+        cov[i, j] = cov[j, i] = c
+    want = np.cov(np.array(vecs, dtype=np.float64).T, bias=True)
+    assert np.allclose(cov, want, rtol=1e-9, atol=1e-3)
+    eig = np.linalg.eigvalsh(cov)
+    assert eig.min() > -1e-6 * max(1.0, eig.max())

@@ -1018,3 +1018,45 @@ def test_retrieval_mmr_select_single_python_stage(spark):
     plan = _plan(retrieval_mmr_select(spark, SF_DIR))
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_cls_score_percentile_broadcasts_bounded_cdf(spark):
+    """Percentile-rank must be aggregate-before-window: the cumulative
+    window runs over the band histogram (post-aggregate), and the
+    annotation joins the bounded cumulative table back by BROADCAST —
+    the corpus side is never sorted or windowed."""
+    from ai_data_pipeline_spark.operators.stats import cls_score_percentile
+
+    plan = _plan(cls_score_percentile(spark, SF_DIR))
+    agg_pos = plan.rfind("HashAggregate")
+    win_pos = plan.rfind("Window")
+    assert win_pos < agg_pos  # window sits above the band aggregate
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_curation_funnel_single_pass(spark):
+    """The funnel must compute all four stages in ONE conditional
+    aggregate over the annotated scorecard — a single final
+    HashAggregate branch, the 4-row expansion via Generate(inline),
+    no cartesian."""
+    from ai_data_pipeline_spark.operators.pipeline import curation_funnel
+
+    plan = _plan(curation_funnel(spark, SF_DIR))
+    assert "Generate" in plan  # inline(array(named_struct...)) expansion
+    assert "CartesianProduct" not in plan
+
+
+def test_emb_covariance_stats_shuffles_partials_not_vectors(spark):
+    """The covariance reduction must be map-side: one MapInPandas
+    producing fixed-width partials, then the keyed aggregate — the
+    shuffle never carries embedding vectors, and there is no join or
+    cartesian at all."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        emb_covariance_stats,
+    )
+
+    plan = _plan(emb_covariance_stats(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert plan.rfind("MapInPandas") > plan.rfind("HashAggregate")
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -1,0 +1,54 @@
+
+
+def test_stream_index_dedup_rejects_both_planted_channels(spark):
+    """Every planted duplicate must be rejected: no accepted doc_id
+    carries a re-key offset (index dups land at +OFFSET, within-stream
+    dups at +2*OFFSET), and the per-lang accepted counts equal the
+    min-doc_id-per-new-fingerprint Python recompute."""
+    from collections import Counter
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.streaming.advanced import (
+        STREAM_IDX_OFFSET,
+        stream_index_dedup,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    import hashlib
+    import re
+
+    docs = [
+        (r.doc_id, r.lang, hashlib.md5(
+            re.sub(r"\s+", " ", r.text.strip().lower()).encode()
+        ).hexdigest())
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    ]
+    idx = {fp for d, _, fp in docs if d % 2 == 0}
+    stream = [(d, lg, fp) for d, lg, fp in docs if d % 2 == 1]
+    stream += [
+        (d + STREAM_IDX_OFFSET, lg, fp) for d, lg, fp in docs if d % 10 == 0
+    ]
+    stream += [
+        (d + 2 * STREAM_IDX_OFFSET, lg, fp)
+        for d, lg, fp in docs
+        if d % 2 == 1 and d % 20 == 1
+    ]
+    first = {}
+    for d, lg, fp in sorted(stream):
+        if fp not in idx and fp not in first:
+            first[fp] = (d, lg)
+    want_n = Counter(lg for d, lg in first.values())
+    want_sum = Counter()
+    for d, lg in first.values():
+        want_sum[lg] += d
+
+    rows = stream_index_dedup(spark, SF_DIR).collect()
+    assert {r.lang: r.n_accepted for r in rows} == dict(want_n)
+    assert {r.lang: r.sum_doc_id for r in rows} == dict(want_sum)
+    # both rejection channels fired: the stream contained planted rows,
+    # none survived
+    assert all(d < STREAM_IDX_OFFSET for d, _ in first.values())
+    assert sum(want_n.values()) < len(stream)
