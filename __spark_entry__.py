@@ -240,11 +240,12 @@ _REFIXED_FIRST: list[str] = []
 # er_linkage_eval, the MMR diverse selection retrieval_mmr_select,
 # the calibration/funnel pair cls_score_percentile /
 # pipeline_curation_funnel, the covariance statistics
-# emb_covariance_stats, and the streaming ingest dedup
-# stream_index_dedup)
+# emb_covariance_stats, the streaming ingest dedup
+# stream_index_dedup, and the PII-scan/tombstone-purge pair
+# corpus_pii_scan / corpus_tombstone_purge)
 # + 3 rewritten-since-green (full-digest MinHash pair,
-# placement-robust compaction) = 35 driver
-# slots on new evidence; the remaining ~15
+# placement-robust compaction) = 37 driver
+# slots on new evidence; the remaining ~13
 # re-confirm the oldest greens (proven tier orders by last-green round
 # ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
 # task #2). Names listed here but already green just rank in the
@@ -331,6 +332,9 @@ _UNPROVEN_PRIORITY = [
     "emb_covariance_stats",
     # round-8 fourteenth batch: streaming ingest dedup vs static index
     "stream_index_dedup",
+    # round-8 fifteenth batch: corpus PII scan + right-to-be-forgotten
+    # purge with duplicate-cluster propagation
+    "corpus_pii_scan", "corpus_tombstone_purge",
 ]
 
 

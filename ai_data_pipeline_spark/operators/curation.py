@@ -549,8 +549,117 @@ FROM (
 """
 
 
+# --- right-to-be-forgotten purge ------------------------------------------
+
+# Deletion requests are PLANTED (every 23rd doc_id — the
+# er_fuzzy_linkage discipline) so the propagation channel provably
+# fires at every SF; in production the request list arrives as a small
+# external relation instead.
+TOMBSTONE_MOD = 23
+# Cluster key: digest of the leading-content identity window (the
+# corpus_source_overlap key). Full-text fingerprints find ZERO groups
+# on this corpus (verified — deletion would never propagate and the
+# test would be vacuous); the 10-token prefix groups ~9% of docs, so
+# n_purged > n_requested is exercised at sf0.001/0.01/0.1 alike
+# (26>22, 23>22, 238>218 measured).
+TOMBSTONE_PREFIX_TOKENS = 10
+
+
+def corpus_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge with duplicate-cluster propagation —
+    the compliance step a training-data pipeline runs on a deletion
+    request: removing only the requested doc_ids is insufficient when
+    the corpus holds near-copies of the same content, so the purge
+    propagates through the content-cluster key (leading-window digest):
+    every document sharing a requested document's fingerprint is
+    tombstoned too. Returns the per-language purge accounting report
+    (requested / purged / retained doc counts, purged chars, purge
+    ratio) a deletion run publishes for audit.
+
+    Scale: documents reduce once to (doc_id, lang, len, digest) — text
+    never shuffles, the 16-byte digest travels. The request
+    fingerprint set is derived by filter + distinct (one keyed
+    aggregate); the propagation is a single digest-keyed left join
+    (hint-free: the request side here is corpus-derived at 1/23 scale,
+    so AQE picks the strategy — in production the request list is a
+    small external broadcast), then ONE per-language aggregate. No
+    window, no sort, no per-pair work."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_m"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    1,
+                    TOMBSTONE_PREFIX_TOKENS,
+                ),
+            )
+        ).alias("fp"),
+    )
+    req = (
+        fp.filter(F.col("doc_id") % TOMBSTONE_MOD == 0)
+        .select("fp")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    marked = fp.join(req, "fp", "left").withColumn(
+        "purged", F.col("hit").isNotNull().cast("long")
+    )
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") % TOMBSTONE_MOD == 0).cast("long")).alias(
+                "n_requested"
+            ),
+            F.sum("purged").alias("n_purged"),
+            F.sum(1 - F.col("purged")).alias("n_retained"),
+            F.sum(F.col("purged") * F.col("n_chars_m")).alias("chars_purged"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_requested",
+            "n_purged",
+            "n_retained",
+            "chars_purged",
+            F.expr("(n_purged * 1000000) div n_docs").alias("purged_ppm"),
+        )
+    )
+
+
+TOMBSTONE_ORACLE = rf"""
+WITH fp AS (
+  SELECT doc_id, lang, length(text) AS n_chars_m,
+         md5(array_to_string(
+           list_slice(string_split_regex(trim(lower(text)), '\s+'),
+                      1, {TOMBSTONE_PREFIX_TOKENS}), ' ')) AS f
+  FROM documents
+), req AS (
+  SELECT DISTINCT f FROM fp WHERE doc_id % {TOMBSTONE_MOD} = 0
+), marked AS (
+  SELECT fp.doc_id, fp.lang, fp.n_chars_m,
+         CASE WHEN r.f IS NULL THEN 0 ELSE 1 END AS purged
+  FROM fp LEFT JOIN req r ON fp.f = r.f
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % {TOMBSTONE_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_requested,
+       CAST(sum(purged) AS BIGINT) AS n_purged,
+       CAST(sum(1 - purged) AS BIGINT) AS n_retained,
+       CAST(sum(purged * n_chars_m) AS BIGINT) AS chars_purged,
+       (CAST(sum(purged) AS BIGINT) * 1000000) // count(*) AS purged_ppm
+FROM marked GROUP BY lang
+"""
+
+
 QUERY_DEFS = [
     QueryDef("dedup_dup_spans", dedup_dup_spans, _dup_spans_oracle()),
+    QueryDef("corpus_tombstone_purge", corpus_tombstone_purge, TOMBSTONE_ORACLE),
     QueryDef(
         "corpus_priority_sample", corpus_priority_sample, _priority_sample_oracle()
     ),

@@ -169,6 +169,8 @@ HEADLINE = [
     "pipeline_curation_funnel",
     "emb_covariance_stats",
     "stream_index_dedup",
+    "corpus_pii_scan",
+    "corpus_tombstone_purge",
 ]
 
 
