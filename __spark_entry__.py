@@ -241,11 +241,12 @@ _REFIXED_FIRST: list[str] = []
 # the calibration/funnel pair cls_score_percentile /
 # pipeline_curation_funnel, the covariance statistics
 # emb_covariance_stats, the streaming ingest dedup
-# stream_index_dedup, and the PII-scan/tombstone-purge pair
-# corpus_pii_scan / corpus_tombstone_purge)
+# stream_index_dedup, the PII-scan/tombstone-purge pair
+# corpus_pii_scan / corpus_tombstone_purge, and the privacy/layout
+# audit pair dq_l_diversity / zonemap_skip_audit)
 # + 3 rewritten-since-green (full-digest MinHash pair,
-# placement-robust compaction) = 37 driver
-# slots on new evidence; the remaining ~13
+# placement-robust compaction) = 39 driver
+# slots on new evidence; the remaining ~11
 # re-confirm the oldest greens (proven tier orders by last-green round
 # ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
 # task #2). Names listed here but already green just rank in the
@@ -335,6 +336,9 @@ _UNPROVEN_PRIORITY = [
     # round-8 fifteenth batch: corpus PII scan + right-to-be-forgotten
     # purge with duplicate-cluster propagation
     "corpus_pii_scan", "corpus_tombstone_purge",
+    # round-8 sixteenth batch: l-diversity privacy audit + zone-map
+    # data-skipping layout audit
+    "dq_l_diversity", "zonemap_skip_audit",
 ]
 
 

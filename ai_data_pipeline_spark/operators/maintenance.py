@@ -376,8 +376,142 @@ GROUP BY o_orderpriority
 """
 
 
+# --- zone-map / data-skipping layout audit --------------------------------
+
+ZONE_SPAN = 1000  # orderkeys per zone in the clustered layout
+
+# The audited predicate set: one range on the clustering key (where
+# zone maps SHOULD skip), and three on non-clustered columns (where an
+# orderkey-clustered layout predicts ~zero skipping — the honest
+# answer the audit exists to surface before anyone pays for a rewrite).
+_ZONE_PREDS = [
+    (1, "okey_range"),  # l_orderkey BETWEEN 1200 AND 3399
+    (2, "qty_high"),  # l_quantity >= 48
+    (3, "price_low"),  # l_extendedprice < 2000
+    (4, "qty_low"),  # l_quantity <= 2
+]
+
+
+def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping effectiveness audit — the layout-planning
+    query run before choosing a clustering key (Delta/Iceberg file
+    stats, ClickHouse mark ranges, ORC row-group indexes all skip on
+    per-zone min/max): simulate two layouts of lineitem — CLUSTERED
+    (zone = l_orderkey div ZONE_SPAN, contiguous key ranges per zone,
+    what an orderkey-sorted rewrite would give) and SCATTERED (zone =
+    l_orderkey mod n_zones, the hash-placement status quo) — compute
+    each zone's min/max statistics, and report per (layout, predicate)
+    how many zones and rows the stats would prune.
+
+    The expected shape IS the finding: the key-range predicate prunes
+    almost everything under the clustered layout and nothing under the
+    scattered one; the non-key predicates prune ~nothing under either
+    (their values are uniform within every zone) — quantifying exactly
+    why sorting pays for key-range scans and does not rescue
+    unclustered filters.
+
+    Scale: one pass per layout (two keyed min/max aggregates over the
+    fact table, map-side combined, zone-count output cardinality), a
+    1-row scalar (n_zones) riding a broadcast, and the predicate sweep
+    over the tiny zone-stats relation. The fact table is never joined
+    or windowed; at 100 TB this is two aggregate scans — the audit
+    costs less than one of the queries it plans for."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    nz = li.agg(
+        F.expr(
+            f"(max(l_orderkey) + {ZONE_SPAN}) div {ZONE_SPAN}"
+        ).alias("n_zones")
+    )
+    zoned = li.crossJoin(F.broadcast(nz))
+    stats = []
+    for layout, zid in (
+        ("clustered", F.expr(f"l_orderkey div {ZONE_SPAN}")),
+        ("scattered", F.col("l_orderkey") % F.col("n_zones")),
+    ):
+        stats.append(
+            zoned.groupBy(zid.alias("zone"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("l_orderkey").alias("min_ok"),
+                F.max("l_orderkey").alias("max_ok"),
+                F.min("l_quantity").alias("min_q"),
+                F.max("l_quantity").alias("max_q"),
+                F.min("l_extendedprice").alias("min_p"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+    zs = stats[0].unionByName(stats[1])
+    preds = zs.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(_ZONE_PREDS, "pred_id int, pred string")
+        )
+    ).withColumn(
+        "skipped",
+        F.when(
+            F.col("pred_id") == 1,
+            (F.col("max_ok") < 1200) | (F.col("min_ok") > 3399),
+        )
+        .when(F.col("pred_id") == 2, F.col("max_q") < 48)
+        .when(F.col("pred_id") == 3, F.col("min_p") >= 2000)
+        .otherwise(F.col("min_q") > 2)
+        .cast("long"),
+    )
+    return preds.groupBy("layout", "pred_id", "pred").agg(
+        F.count(F.lit(1)).alias("n_zones"),
+        F.sum("skipped").alias("zones_skipped"),
+        F.sum(F.col("skipped") * F.col("n_rows")).alias("rows_skipped"),
+        F.expr(
+            "(sum(skipped) * 1000000) div count(1)"
+        ).alias("skip_ppm"),
+    )
+
+
+def _zonemap_oracle() -> str:
+    pred_rows = " UNION ALL ".join(
+        f"SELECT {pid} AS pred_id, '{name}' AS pred" for pid, name in _ZONE_PREDS
+    )
+    return f"""
+WITH nz AS (
+  SELECT CAST((max(l_orderkey) + {ZONE_SPAN}) // {ZONE_SPAN} AS BIGINT)
+           AS n_zones
+  FROM lineitem
+), zs AS (
+  SELECT 'clustered' AS layout, l_orderkey // {ZONE_SPAN} AS zone,
+         count(*) AS n_rows,
+         min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+         min(l_extendedprice) AS min_p
+  FROM lineitem GROUP BY 1, 2
+  UNION ALL
+  SELECT 'scattered' AS layout, l_orderkey % (SELECT n_zones FROM nz) AS zone,
+         count(*) AS n_rows,
+         min(l_orderkey), max(l_orderkey),
+         min(l_quantity), max(l_quantity),
+         min(l_extendedprice)
+  FROM lineitem GROUP BY 1, 2
+), preds AS ({pred_rows}),
+flagged AS (
+  SELECT zs.*, p.pred_id, p.pred,
+         CAST(CASE WHEN p.pred_id = 1 THEN (max_ok < 1200 OR min_ok > 3399)
+                   WHEN p.pred_id = 2 THEN max_q < 48
+                   WHEN p.pred_id = 3 THEN min_p >= 2000
+                   ELSE min_q > 2 END AS BIGINT) AS skipped
+  FROM zs CROSS JOIN preds p
+)
+SELECT layout, pred_id, pred,
+       count(*) AS n_zones,
+       CAST(sum(skipped) AS BIGINT) AS zones_skipped,
+       CAST(sum(skipped * n_rows) AS BIGINT) AS rows_skipped,
+       (CAST(sum(skipped) AS BIGINT) * 1000000) // count(*) AS skip_ppm
+FROM flagged GROUP BY 1, 2, 3
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_upsert_merge", q_upsert_merge, Q_UPSERT_ORACLE),
+    QueryDef("zonemap_skip_audit", zonemap_skip_audit, _zonemap_oracle()),
     QueryDef(
         "bucketed_colocated_join", bucketed_colocated_join, BUCKETED_JOIN_ORACLE
     ),

@@ -309,6 +309,71 @@ GROUP BY c_nationkey, c_mktsegment, n_total
 """
 
 
+L_DIV = 3  # minimum sensitive-value diversity per QI class
+SENS_BAND = 1000  # account-balance band width (the sensitive attribute)
+
+
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the homogeneity-attack check k-anonymity
+    misses (Machanavajjhala et al. 2007): a QI class can be large
+    (k-anonymous) yet leak its sensitive attribute if every member
+    shares the same value. For the same QI tuple as dq_k_anonymity
+    (nation, market segment) and the account-balance band as the
+    sensitive attribute, reports each class's distinct-l, the
+    dominant value's share in exact ppm (the attacker's best-guess
+    confidence), and the below-l flag.
+
+    Scale: two keyed aggregates, both map-side combined — one on
+    (QI, sensitive-band), one rollup on QI. No join, no window; the
+    first shuffle's cardinality is the (QI × band) domain, not the
+    table. Band = floor(acctbal / SENS_BAND) in double — identical
+    IEEE ops both engines, exact for these magnitudes."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / SENS_BAND).cast("long")
+    per_value = (
+        c.select("c_nationkey", "c_mktsegment", band.alias("sens_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "sens_band")
+        .agg(F.count(F.lit(1)).alias("n_sv"))
+    )
+    return (
+        per_value.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("n_sv").alias("class_size"),
+            F.count(F.lit(1)).alias("l_distinct"),
+            F.max("n_sv").alias("top_value_n"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "l_distinct",
+            (F.col("l_distinct") < L_DIV).cast("int").alias("flag_below_l"),
+            F.expr("(top_value_n * 1000000) div class_size").alias(
+                "top_share_ppm"
+            ),
+        )
+    )
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH per_value AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / {SENS_BAND}) AS BIGINT) AS sens_band,
+         count(*) AS n_sv
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(sum(n_sv) AS BIGINT) AS class_size,
+       count(*) AS l_distinct,
+       CAST(count(*) < {L_DIV} AS INT) AS flag_below_l,
+       (CAST(max(n_sv) AS BIGINT) * 1000000) // CAST(sum(n_sv) AS BIGINT)
+         AS top_share_ppm
+FROM per_value
+GROUP BY 1, 2
+"""
+
+
 # (child table, FK column, parent table, PK column) — the declared
 # relational skeleton of the testdata (TESTDATA.md); dq check counts
 # orphans per edge.
@@ -487,6 +552,7 @@ QUERY_DEFS = [
     QueryDef("dq_benford_check", dq_benford_check, _benford_oracle()),
     QueryDef("dq_join_fanout_guard", dq_join_fanout_guard, _fanout_oracle()),
     QueryDef("dq_k_anonymity", dq_k_anonymity, K_ANON_ORACLE),
+    QueryDef("dq_l_diversity", dq_l_diversity, L_DIVERSITY_ORACLE),
     QueryDef("dq_checks", dq_checks, DQ_ORACLE),
     QueryDef("q_stratified_sample", q_stratified_sample, STRATIFIED_ORACLE),
     QueryDef("schema_drift", schema_drift, _drift_oracle()),

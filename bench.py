@@ -171,6 +171,8 @@ HEADLINE = [
     "stream_index_dedup",
     "corpus_pii_scan",
     "corpus_tombstone_purge",
+    "dq_l_diversity",
+    "zonemap_skip_audit",
 ]
 
 

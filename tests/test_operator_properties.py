@@ -2880,3 +2880,244 @@ def test_emb_covariance_stats_matches_python_exact(spark):
     assert np.allclose(cov, want, rtol=1e-9, atol=1e-3)
     eig = np.linalg.eigvalsh(cov)
     assert eig.min() > -1e-6 * max(1.0, eig.max())
+
+
+def test_corpus_pii_scan_matches_python_recompute(spark):
+    """Every flagged row's typed counts, action, and redaction length
+    accounting must equal a Python `re` recompute of the same planted
+    augmentation — and the RAW corpus must stay PII-free (the planting
+    assumption: all matches come from the planted channels)."""
+    import re as _re
+
+    from ai_data_pipeline_spark.operators.redact import (
+        EMAIL_RX,
+        IP_RX,
+        PHONE_STRICT_RX,
+        PII_EMAIL_MOD,
+        PII_IP_MOD,
+        PII_PHONE_MOD,
+        PII_SSN_MOD,
+        SSN_RX,
+        corpus_pii_scan,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    rx = {
+        "n_email": _re.compile(EMAIL_RX),
+        "n_ssn": _re.compile(SSN_RX),
+        "n_phone": _re.compile(PHONE_STRICT_RX),
+        "n_ip": _re.compile(IP_RX),
+    }
+    mask = {
+        "n_email": "[EMAIL]",
+        "n_ssn": "[SSN]",
+        "n_phone": "[PHONE]",
+        "n_ip": "[IP]",
+    }
+    want = {}
+    for r in docs:
+        for p in rx.values():  # raw corpus must be PII-free
+            assert not p.search(r.text), (r.doc_id, p.pattern)
+        a = r.text
+        if r.doc_id % PII_EMAIL_MOD == 0:
+            a += f" contact user{r.doc_id}@example.com"
+        if r.doc_id % PII_PHONE_MOD == 0:
+            a += f" call 415-555-{r.doc_id % 10000:04d}"
+        if r.doc_id % PII_IP_MOD == 0:
+            a += f" host 10.0.{r.doc_id % 256}.{(r.doc_id * 7) % 256}"
+        if r.doc_id % PII_SSN_MOD == 0:
+            a += f" id 123-45-{r.doc_id % 10000:04d}"
+        counts = {k: len(p.findall(a)) for k, p in rx.items()}
+        total = sum(counts.values())
+        if total == 0:
+            continue
+        red = a
+        for k in ("n_email", "n_ssn", "n_phone", "n_ip"):
+            red = rx[k].sub(mask[k], red)
+        want[r.doc_id] = (
+            r.lang,
+            counts["n_email"],
+            counts["n_phone"],
+            counts["n_ip"],
+            counts["n_ssn"],
+            total,
+            "drop" if counts["n_ssn"] > 0 else "redact",
+            len(a),
+            len(red),
+        )
+
+    got = {
+        r.doc_id: (
+            r.lang,
+            r.n_email,
+            r.n_phone,
+            r.n_ip,
+            r.n_ssn,
+            r.pii_total,
+            r.action,
+            r.aug_len,
+            r.redacted_len,
+        )
+        for r in corpus_pii_scan(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # each planted channel contributes EXACTLY one typed match — the
+    # four patterns never cross-match each other's planted strings
+    for doc_id, row in got.items():
+        assert row[1] == (1 if doc_id % PII_EMAIL_MOD == 0 else 0)
+        assert row[2] == (1 if doc_id % PII_PHONE_MOD == 0 else 0)
+        assert row[3] == (1 if doc_id % PII_IP_MOD == 0 else 0)
+        assert row[4] == (1 if doc_id % PII_SSN_MOD == 0 else 0)
+
+
+def test_tombstone_purge_matches_python_recompute(spark):
+    """Per-language purge accounting must equal a Python recompute of
+    the fingerprint propagation, satisfy purged+retained=docs and
+    purged>=requested per language, and show real propagation
+    (corpus-wide n_purged > n_requested) on this testdata."""
+    import hashlib
+    import re as _re
+
+    from ai_data_pipeline_spark.operators.curation import (
+        TOMBSTONE_MOD,
+        TOMBSTONE_PREFIX_TOKENS,
+        corpus_tombstone_purge,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    fps, langs, lens = {}, {}, {}
+    for r in docs:
+        toks = _re.split(r"\s+", r.text.strip().lower())
+        key = " ".join(toks[:TOMBSTONE_PREFIX_TOKENS])
+        fps[r.doc_id] = hashlib.md5(key.encode()).hexdigest()
+        langs[r.doc_id] = r.lang
+        lens[r.doc_id] = len(r.text)
+    req_fps = {f for d, f in fps.items() if d % TOMBSTONE_MOD == 0}
+    want = {}
+    for d, f in fps.items():
+        lg = langs[d]
+        n_docs, n_req, n_pur, chars = want.get(lg, (0, 0, 0, 0))
+        purged = f in req_fps
+        want[lg] = (
+            n_docs + 1,
+            n_req + (d % TOMBSTONE_MOD == 0),
+            n_pur + purged,
+            chars + (lens[d] if purged else 0),
+        )
+
+    rows = corpus_tombstone_purge(spark, SF_DIR).collect()
+    assert {r.lang for r in rows} == set(want)
+    for r in rows:
+        n_docs, n_req, n_pur, chars = want[r.lang]
+        assert (r.n_docs, r.n_requested, r.n_purged) == (n_docs, n_req, n_pur)
+        assert r.chars_purged == chars
+        assert r.n_purged + r.n_retained == r.n_docs
+        assert r.n_purged >= r.n_requested
+        assert r.purged_ppm == r.n_purged * 1_000_000 // r.n_docs
+    assert sum(r.n_purged for r in rows) > sum(r.n_requested for r in rows)
+
+
+def test_dq_l_diversity_matches_python_recompute(spark):
+    """Each QI class's distinct-l, size, and dominant-value share must
+    equal a Python recompute of the same banding, and every class must
+    satisfy l_distinct <= class_size and top_share_ppm >= 1e6/l."""
+    import math
+    from collections import Counter, defaultdict
+
+    from ai_data_pipeline_spark.operators.quality import (
+        L_DIV,
+        SENS_BAND,
+        dq_l_diversity,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "customer")
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    classes = defaultdict(Counter)
+    for r in rows:
+        classes[(r.c_nationkey, r.c_mktsegment)][
+            math.floor(r.c_acctbal / SENS_BAND)
+        ] += 1
+
+    got = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in dq_l_diversity(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(classes)
+    for key, cnt in classes.items():
+        r = got[key]
+        size = sum(cnt.values())
+        assert r.class_size == size
+        assert r.l_distinct == len(cnt)
+        assert r.flag_below_l == int(len(cnt) < L_DIV)
+        assert r.top_share_ppm == max(cnt.values()) * 1_000_000 // size
+        assert r.l_distinct <= r.class_size
+        # dominant share can't be below the uniform floor (both floored)
+        assert r.top_share_ppm >= 1_000_000 // r.l_distinct
+
+
+def test_zonemap_skip_audit_matches_python_recompute(spark):
+    """Per-(layout, predicate) zone and row skip counts must equal a
+    Python recompute of the zone min/max simulation, and the audit
+    must reproduce its structural finding: the clustering-key range
+    prunes zones under the clustered layout only, and non-key
+    predicates prune nothing under either layout on this data."""
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.operators.maintenance import (
+        ZONE_SPAN,
+        zonemap_skip_audit,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    n_zones = (max(r.l_orderkey for r in rows) + ZONE_SPAN) // ZONE_SPAN
+    zones = defaultdict(list)
+    for r in rows:
+        zones[("clustered", r.l_orderkey // ZONE_SPAN)].append(r)
+        zones[("scattered", r.l_orderkey % n_zones)].append(r)
+    want = defaultdict(lambda: [0, 0, 0])  # (layout, pid) -> [nz, zskip, rskip]
+    for (layout, _), zr in zones.items():
+        min_ok = min(r.l_orderkey for r in zr)
+        max_ok = max(r.l_orderkey for r in zr)
+        max_q = max(r.l_quantity for r in zr)
+        min_q = min(r.l_quantity for r in zr)
+        min_p = min(r.l_extendedprice for r in zr)
+        skips = {
+            1: max_ok < 1200 or min_ok > 3399,
+            2: max_q < 48,
+            3: min_p >= 2000,
+            4: min_q > 2,
+        }
+        for pid, sk in skips.items():
+            acc = want[(layout, pid)]
+            acc[0] += 1
+            acc[1] += sk
+            acc[2] += len(zr) if sk else 0
+
+    got = {
+        (r.layout, r.pred_id): r for r in zonemap_skip_audit(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for key, (nz, zskip, rskip) in want.items():
+        r = got[key]
+        assert (r.n_zones, r.zones_skipped, r.rows_skipped) == (nz, zskip, rskip)
+        assert r.skip_ppm == zskip * 1_000_000 // nz
+    assert got[("clustered", 1)].zones_skipped > 0
+    assert got[("scattered", 1)].zones_skipped == 0
+    for pid in (2, 3, 4):
+        assert got[("clustered", pid)].zones_skipped == 0
+        assert got[("scattered", pid)].zones_skipped == 0

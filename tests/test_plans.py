@@ -1060,3 +1060,61 @@ def test_emb_covariance_stats_shuffles_partials_not_vectors(spark):
     assert "MapInPandas" in plan
     assert plan.rfind("MapInPandas") > plan.rfind("HashAggregate")
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_corpus_pii_scan_is_map_only(spark):
+    """The PII scan must stay a pure projection + filter: no join, no
+    aggregate, no window — the regex chains run inside the scan
+    pipeline — and the scan must read only the three needed columns."""
+    from ai_data_pipeline_spark.operators.redact import corpus_pii_scan
+
+    df = corpus_pii_scan(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" not in plan and "Window" not in plan
+    fmt = _formatted(df)
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", fmt)
+    assert schemas, fmt
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"doc_id", "text", "lang"}
+
+
+def test_tombstone_purge_digest_join_no_window(spark):
+    """The purge propagation must be ONE digest-keyed left join (the
+    16-byte fingerprint travels, text does not) feeding a partial+final
+    per-language aggregate — no window, no cartesian, and the text
+    column must not survive past the fingerprint projection."""
+    from ai_data_pipeline_spark.operators.curation import (
+        corpus_tombstone_purge,
+    )
+
+    plan = _plan(corpus_tombstone_purge(spark, SF_DIR))
+    assert "LeftOuter" in plan
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_dq_l_diversity_two_keyed_aggregates_no_join(spark):
+    """l-diversity must be two map-side-combined aggregates (QI x band,
+    then QI rollup) — no join, no window, nothing corpus-sized past the
+    first shuffle."""
+    from ai_data_pipeline_spark.operators.quality import dq_l_diversity
+
+    plan = _plan(dq_l_diversity(spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_zonemap_skip_audit_no_fact_join(spark):
+    """The zone-stats aggregates must be map-side combined and the fact
+    table must never join anything bigger than the 1-row scalar / 4-row
+    predicate broadcasts — no sort-merge join, no window."""
+    from ai_data_pipeline_spark.operators.maintenance import (
+        zonemap_skip_audit,
+    )
+
+    plan = _plan(zonemap_skip_audit(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "partial_min" in plan or "partial_max" in plan
