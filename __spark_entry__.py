@@ -242,11 +242,12 @@ _REFIXED_FIRST: list[str] = []
 # pipeline_curation_funnel, the covariance statistics
 # emb_covariance_stats, the streaming ingest dedup
 # stream_index_dedup, the PII-scan/tombstone-purge pair
-# corpus_pii_scan / corpus_tombstone_purge, and the privacy/layout
-# audit pair dq_l_diversity / zonemap_skip_audit)
+# corpus_pii_scan / corpus_tombstone_purge, the privacy/layout
+# audit pair dq_l_diversity / zonemap_skip_audit, and the
+# dependency/leakage pair fd_discovery / corpus_split_leakage)
 # + 3 rewritten-since-green (full-digest MinHash pair,
-# placement-robust compaction) = 39 driver
-# slots on new evidence; the remaining ~11
+# placement-robust compaction) = 41 driver
+# slots on new evidence; the remaining ~9
 # re-confirm the oldest greens (proven tier orders by last-green round
 # ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
 # task #2). Names listed here but already green just rank in the
@@ -339,6 +340,8 @@ _UNPROVEN_PRIORITY = [
     # round-8 sixteenth batch: l-diversity privacy audit + zone-map
     # data-skipping layout audit
     "dq_l_diversity", "zonemap_skip_audit",
+    # round-8 seventeenth batch: FD discovery + split leakage audit
+    "fd_discovery", "corpus_split_leakage",
 ]
 
 

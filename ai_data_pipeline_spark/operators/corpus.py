@@ -242,6 +242,126 @@ SELECT CASE WHEN bucket < {SPLIT_PCT[0]} THEN 'train'
 FROM b GROUP BY 1, 2
 """
 
+LEAK_SHINGLE_K = 5  # token window for the cross-split leakage scan
+
+
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval split leakage audit — the check that the held-out
+    splits actually hold anything out: a val/test document sharing any
+    LEAK_SHINGLE_K-token window with the train split will have its
+    "held-out" content memorized verbatim, inflating eval scores (the
+    within-corpus counterpart of corpus_decontaminate's external
+    benchmark scan). Uses the SAME content-stable hash split as
+    corpus_split_assign, so it audits the split the pipeline actually
+    ships. Reports, per held-out split: docs, leaked docs (≥1 window
+    seen in train), leak ppm, and distinct leaked windows.
+
+    Docs shorter than the window contribute their full token sequence
+    as one unit (the winnowing short-doc rule) — a 3-token val doc
+    that appears verbatim in train is still a leak.
+
+    Scale: windows travel as 16-byte md5 digests from the first
+    projection (text never shuffles); the train-side index is one
+    distinct aggregate; leak detection is a digest-keyed semi-join
+    (work ∝ shared digests); rollups are split-keyed over ≤ 2 splits'
+    doc ids. The same bucketed-candidate discipline as the dedup
+    family — no pair blowup, no corpus broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_PCT[0], "train")
+        .when(bucket < SPLIT_PCT[1], "val")
+        .otherwise("test")
+    )
+    base = d.select(
+        "doc_id",
+        split.alias("split"),
+        F.split(F.lower(F.col("text")), r"\s+").alias("l"),
+    )
+    grams = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(l) - {LEAK_SHINGLE_K - 1}, 1)),"
+                f" i -> md5(concat_ws(' ', slice(l, i, {LEAK_SHINGLE_K}))))"
+            )
+        ).alias("h"),
+    ).distinct()
+    train_h = grams.filter(F.col("split") == "train").select("h").distinct()
+    held = grams.filter(F.col("split") != "train")
+    leaks = held.join(train_h, "h", "left_semi")
+    leaked_docs = leaks.select("split", "doc_id").distinct()
+    shingle_counts = leaks.groupBy("split").agg(
+        F.countDistinct("h").alias("n_leaked_shingles")
+    )
+    docs = base.filter(F.col("split") != "train").select("doc_id", "split")
+    return (
+        docs.join(
+            leaked_docs.withColumn("lk", F.lit(1)), ["split", "doc_id"], "left"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("lk").isNotNull().cast("long")).alias("n_leaked_docs"),
+        )
+        .join(F.broadcast(shingle_counts), "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_leaked_docs",
+            F.expr("(n_leaked_docs * 1000000) div n_docs").alias("leak_ppm"),
+            F.coalesce("n_leaked_shingles", F.lit(0)).alias(
+                "n_leaked_shingles"
+            ),
+        )
+    )
+
+
+SPLIT_LEAKAGE_ORACLE = rf"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 100 < {SPLIT_PCT[0]} THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 100 < {SPLIT_PCT[1]} THEN 'val'
+              ELSE 'test' END AS split,
+         string_split_regex(lower(text), '\s+') AS l
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, split,
+         md5(array_to_string(l[i:i+{LEAK_SHINGLE_K - 1}], ' ')) AS h
+  FROM b CROSS JOIN range(1, 100000) r(i)
+  WHERE i <= greatest(len(l) - {LEAK_SHINGLE_K - 1}, 1)
+), tr AS (
+  SELECT DISTINCT h FROM grams WHERE split = 'train'
+), held AS (
+  SELECT * FROM grams WHERE split <> 'train'
+), leaks AS (
+  SELECT held.* FROM held JOIN tr ON held.h = tr.h
+), doc_flags AS (
+  SELECT b.split, b.doc_id,
+         CASE WHEN b.doc_id IN (SELECT doc_id FROM leaks) THEN 1 ELSE 0 END
+           AS lk
+  FROM b WHERE b.split <> 'train'
+), per_split AS (
+  SELECT split, count(*) AS n_docs,
+         CAST(sum(lk) AS BIGINT) AS n_leaked_docs
+  FROM doc_flags GROUP BY split
+), sh AS (
+  SELECT split, count(DISTINCT h) AS n_leaked_shingles FROM leaks GROUP BY split
+)
+SELECT p.split, p.n_docs, p.n_leaked_docs,
+       (p.n_leaked_docs * 1000000) // p.n_docs AS leak_ppm,
+       COALESCE(sh.n_leaked_shingles, 0) AS n_leaked_shingles
+FROM per_split p LEFT JOIN sh ON p.split = sh.split
+"""
+
+
 MIX_BUDGET_TOKENS = 10_000  # target corpus size for the mixing pass
 
 
@@ -1457,6 +1577,7 @@ QUERY_DEFS = [
         REPETITION_ORACLE,
     ),
     QueryDef("corpus_split_assign", corpus_split_assign, SPLIT_ASSIGN_ORACLE),
+    QueryDef("corpus_split_leakage", corpus_split_leakage, SPLIT_LEAKAGE_ORACLE),
     QueryDef("corpus_mixing_weights", corpus_mixing_weights, MIXING_ORACLE),
     QueryDef("corpus_sequence_packing", corpus_sequence_packing, PACKING_ORACLE),
     QueryDef("corpus_oov_rate", corpus_oov_rate, OOV_ORACLE),

@@ -83,6 +83,101 @@ def _fk_oracle() -> str:
     return "\nUNION ALL\n".join(branches)
 
 
+# (table, determinant, dependent) within-table FD candidates — the
+# pairs a profiler's candidate generator emits over low-cardinality
+# and key columns (TANE-style level-1 lattice; the PK-determinant row
+# is the control that must hold by construction).
+FD_CANDIDATES = [
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+]
+
+
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery — the within-table counterpart
+    of fk_inference (the reference's schema-mining intent,
+    pattern_classifier PK/BK detection, extended to A→B dependencies):
+    for each candidate pair, EXACT violation accounting — determinant
+    keys, distinct (A,B) pairs, keys with more than one dependent
+    value, worst fan-out, the holds flag, and the FD strength
+    (single-valued keys per million). Strength, not just the boolean,
+    is the useful artifact: a 0.999-strength "FD" is a data-quality
+    lead (near-dependency with a handful of violating keys to
+    inspect), invisible to an exact-only check.
+
+    Scale: ONE scan per table, not per candidate — each table's
+    candidates stack via inline(array(named_struct…)) (values
+    string-cast: injective for these column types, so distinct counts
+    are unchanged), then one count-distinct aggregate keyed on
+    (candidate, determinant-value) and one candidate-keyed rollup.
+    Both aggregates are two-phase map-side combined; the only shuffle
+    carries (candidate, key, n_b) rows. No joins anywhere."""
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for t, a, b in FD_CANDIDATES:
+        by_table.setdefault(t, []).append((a, b))
+    outs = []
+    for t, pairs in by_table.items():
+        structs = ", ".join(
+            f"named_struct('det', '{a}', 'dep', '{b}',"
+            f" 'a', cast({a} as string), 'b', cast({b} as string))"
+            for a, b in pairs
+        )
+        stacked = load_table(spark, sf_dir, t).select(
+            F.expr(f"inline(array({structs}))")
+        )
+        per_key = stacked.groupBy("det", "dep", "a").agg(
+            F.countDistinct("b").alias("n_b")
+        )
+        outs.append(
+            per_key.groupBy("det", "dep")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("n_b").alias("n_pairs"),
+                F.sum((F.col("n_b") > 1).cast("long")).alias(
+                    "n_violating_keys"
+                ),
+                F.max("n_b").alias("max_fanout"),
+            )
+            .select(
+                F.lit(t).alias("table_name"),
+                F.col("det").alias("determinant"),
+                F.col("dep").alias("dependent"),
+                "n_keys",
+                "n_pairs",
+                "n_violating_keys",
+                "max_fanout",
+                (F.col("n_violating_keys") == 0).cast("int").alias("fd_holds"),
+                F.expr(
+                    "((n_keys - n_violating_keys) * 1000000) div n_keys"
+                ).alias("strength_ppm"),
+            )
+        )
+    out = outs[0]
+    for r in outs[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _fd_oracle() -> str:
+    branches = []
+    for t, a, b in FD_CANDIDATES:
+        branches.append(f"""
+SELECT '{t}' AS table_name, '{a}' AS determinant, '{b}' AS dependent,
+       count(*) AS n_keys,
+       CAST(sum(n_b) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(max(n_b) AS BIGINT) AS max_fanout,
+       CAST(sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0 AS INT) AS fd_holds,
+       ((count(*) - CAST(sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT))
+        * 1000000) // count(*) AS strength_ppm
+FROM (SELECT {a} AS a, count(DISTINCT {b}) AS n_b FROM {t} GROUP BY 1)""")
+    return "\nUNION ALL\n".join(branches)
+
+
 def _hash_key(*cols) -> F.Column:
     """Data Vault hash key: sha256 of '||'-joined business key parts."""
     return F.sha2(F.concat_ws("||", *[F.col(c).cast("string") for c in cols]), 256)
@@ -243,6 +338,7 @@ def profile_to_dv_ddl(profile_rows, table_name: str) -> list[str]:
 
 QUERY_DEFS = [
     QueryDef("fk_inference", fk_inference, _fk_oracle()),
+    QueryDef("fd_discovery", fd_discovery, _fd_oracle()),
     QueryDef("dv_hub_customer", dv_hub_customer, DV_HUB_ORACLE),
     QueryDef("dv_link_customer_order", dv_link_customer_order, DV_LINK_ORACLE),
     QueryDef("dv_sat_customer", dv_sat_customer, DV_SAT_ORACLE),

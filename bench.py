@@ -173,6 +173,8 @@ HEADLINE = [
     "corpus_tombstone_purge",
     "dq_l_diversity",
     "zonemap_skip_audit",
+    "fd_discovery",
+    "corpus_split_leakage",
 ]
 
 
