@@ -244,10 +244,11 @@ _REFIXED_FIRST: list[str] = []
 # stream_index_dedup, the PII-scan/tombstone-purge pair
 # corpus_pii_scan / corpus_tombstone_purge, the privacy/layout
 # audit pair dq_l_diversity / zonemap_skip_audit, and the
-# dependency/leakage pair fd_discovery / corpus_split_leakage)
+# dependency/leakage pair fd_discovery / corpus_split_leakage, and
+# the embedding drift monitor emb_drift_monitor)
 # + 3 rewritten-since-green (full-digest MinHash pair,
-# placement-robust compaction) = 41 driver
-# slots on new evidence; the remaining ~9
+# placement-robust compaction) = 42 driver
+# slots on new evidence; the remaining ~8
 # re-confirm the oldest greens (proven tier orders by last-green round
 # ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
 # task #2). Names listed here but already green just rank in the
@@ -342,6 +343,8 @@ _UNPROVEN_PRIORITY = [
     "dq_l_diversity", "zonemap_skip_audit",
     # round-8 seventeenth batch: FD discovery + split leakage audit
     "fd_discovery", "corpus_split_leakage",
+    # round-8 eighteenth batch: embedding distribution drift monitor
+    "emb_drift_monitor",
 ]
 
 

@@ -1820,8 +1820,105 @@ GROUP BY 1, 2
 """
 
 
+DRIFT_BAND_W = 250_000  # micro-units per histogram band (0.25 raw)
+
+
+def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift monitor — the MLOps check run when
+    a new corpus snapshot, encoder version, or ingest source lands: per
+    embedding dimension, a two-sample chi-square statistic between a
+    reference population and a candidate population over fixed value
+    bands. Populations here are the deterministic halves vec_id%2
+    (in production: yesterday's snapshot vs today's); the per-dim
+    statistic ranks which dimensions moved, the first question a drift
+    alert answers.
+
+    Exactness: each band's chi-square term is the floor of an exact
+    rational — (n_ref·N_cand − n_cand·N_ref)²·10⁶ div
+    ((n_ref+n_cand)·N_ref·N_cand) in DECIMAL(38,0)/HUGEINT — so the
+    per-dim SUM is an integer sum (order-independent, engine-identical),
+    never a float accumulation. The squared numerator stays inside 38
+    digits while population sizes N ≲ 3·10⁸ vectors; beyond that,
+    band counts are pre-scaled (divide both populations by a common
+    factor) before the statistic — the tau-b documented-bound
+    convention. Term magnitude ≤ N·10⁶ keeps the BIGINT emit exact to
+    N ~ 9·10¹² vectors.
+
+    Scale: one posexplode pass (64 rows per vector — fixed fan-out),
+    ONE keyed aggregate to (dim, band, pop) counts — map-side combined,
+    output cardinality ≤ EMB_DIM × bands (a constant: |x| ≤ 2 in
+    micro-units ⇒ ≤ 17 bands) — then the statistic on that constant
+    relation with the two population sizes riding a 1-row broadcast.
+    Vectors never shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2 == 0).cast("long").alias("is_ref"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    banded = e.select(
+        "is_ref",
+        "dim",
+        F.expr(
+            f"CAST(floor(CAST(x AS DOUBLE) * 1000000 / {DRIFT_BAND_W})"
+            " AS BIGINT)"
+        ).alias("band"),
+    )
+    counts = banded.groupBy("dim", "band").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_cand"),
+    )
+    pops = load_table(spark, sf_dir, "embeddings").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("nr"),
+        F.sum((F.col("vec_id") % 2 != 0).cast("long")).alias("nc"),
+    )
+    terms = counts.crossJoin(F.broadcast(pops)).withColumn(
+        "term_ppm",
+        F.expr(
+            "(CAST(n_ref AS DECIMAL(38,0)) * nc"
+            "  - CAST(n_cand AS DECIMAL(38,0)) * nr)"
+            " * (CAST(n_ref AS DECIMAL(38,0)) * nc"
+            "    - CAST(n_cand AS DECIMAL(38,0)) * nr)"
+            " * 1000000"
+            " div (CAST(n_ref + n_cand AS DECIMAL(38,0)) * nr * nc)"
+        ).cast("long"),
+    )
+    return terms.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.sum("term_ppm").alias("drift_ppm"),
+    )
+
+
+EMB_DRIFT_ORACLE = f"""
+WITH e AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref,
+         i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 / {DRIFT_BAND_W})
+              AS BIGINT) AS band
+  FROM embeddings CROSS JOIN range(1, {EMB_DIM} + 1) t(i)
+), counts AS (
+  SELECT dim, band,
+         CAST(sum(is_ref) AS BIGINT) AS n_ref,
+         CAST(sum(1 - is_ref) AS BIGINT) AS n_cand
+  FROM e GROUP BY 1, 2
+), pops AS (
+  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+  FROM embeddings
+)
+SELECT dim, count(*) AS n_bands,
+       CAST(sum(CAST(
+         (CAST(n_ref AS HUGEINT) * nc - CAST(n_cand AS HUGEINT) * nr)
+         * (CAST(n_ref AS HUGEINT) * nc - CAST(n_cand AS HUGEINT) * nr)
+         * 1000000
+         // (CAST(n_ref + n_cand AS HUGEINT) * nr * nc)
+       AS BIGINT)) AS BIGINT) AS drift_ppm
+FROM counts CROSS JOIN pops
+GROUP BY dim
+"""
+
+
 QUERY_DEFS = [
     QueryDef("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
+    QueryDef("emb_drift_monitor", emb_drift_monitor, EMB_DRIFT_ORACLE),
     QueryDef("emb_hard_negatives", emb_hard_negatives, _hard_neg_oracle()),
     QueryDef("emb_outlier_distance", emb_outlier_distance, _outlier_oracle()),
     QueryDef("ann_ivf_pq", ann_ivf_pq, _ivfpq_oracle()),

@@ -175,6 +175,7 @@ HEADLINE = [
     "zonemap_skip_audit",
     "fd_discovery",
     "corpus_split_leakage",
+    "emb_drift_monitor",
 ]
 
 

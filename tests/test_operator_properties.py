@@ -3121,3 +3121,155 @@ def test_zonemap_skip_audit_matches_python_recompute(spark):
     for pid in (2, 3, 4):
         assert got[("clustered", pid)].zones_skipped == 0
         assert got[("scattered", pid)].zones_skipped == 0
+
+
+def test_fd_discovery_matches_python_recompute(spark):
+    """Every candidate row's exact violation accounting must equal a
+    Python recompute over the collected table, the PK-determinant
+    control must hold, and the known non-dependencies must fail with
+    strength < 1."""
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.operators.vault import (
+        FD_CANDIDATES,
+        fd_discovery,
+    )
+
+    got = {
+        (r.table_name, r.determinant, r.dependent): r
+        for r in fd_discovery(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(FD_CANDIDATES)
+    for t, a, b in FD_CANDIDATES:
+        vals = defaultdict(set)
+        for row in load_table(spark, SF_DIR, t).select(a, b).collect():
+            vals[row[0]].add(row[1])
+        r = got[(t, a, b)]
+        n_keys = len(vals)
+        n_viol = sum(1 for s in vals.values() if len(s) > 1)
+        assert r.n_keys == n_keys
+        assert r.n_pairs == sum(len(s) for s in vals.values())
+        assert r.n_violating_keys == n_viol
+        assert r.max_fanout == max(len(s) for s in vals.values())
+        assert r.fd_holds == int(n_viol == 0)
+        assert r.strength_ppm == (n_keys - n_viol) * 1_000_000 // n_keys
+    # structural findings on this data: the PK control holds, the
+    # low-cardinality pairs fail in both directions
+    assert got[("customer", "c_custkey", "c_mktsegment")].fd_holds == 1
+    assert got[("customer", "c_nationkey", "c_mktsegment")].fd_holds == 0
+    assert got[("customer", "c_mktsegment", "c_nationkey")].fd_holds == 0
+
+
+def test_corpus_split_leakage_matches_python_recompute(spark):
+    """Per-split leak accounting must equal a Python recompute of the
+    same hash split + shingle windows (short docs contribute their
+    full sequence), and the audit must find real but partial leakage
+    on this data."""
+    import hashlib
+    import re as _re
+    from collections import defaultdict
+
+    from ai_data_pipeline_spark.operators.corpus import (
+        LEAK_SHINGLE_K,
+        SPLIT_PCT,
+        corpus_split_leakage,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def doc_split(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        return (
+            "train"
+            if b < SPLIT_PCT[0]
+            else ("val" if b < SPLIT_PCT[1] else "test")
+        )
+
+    def windows(text: str) -> set:
+        toks = _re.split(r"\s+", text.lower())
+        n = max(len(toks) - LEAK_SHINGLE_K + 1, 1)
+        return {
+            hashlib.md5(
+                " ".join(toks[i : i + LEAK_SHINGLE_K]).encode()
+            ).hexdigest()
+            for i in range(n)
+        }
+
+    train_h = set()
+    held = []
+    for r in docs:
+        sp = doc_split(r.doc_id)
+        ws = windows(r.text)
+        if sp == "train":
+            train_h |= ws
+        else:
+            held.append((sp, r.doc_id, ws))
+    want = defaultdict(lambda: [0, 0, set()])  # split -> [docs, leaked, shingles]
+    for sp, _, ws in held:
+        leaked = ws & train_h
+        acc = want[sp]
+        acc[0] += 1
+        acc[1] += bool(leaked)
+        acc[2] |= leaked
+
+    got = {r.split: r for r in corpus_split_leakage(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for sp, (n_docs, n_leaked, shingles) in want.items():
+        r = got[sp]
+        assert (r.n_docs, r.n_leaked_docs) == (n_docs, n_leaked)
+        assert r.n_leaked_shingles == len(shingles)
+        assert r.leak_ppm == n_leaked * 1_000_000 // n_docs
+    # real but partial leakage: the audit discriminates on this corpus
+    assert sum(r.n_leaked_docs for r in got.values()) > 0
+    assert any(r.n_leaked_docs < r.n_docs for r in got.values())
+
+
+def test_emb_drift_monitor_matches_python_recompute(spark):
+    """Per-dim drift must equal a Python recompute of the banded
+    two-sample chi-square with floor-of-exact-rational terms, and a
+    dimension compared against itself must read zero drift."""
+    import math
+    from collections import Counter
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        DRIFT_BAND_W,
+        EMB_DIM,
+        emb_drift_monitor,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    nr = sum(1 for r in rows if r.vec_id % 2 == 0)
+    nc = len(rows) - nr
+    counts = {d: Counter() for d in range(EMB_DIM)}  # band -> [ref, cand]
+    for r in rows:
+        ref = r.vec_id % 2 == 0
+        for d, x in enumerate(r.embedding):
+            band = math.floor(float(x) * 1_000_000 / DRIFT_BAND_W)
+            counts[d][(band, ref)] += 1
+
+    got = {r.dim: r for r in emb_drift_monitor(spark, SF_DIR).collect()}
+    assert set(got) == set(range(EMB_DIM))
+    for d in range(EMB_DIM):
+        bands = {b for b, _ in counts[d]}
+        want_ppm = 0
+        for b in bands:
+            n_ref = counts[d][(b, True)]
+            n_cand = counts[d][(b, False)]
+            diff = n_ref * nc - n_cand * nr
+            want_ppm += diff * diff * 1_000_000 // ((n_ref + n_cand) * nr * nc)
+        r = got[d]
+        assert r.n_bands == len(bands)
+        assert r.drift_ppm == want_ppm
+        assert r.drift_ppm >= 0
+    # identical populations would give 0 on every band; the halves here
+    # are random splits of one population, so drift must be small
+    # relative to a full-population statistic but need not be zero
+    assert all(r.drift_ppm >= 0 for r in got.values())

@@ -1118,3 +1118,40 @@ def test_zonemap_skip_audit_no_fact_join(spark):
     plan = _plan(zonemap_skip_audit(spark, SF_DIR))
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert "partial_min" in plan or "partial_max" in plan
+
+
+def test_fd_discovery_aggregates_only_no_join(spark):
+    """FD discovery must be per-candidate keyed count-distinct
+    aggregates + 1-row rollups unioned — no joins, no windows,
+    map-side partial aggregation present."""
+    from ai_data_pipeline_spark.operators.vault import fd_discovery
+
+    plan = _plan(fd_discovery(spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_split_leakage_digest_semi_join(spark):
+    """Leak detection must be a digest-keyed LeftSemi join (windows
+    travel as md5 digests, text never shuffles) with no cartesian and
+    no window."""
+    from ai_data_pipeline_spark.operators.corpus import corpus_split_leakage
+
+    plan = _plan(corpus_split_leakage(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_emb_drift_monitor_single_keyed_aggregate(spark):
+    """Drift must reduce the exploded (dim, band, pop) rows in ONE
+    map-side-combined aggregate; the statistic runs on the constant
+    band relation with the 1-row population broadcast — no sort-merge
+    join, no window, vectors never shuffle."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        emb_drift_monitor,
+    )
+
+    plan = _plan(emb_drift_monitor(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "partial_sum" in plan
+    assert "Generate" in plan  # the posexplode fan-out
