@@ -210,10 +210,17 @@ def _driver_green() -> dict[str, int]:
 # to the full 256-bit hh digest, and compaction_roundtrip_events
 # replaced exact file-count columns with engine-contract bound flags
 # (its oracle was unsound at rows < COMPACT_SMALL_FILES).
+# + the late-r8 int64-overflow closure (both greens predate the
+# decimal rewrites; clear only against post-rewrite greens):
+# q_seasonal_index's numerator n_events·total_days·10⁶ (~10²¹ at 10¹²
+# events) and q_gini_segments' Σnᵢ² / N²·10⁶ (~10²²/10²⁸ at 10¹¹-row
+# classes) both moved to DECIMAL(38,0)/HUGEINT.
 _REWRITTEN_SINCE_GREEN: set[str] = {
     "dedup_minhash_lsh",
     "dedup_minhash_estimate",
     "compaction_roundtrip_events",
+    "q_seasonal_index",
+    "q_gini_segments",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver

@@ -212,7 +212,10 @@ def q_gini_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ppm: ((N² − Σnᵢ²)·10⁶) div N², alongside the majority-class
     share. Two keyed aggregates with map-side partials — the first
     reduces rows to (group, class) counts, the second to one row per
-    group; at 100 TB the shuffle carries counts only."""
+    group; at 100 TB the shuffle carries counts only. The squared
+    terms ride DECIMAL(38,0)/HUGEINT end to end: per-class counts
+    reach ~10¹¹ at 100 TB, so both Σnᵢ² and N²·10⁶ (~10²⁸) overflow
+    int64 — inside 38 digits to ~10¹⁶ rows per group."""
     c = load_table(spark, sf_dir, "customer")
     cell = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n")
@@ -222,7 +225,9 @@ def q_gini_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").alias("n_customers"),
             F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+            F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias(
+                "sum_sq"
+            ),
             F.max("n").alias("n_majority"),
         )
         .select(
@@ -230,12 +235,15 @@ def q_gini_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "n_segments",
             F.expr(
-                "((n_customers * n_customers - sum_sq) * 1000000)"
-                " div (n_customers * n_customers)"
+                "cast(((cast(n_customers as decimal(38,0)) * n_customers"
+                "       - sum_sq) * 1000000)"
+                " div (cast(n_customers as decimal(38,0)) * n_customers)"
+                " as bigint)"
             ).alias("gini_ppm"),
-            F.expr("(n_majority * 1000000) div n_customers").alias(
-                "majority_ppm"
-            ),
+            F.expr(
+                "cast((cast(n_majority as decimal(38,0)) * 1000000)"
+                " div n_customers as bigint)"
+            ).alias("majority_ppm"),
         )
     )
 
@@ -248,14 +256,17 @@ WITH cell AS (
   SELECT c_nationkey,
          CAST(sum(n) AS BIGINT) AS n_customers,
          count(*) AS n_segments,
-         CAST(sum(n * n) AS BIGINT) AS sum_sq,
+         sum(CAST(n AS HUGEINT) * n) AS sum_sq,
          max(n) AS n_majority
   FROM cell GROUP BY 1
 )
 SELECT c_nationkey, n_customers, n_segments,
-       ((n_customers * n_customers - sum_sq) * 1000000)
-         // (n_customers * n_customers) AS gini_ppm,
-       (n_majority * 1000000) // n_customers AS majority_ppm
+       CAST(((CAST(n_customers AS HUGEINT) * n_customers - sum_sq)
+             * 1000000)
+            // (CAST(n_customers AS HUGEINT) * n_customers) AS BIGINT)
+         AS gini_ppm,
+       CAST((CAST(n_majority AS HUGEINT) * 1000000) // n_customers
+            AS BIGINT) AS majority_ppm
 FROM g
 """
 

@@ -605,8 +605,12 @@ def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "n_events",
         "n_days",
+        # DECIMAL(38,0) numerator: n_events·total_days·10⁶ reaches
+        # ~10²¹ at 10¹² events (int64 ANSI-throws); denominator stays
+        # long-safe but rides the decimal division anyway
         F.expr(
-            "(n_events * total_days * 1000000) div (n_days * total_events)"
+            "cast((cast(n_events as decimal(38,0)) * total_days * 1000000)"
+            " div (cast(n_days as decimal(38,0)) * total_events) as bigint)"
         ).alias("seasonal_index_ppm"),
     )
 
@@ -624,7 +628,8 @@ WITH daily AS (
   FROM per_dow
 )
 SELECT dow, n_events, n_days,
-       (n_events * total_days * 1000000) // (n_days * total_events)
+       CAST((CAST(n_events AS HUGEINT) * total_days * 1000000)
+            // (CAST(n_days AS HUGEINT) * total_events) AS BIGINT)
          AS seasonal_index_ppm
 FROM per_dow CROSS JOIN totals
 """

@@ -526,9 +526,12 @@ def stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     acc = spark.read.option("basePath", sink).parquet(sink)
+    # checksum in DECIMAL(38,0): a long sum of doc_ids overflows once
+    # corpus ids reach ~10¹² at 10¹² rows (ANSI throws) — same
+    # discipline as readers.py's timestamp checksums
     return acc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_accepted"),
-        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum(F.col("doc_id").cast("decimal(38,0)")).alias("sum_doc_id"),
     )
 
 
@@ -556,7 +559,8 @@ WITH d AS (
   GROUP BY 1, 2
 )
 SELECT lang, count(*) AS n_accepted,
-       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+       CAST(CAST(sum(CAST(doc_id AS HUGEINT)) AS HUGEINT) AS DECIMAL(38,0))
+         AS sum_doc_id
 FROM acc GROUP BY lang
 """
 
