@@ -253,9 +253,10 @@ _REFIXED_FIRST: list[str] = []
 # audit pair dq_l_diversity / zonemap_skip_audit, and the
 # dependency/leakage pair fd_discovery / corpus_split_leakage, and
 # the embedding drift monitor emb_drift_monitor)
-# + 3 rewritten-since-green (full-digest MinHash pair,
-# placement-robust compaction) = 42 driver
-# slots on new evidence; the remaining ~8
+# + 5 rewritten-since-green (full-digest MinHash pair,
+# placement-robust compaction, decimal-rewritten seasonal index and
+# Gini) = 44 driver
+# slots on new evidence; the remaining ~6
 # re-confirm the oldest greens (proven tier orders by last-green round
 # ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
 # task #2). Names listed here but already green just rank in the

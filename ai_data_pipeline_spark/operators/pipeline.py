@@ -374,14 +374,16 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ppm ratios go through DECIMAL(38,0): the token sums reach ~10¹³
     # at 100 TB, so the ×10⁶ step would overflow int64 (ANSI throws);
-    # the doc sums get the same cast for headroom uniformity
+    # the doc sums get the same cast for headroom uniformity. nullif
+    # guards the empty-ingest corner (d0 = 0 would ANSI-throw): an
+    # empty release report carries NULL ratios, not a crash.
     stages = ", ".join(
         f"named_struct('stage_id', {i}, 'stage', '{name}',"
         f" 'n_docs', d{i - 1}, 'n_tokens', t{i - 1},"
         f" 'docs_retained_ppm', cast((cast(d{i - 1} as decimal(38,0))"
-        f" * 1000000) div d0 as bigint),"
+        f" * 1000000) div nullif(d0, 0) as bigint),"
         f" 'tokens_retained_ppm', cast((cast(t{i - 1} as decimal(38,0))"
-        f" * 1000000) div t0 as bigint))"
+        f" * 1000000) div nullif(t0, 0) as bigint))"
         for i, name in enumerate(
             ["ingest", "dedup_survivor", "lm_not_tail", "cls_approved"], 1
         )
@@ -393,10 +395,10 @@ def _funnel_oracle() -> str:
     rows = " UNION ALL ".join(
         f"SELECT {i} AS stage_id, '{name}' AS stage,"
         f" d{i - 1} AS n_docs, t{i - 1} AS n_tokens,"
-        f" CAST((CAST(d{i - 1} AS HUGEINT) * 1000000) // d0 AS BIGINT)"
-        " AS docs_retained_ppm,"
-        f" CAST((CAST(t{i - 1} AS HUGEINT) * 1000000) // t0 AS BIGINT)"
-        " AS tokens_retained_ppm"
+        f" CAST((CAST(d{i - 1} AS HUGEINT) * 1000000) // nullif(d0, 0)"
+        " AS BIGINT) AS docs_retained_ppm,"
+        f" CAST((CAST(t{i - 1} AS HUGEINT) * 1000000) // nullif(t0, 0)"
+        " AS BIGINT) AS tokens_retained_ppm"
         " FROM agg"
         for i, name in enumerate(
             ["ingest", "dedup_survivor", "lm_not_tail", "cls_approved"], 1

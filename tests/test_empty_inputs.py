@@ -64,6 +64,17 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("maintenance", "q_table_diff"),
         ("linkage", "er_golden_record"),
         ("stats", "q_gini_segments"),
+        # round-8 late batches: calibration, compliance, audits
+        ("stats", "cls_score_percentile"),
+        ("pipeline", "pipeline_curation_funnel"),
+        ("similarity", "emb_covariance_stats"),
+        ("similarity", "emb_drift_monitor"),
+        ("redact", "corpus_pii_scan"),
+        ("curation", "corpus_tombstone_purge"),
+        ("quality", "dq_l_diversity"),
+        ("maintenance", "zonemap_skip_audit"),
+        ("vault", "fd_discovery"),
+        ("corpus", "corpus_split_leakage"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):
