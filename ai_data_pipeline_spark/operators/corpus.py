@@ -261,10 +261,14 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     that appears verbatim in train is still a leak.
 
     Scale: windows travel as 16-byte md5 digests from the first
-    projection (text never shuffles); the train-side index is one
-    distinct aggregate; leak detection is a digest-keyed semi-join
-    (work ∝ shared digests); rollups are split-keyed over ≤ 2 splits'
-    doc ids. The same bucketed-candidate discipline as the dedup
+    projection (text never shuffles); the distinct gram relation is
+    materialized ONCE (localCheckpoint — the corpus is scanned and
+    tokenized exactly once; without it Spark re-derives the subtree
+    for the train and held consumers, and a plan audit measured five
+    corpus scans); leak detection is one digest-keyed semi-join (work
+    ∝ shared digests) feeding ONE split-keyed distinct-count
+    aggregate; totals come from a token-free scan joined on the ≤ 2
+    split keys. The same bucketed-candidate discipline as the dedup
     family — no pair blowup, no corpus broadcast."""
     d = load_table(spark, sf_dir, "documents")
     bucket = (
@@ -282,43 +286,43 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         F.split(F.lower(F.col("text")), r"\s+").alias("l"),
     )
-    grams = base.select(
-        "doc_id",
-        "split",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(l) - {LEAK_SHINGLE_K - 1}, 1)),"
-                f" i -> md5(concat_ws(' ', slice(l, i, {LEAK_SHINGLE_K}))))"
-            )
-        ).alias("h"),
-    ).distinct()
+    grams = (
+        base.select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(l) - {LEAK_SHINGLE_K - 1}, 1)),"
+                    f" i -> md5(concat_ws(' ', slice(l, i, {LEAK_SHINGLE_K}))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()  # tokenize/scan the corpus exactly once
+    )
     train_h = grams.filter(F.col("split") == "train").select("h").distinct()
     held = grams.filter(F.col("split") != "train")
-    leaks = held.join(train_h, "h", "left_semi")
-    leaked_docs = leaks.select("split", "doc_id").distinct()
-    shingle_counts = leaks.groupBy("split").agg(
-        F.countDistinct("h").alias("n_leaked_shingles")
-    )
-    docs = base.filter(F.col("split") != "train").select("doc_id", "split")
-    return (
-        docs.join(
-            leaked_docs.withColumn("lk", F.lit(1)), ["split", "doc_id"], "left"
-        )
+    per_split_leaks = (
+        held.join(train_h, "h", "left_semi")
         .groupBy("split")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("lk").isNotNull().cast("long")).alias("n_leaked_docs"),
+            F.countDistinct("doc_id").alias("n_leaked_docs"),
+            F.countDistinct("h").alias("n_leaked_shingles"),
         )
-        .join(F.broadcast(shingle_counts), "split", "left")
-        .select(
-            "split",
-            "n_docs",
-            "n_leaked_docs",
-            F.expr("(n_leaked_docs * 1000000) div n_docs").alias("leak_ppm"),
-            F.coalesce("n_leaked_shingles", F.lit(0)).alias(
-                "n_leaked_shingles"
-            ),
-        )
+    )
+    docs_tot = (
+        base.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return docs_tot.join(F.broadcast(per_split_leaks), "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce("n_leaked_docs", F.lit(0)).alias("n_leaked_docs"),
+        F.expr(
+            "(coalesce(n_leaked_docs, 0) * 1000000) div n_docs"
+        ).alias("leak_ppm"),
+        F.coalesce("n_leaked_shingles", F.lit(0)).alias("n_leaked_shingles"),
     )
 
 

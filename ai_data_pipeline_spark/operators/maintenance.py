@@ -411,38 +411,44 @@ def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     unclustered filters.
 
     Scale: one pass per layout (two keyed min/max aggregates over the
-    fact table, map-side combined, zone-count output cardinality), a
-    1-row scalar (n_zones) riding a broadcast, and the predicate sweep
-    over the tiny zone-stats relation. The fact table is never joined
-    or windowed; at 100 TB this is two aggregate scans — the audit
-    costs less than one of the queries it plans for."""
+    fact table, map-side combined, zone-count output cardinality) and
+    the predicate sweep over the tiny zone-stats relation. The n_zones
+    scalar the scattered layout needs is derived from the CLUSTERED
+    zone-stats relation (constant-size), not a third fact-table scan.
+    The fact table is never joined or windowed; at 100 TB this is two
+    aggregate scans — the audit costs less than one of the queries it
+    plans for."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
-    nz = li.agg(
+
+    def zone_stats(rel, zid):
+        return rel.groupBy(zid.alias("zone")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_quantity").alias("min_q"),
+            F.max("l_quantity").alias("max_q"),
+            F.min("l_extendedprice").alias("min_p"),
+        )
+
+    # constant-size relation, consumed twice (n_zones + the union) —
+    # materialize so the clustered aggregate scans the fact table once
+    clustered = zone_stats(
+        li, F.expr(f"l_orderkey div {ZONE_SPAN}")
+    ).localCheckpoint()
+    nz = clustered.agg(
         F.expr(
-            f"(max(l_orderkey) + {ZONE_SPAN}) div {ZONE_SPAN}"
+            f"(max(max_ok) + {ZONE_SPAN}) div {ZONE_SPAN}"
         ).alias("n_zones")
     )
-    zoned = li.crossJoin(F.broadcast(nz))
-    stats = []
-    for layout, zid in (
-        ("clustered", F.expr(f"l_orderkey div {ZONE_SPAN}")),
-        ("scattered", F.col("l_orderkey") % F.col("n_zones")),
-    ):
-        stats.append(
-            zoned.groupBy(zid.alias("zone"))
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.min("l_orderkey").alias("min_ok"),
-                F.max("l_orderkey").alias("max_ok"),
-                F.min("l_quantity").alias("min_q"),
-                F.max("l_quantity").alias("max_q"),
-                F.min("l_extendedprice").alias("min_p"),
-            )
-            .withColumn("layout", F.lit(layout))
-        )
-    zs = stats[0].unionByName(stats[1])
+    scattered = zone_stats(
+        li.crossJoin(F.broadcast(nz)),
+        F.col("l_orderkey") % F.col("n_zones"),
+    )
+    zs = clustered.withColumn("layout", F.lit("clustered")).unionByName(
+        scattered.withColumn("layout", F.lit("scattered"))
+    )
     preds = zs.crossJoin(
         F.broadcast(
             spark.createDataFrame(_ZONE_PREDS, "pred_id int, pred string")

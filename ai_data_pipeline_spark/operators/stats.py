@@ -759,32 +759,37 @@ def cls_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: composes the multiclass scorer (bounded-weight join, min_by
     argmax) and then reduces the corpus to the |langs|² confusion grid
-    in ONE keyed aggregate with map-side partials; everything after is
-    arithmetic over a few dozen rows (full-outer join of two
-    class-keyed rollups of that grid). No window, no corpus-sized
+    in ONE keyed aggregate with map-side partials; the actual- and
+    predicted-side rollups both read that grid through a 2-way role
+    explode into a single class-keyed aggregate — ONE derivation of
+    the scoring pipeline, one tree, no self-join (an earlier draft's
+    two independent rollups re-derived the whole scorer per branch —
+    plan audit: 10 corpus scans vs 5). No window, no corpus-sized
     broadcast."""
     mc = cls_linear_multiclass(spark, sf_dir)
     cm = mc.groupBy("actual_lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    per_actual = cm.groupBy(F.col("actual_lang").alias("cls")).agg(
-        F.sum("n_docs").alias("support"),
-        F.sum(
-            F.when(
-                F.col("actual_lang") == F.col("predicted_lang"), F.col("n_docs")
-            ).otherwise(F.lit(0))
-        ).alias("tp"),
-    )
-    per_pred = cm.groupBy(F.col("predicted_lang").alias("cls")).agg(
-        F.sum("n_docs").alias("predicted_n")
+    roles = cm.select(
+        F.expr(
+            "inline(array("
+            " named_struct('role', 'a', 'cls', actual_lang, 'n', n_docs,"
+            "  'tp_n', CASE WHEN actual_lang = predicted_lang THEN n_docs"
+            "          ELSE cast(0 as bigint) END),"
+            " named_struct('role', 'p', 'cls', predicted_lang, 'n', n_docs,"
+            "  'tp_n', cast(0 as bigint))))"
+        )
     )
     return (
-        per_actual.join(per_pred, "cls", "full_outer")
-        .select(
-            "cls",
-            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
-            F.coalesce("predicted_n", F.lit(0)).cast("long").alias("predicted_n"),
-            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        roles.groupBy("cls")
+        .agg(
+            F.sum(F.when(F.col("role") == "a", F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("support"),
+            F.sum(F.when(F.col("role") == "p", F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("predicted_n"),
+            F.sum("tp_n").cast("long").alias("tp"),
         )
         .select(
             "cls",

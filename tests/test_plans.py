@@ -960,11 +960,18 @@ def test_cls_roc_auc_aggregates_before_window(spark):
 def test_cls_confusion_matrix_is_windowless_grid_reduction(spark):
     """The scorecard must reduce the corpus to the |langs|^2 confusion
     grid with keyed aggregates and keep the argmax as min_by — no
-    window operator and no cartesian in the whole tree."""
-    from ai_data_pipeline_spark.operators.stats import cls_confusion_matrix
+    window operator and no cartesian in the whole tree. The grid is
+    localCheckpointed (one scoring run for both class rollups), so the
+    min_by argmax is asserted on the composed scorer's plan and the
+    windowless/cartesian-free property on the scorecard's."""
+    from ai_data_pipeline_spark.operators.stats import (
+        cls_confusion_matrix,
+        cls_linear_multiclass,
+    )
 
+    scorer_plan = _plan(cls_linear_multiclass(spark, SF_DIR))
+    assert "min_by" in scorer_plan
     plan = _plan(cls_confusion_matrix(spark, SF_DIR))
-    assert "min_by" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
 
