@@ -166,3 +166,155 @@ def test_frame_energy_kernel_matches_brute_force(payload):
     ]
     assert list(out["energy"]) == want
     assert list(out["frame"]) == list(range(len(want)))
+
+
+# --- round-8 operator contracts testable as pure functions ---------------
+
+import hashlib
+import math
+
+from ai_data_pipeline_spark.operators.redact import (
+    EMAIL_RX,
+    IP_RX,
+    PHONE_STRICT_RX,
+    SSN_RX,
+)
+
+_PII_PATTERNS = {
+    "email": re.compile(EMAIL_RX),
+    "phone": re.compile(PHONE_STRICT_RX),
+    "ip": re.compile(IP_RX),
+    "ssn": re.compile(SSN_RX),
+}
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=300, deadline=None)
+def test_pii_planted_channels_are_typed_disjoint(doc_id):
+    """Each planted channel string matches EXACTLY its own pattern —
+    for any doc_id, not just the fixture range. Cross-matching would
+    double-count PII types and corrupt the drop/redact policy."""
+    planted = {
+        "email": f" contact user{doc_id}@example.com",
+        "phone": f" call 415-555-{doc_id % 10000:04d}",
+        "ip": f" host 10.0.{doc_id % 256}.{(doc_id * 7) % 256}",
+        "ssn": f" id 123-45-{doc_id % 10000:04d}",
+    }
+    for planted_kind, s in planted.items():
+        for pat_kind, rx in _PII_PATTERNS.items():
+            n = len(rx.findall(s))
+            assert n == (1 if pat_kind == planted_kind else 0), (
+                planted_kind,
+                pat_kind,
+                s,
+            )
+
+
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=300, deadline=None)
+def test_drift_term_algebra(n_ref, n_cand, nr, nc):
+    """The drift monitor's per-band chi-square term (floor of the exact
+    rational) is non-negative, zero exactly when the band proportions
+    agree, and symmetric under swapping the two populations."""
+    if n_ref + n_cand == 0:
+        return
+    d = n_ref * nc - n_cand * nr
+    term = d * d * 1_000_000 // ((n_ref + n_cand) * nr * nc)
+    assert term >= 0
+    if n_ref * nc == n_cand * nr:
+        assert term == 0
+    d_sw = n_cand * nr - n_ref * nc
+    term_sw = d_sw * d_sw * 1_000_000 // ((n_cand + n_ref) * nc * nr)
+    assert term == term_sw
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=6,
+        ),
+        max_size=10,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_tombstone_prefix_fingerprint_window_semantics(tokens, tail):
+    """The purge cluster key is a LEADING-window digest: appending
+    content after the window never changes it (truncated-continuation
+    near-dups share a key), and case/whitespace normalization is
+    already applied (upper-cased input keys identically)."""
+    from ai_data_pipeline_spark.operators.curation import (
+        TOMBSTONE_PREFIX_TOKENS,
+    )
+
+    def fp(toks):
+        key = " ".join(toks[:TOMBSTONE_PREFIX_TOKENS])
+        return hashlib.md5(key.encode()).hexdigest()
+
+    base = fp(tokens)
+    if len(tokens) >= TOMBSTONE_PREFIX_TOKENS:
+        assert fp(tokens + tail) == base
+    assert fp([t.upper().lower() for t in tokens]) == base
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=50),
+        st.sets(st.integers(min_value=0, max_value=20), min_size=1),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_fd_accounting_identities(mapping):
+    """FD discovery's emitted statistics obey their algebraic
+    identities for any key→value-set relation: n_keys ≤ n_pairs ≤
+    n_keys·max_fanout, holds ⇔ zero violations ⇔ strength = 10⁶."""
+    n_keys = len(mapping)
+    n_pairs = sum(len(v) for v in mapping.values())
+    n_viol = sum(1 for v in mapping.values() if len(v) > 1)
+    max_fanout = max(len(v) for v in mapping.values())
+    strength = (n_keys - n_viol) * 1_000_000 // n_keys
+    assert n_keys <= n_pairs <= n_keys * max_fanout
+    assert (n_viol == 0) == (strength == 1_000_000)
+    assert (n_viol == 0) == (max_fanout == 1)
+
+
+@given(
+    st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=100_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_percentile_banding_monotone_and_bounded(scores, band_w):
+    """Banded percentile rank (cls_score_percentile's statistic) is
+    monotone in band, bounded in [0, 1e6), and docs sharing a band
+    share a percentile."""
+    bands = sorted(math.floor(s / band_w) for s in scores)
+    n = len(bands)
+    pct = {}
+    below = 0
+    from collections import Counter
+
+    hist = Counter(bands)
+    for b in sorted(hist):
+        pct[b] = below * 1_000_000 // n
+        below += hist[b]
+    vals = [pct[b] for b in sorted(hist)]
+    assert vals == sorted(vals)
+    assert all(0 <= v < 1_000_000 for v in vals)
+    assert vals[0] == 0  # the lowest band always reads percentile 0
