@@ -214,13 +214,17 @@ def _driver_green() -> dict[str, int]:
 # decimal rewrites; clear only against post-rewrite greens):
 # q_seasonal_index's numerator n_events·total_days·10⁶ (~10²¹ at 10¹²
 # events) and q_gini_segments' Σnᵢ² / N²·10⁶ (~10²²/10²⁸ at 10¹¹-row
-# classes) both moved to DECIMAL(38,0)/HUGEINT.
+# classes) both moved to DECIMAL(38,0)/HUGEINT. Also
+# partitioned_roundtrip_events: its read-back now declares the schema
+# explicitly (an empty partitioned sink fails schema INFERENCE — the
+# zero-row ingest-date edge caught by the empty-table sweep).
 _REWRITTEN_SINCE_GREEN: set[str] = {
     "dedup_minhash_lsh",
     "dedup_minhash_estimate",
     "compaction_roundtrip_events",
     "q_seasonal_index",
     "q_gini_segments",
+    "partitioned_roundtrip_events",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver

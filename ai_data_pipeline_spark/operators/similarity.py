@@ -532,6 +532,12 @@ def ann_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERIES)
     q = e.filter(F.col("vec_id") < N_QUERIES)
+    if corpus.isEmpty():
+        # MLlib refuses to fit on zero rows; an empty index answers
+        # every query with zero matches — return the declared schema
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=7
     )

@@ -181,8 +181,20 @@ def partitioned_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = scratch_dir("part_")
     write_parquet(src, tmp, partition_by=["event_date"])
-    back = spark.read.parquet(tmp).filter(
-        F.col("event_date").cast("string").between(PART_DATE_LO, PART_DATE_HI)
+    # schema-explicit read-back: a zero-row ingest date writes an empty
+    # partitioned sink, and schema INFERENCE on an empty layout fails
+    # (UNABLE_TO_INFER_SCHEMA) — the production contract is that the
+    # reader declares the schema it expects, so empty days read as
+    # empty relations, not errors
+    back = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string, event_date string"
+        )
+        .parquet(tmp)
+        .filter(
+            F.col("event_date").cast("string").between(PART_DATE_LO, PART_DATE_HI)
+        )
     )
     # ts checksum is modular: raw epoch-micros (~1.7e15 each) overflow a
     # long sum beyond ~5000 rows, so sum the mod-prime residues in

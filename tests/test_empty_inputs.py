@@ -75,6 +75,13 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("maintenance", "zonemap_skip_audit"),
         ("vault", "fd_discovery"),
         ("corpus", "corpus_split_leakage"),
+        # empty-sink read-back (schema-explicit reader contract) and
+        # the MLlib LSH empty-index guard — both found by running the
+        # FULL contract against empty tables; the stream_* family is
+        # excluded because its fixture writer (not the operator)
+        # requires at least one source row to build stream files
+        ("readers", "partitioned_roundtrip_events"),
+        ("similarity", "ann_mllib_brp"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):
