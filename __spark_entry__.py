@@ -205,27 +205,12 @@ def _driver_green() -> dict[str, int]:
 # dedup_ngram_jaccard's r7 NGRAM_DF_CAP semantic change) were all
 # driver-re-proven green in CORRECTNESS_r07.json on current code, so
 # the set was cleared at the start of round 8 (VERDICT r7 task #1).
-# r8 rewrites (VERDICT r7 tasks #4/#5, both green r6/r7 before the
-# change): the MinHash verify joins moved from the 128-bit md5 prefix
-# to the full 256-bit hh digest, and compaction_roundtrip_events
-# replaced exact file-count columns with engine-contract bound flags
-# (its oracle was unsound at rows < COMPACT_SMALL_FILES).
-# + the late-r8 int64-overflow closure (both greens predate the
-# decimal rewrites; clear only against post-rewrite greens):
-# q_seasonal_index's numerator n_events·total_days·10⁶ (~10²¹ at 10¹²
-# events) and q_gini_segments' Σnᵢ² / N²·10⁶ (~10²²/10²⁸ at 10¹¹-row
-# classes) both moved to DECIMAL(38,0)/HUGEINT. Also
-# partitioned_roundtrip_events: its read-back now declares the schema
-# explicitly (an empty partitioned sink fails schema INFERENCE — the
-# zero-row ingest-date edge caught by the empty-table sweep).
-_REWRITTEN_SINCE_GREEN: set[str] = {
-    "dedup_minhash_lsh",
-    "dedup_minhash_estimate",
-    "compaction_roundtrip_events",
-    "q_seasonal_index",
-    "q_gini_segments",
-    "partitioned_roundtrip_events",
-}
+# The r8 rewrite cohort (MinHash full-digest pair, placement-robust
+# compaction, decimal-rewritten seasonal index and Gini, explicit-
+# schema partitioned read-back) was driver-re-proven green in
+# CORRECTNESS_r08.json on current code, so the set was cleared at the
+# start of round 9 (VERDICT r8 task #5).
+_REWRITTEN_SINCE_GREEN: set[str] = set()
 
 # Oracled queries declared late in a round, AFTER that round's driver
 # budget was already filled: these rank behind every re-proof so they
@@ -235,10 +220,19 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
 _NEW_DEFERRED: set[str] = set()
 
 # Red rows re-fixed in the current round go here so the fix is
-# driver-proven first. Empty since r6: q_time_weighted_avg's fix went
-# green in CORRECTNESS_r06.json on current code, so it now rides the
-# derived proven tier like any other green query.
-_REFIXED_FIRST: list[str] = []
+# driver-proven first. Round 9: the three round-8 reds —
+# corpus_priority_sample (priority now DECIMAL(38,0) on both sides,
+# closing the type skew AND the int64 `div` overflow),
+# emb_covariance_stats (defensive dtype-pinned ingest; locally exact,
+# driver red unexplained — if it reds AGAIN the hardened ingest will
+# either error loudly or the r10 question is the driver's cells), and
+# stream_index_dedup (log-and-compact rewrite, arrival-order
+# invariant). Each fix is strict-comparator-verified at sf0.01+sf0.1.
+_REFIXED_FIRST: list[str] = [
+    "corpus_priority_sample",
+    "emb_covariance_stats",
+    "stream_index_dedup",
+]
 
 # Ordering of the never-checked tier. Round-8 state: 27 never-checked
 # (3 r7 deferrals + the r8 LM/bucket/resample/curation additions, the
@@ -357,6 +351,11 @@ _UNPROVEN_PRIORITY = [
     "fd_discovery", "corpus_split_leakage",
     # round-8 eighteenth batch: embedding distribution drift monitor
     "emb_drift_monitor",
+    # round-9: real-codec roundtrips (stdlib PNG/WAV decode is no
+    # longer a stub — functions/codecs.py)
+    "multimodal_png_roundtrip", "multimodal_wav_roundtrip",
+    # round-9: O(log d)-round alternating-star connected components
+    "dedup_clusters_logstar",
 ]
 
 

@@ -464,7 +464,24 @@ FROM w CROSS JOIN tot
 
 
 SAMPLE_K = 64  # priority-sample size
-_PRI_SCALE = 10**15  # priority = w_ppm * 1e15 div (u60 + 1)
+_PRI_SCALE = 10**15  # priority = w_ppm * 1e15 // (u60 + 1)
+
+
+def priority_div_expr():
+    """Exact integral division `_num // (u60 + 1)` emitted as
+    DECIMAL(38,0). Spark's `div` (IntegralDivide) always returns
+    LongType — type-skewed vs the oracle's DECIMAL and overflowing
+    whenever the quotient exceeds int64 (u60 + 1 < ~217 at w = 2·10⁶).
+    Construction: r = _num % den is Spark's exact decimal remainder,
+    (_num − r) is exactly divisible, and dividing an exactly-
+    representable integer quotient (≤ 22 digits, inside decimal(38,6)'s
+    32 integer digits) is rounding-free; the final cast to scale 0 is
+    then lossless. All operands are positive, so truncation == floor ==
+    DuckDB's `//`. Unit-pinned beyond int64 in
+    tests/test_operator_properties.py."""
+    return F.expr(
+        "CAST((_num - _num % (u60 + 1)) / (u60 + 1) AS DECIMAL(38,0))"
+    )
 
 
 def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,11 +498,18 @@ def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Weight: the clamped classifier-quality map corpus_epoch_plan uses
     (w = clamp(10⁶ + score_ppm, 10⁵, 2·10⁶); docs outside the model's
-    feature support score 0 ⇒ w = 10⁶). Priority = w·10¹⁵ div (u+1)
+    feature support score 0 ⇒ w = 10⁶). Priority = w·10¹⁵ // (u+1)
     in DECIMAL(38,0)/HUGEINT (w·10¹⁵ ≤ 2·10²¹ overflows int64) —
     integer-exact, identical truncation both engines on all-positive
-    operands. Emitted as DECIMAL (≤ 2·10²¹ — beyond BIGINT by design;
-    the harness normalizes DECIMAL exactly).
+    operands, and emitted as DECIMAL(38,0) on BOTH sides. Spark's
+    `div` is useless here: IntegralDivide always returns LongType
+    (overflowing whenever u+1 < ~217, and type-skewed vs the oracle's
+    DECIMAL — the round-8 driver red). Instead the quotient is built
+    from exact decimal primitives: q = (num − num % den) / den, where
+    num % den is Spark's exact decimal remainder, the subtraction
+    makes the numerator exactly divisible, and the final division of
+    an exactly-representable integer quotient (≤ 22 digits, inside
+    decimal(38,6)'s 32 integer digits) is rounding-free.
 
     Scale: one broadcast-model scoring pass (the classifier topology),
     one map-side priority expression, one two-level tournament for the
@@ -509,11 +533,10 @@ def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(sc, "doc_id", "left")
         .select("doc_id", "source", w.alias("w_ppm"), u60.alias("u60"))
         .withColumn(
-            "priority",
-            F.expr(
-                f"(cast(w_ppm as decimal(38,0)) * {_PRI_SCALE}) div (u60 + 1)"
-            ),
+            "_num", F.expr(f"cast(w_ppm as decimal(38,0)) * {_PRI_SCALE}")
         )
+        .withColumn("priority", priority_div_expr())
+        .drop("_num")
     )
     return topk_per_key(
         scored.withColumn("_g", F.lit(1)),

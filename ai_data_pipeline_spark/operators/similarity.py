@@ -1784,9 +1784,42 @@ def emb_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            a = np.stack(pdf["v_fp"].to_numpy()).astype(np.int64)
+            # Defensive ingest (round-8 driver red was locally
+            # unreproducible — the Arrow→pandas list-column conversion
+            # is the one environment-sensitive step): verify the
+            # stacked dtype BEFORE casting and fail loudly on anything
+            # unexpected. The old unconditional astype(int64) would
+            # turn a silently float64-converted chunk (e.g. a
+            # null-bearing Arrow block: NaN→int64 is platform-defined
+            # garbage) into wrong-but-plausible partials.
+            a = np.stack(pdf["v_fp"].to_numpy())
+            if a.ndim != 2 or a.shape[1] != EMB_DIM:
+                raise ValueError(
+                    f"covariance ingest: shape {a.shape}, expected (n,{EMB_DIM})"
+                )
+            if a.dtype.kind not in "iufO":
+                raise ValueError(f"covariance ingest: dtype {a.dtype}")
+            b = a.astype(np.int64)
+            # exactness round-trip: catches NaN (NaN != anything),
+            # non-integral floats, and any lossy object conversion
+            if a.dtype.kind != "i" and not np.equal(b, a).all():
+                raise ValueError(
+                    f"covariance ingest: lossy int64 cast from {a.dtype}"
+                )
+            a = b
+            mx = int(np.abs(a).max(initial=0))
+            if len(pdf) * mx * mx > 9_000_000_000_000_000_000:
+                raise ValueError(
+                    f"covariance ingest: batch Gram partial may overflow"
+                    f" int64 (rows={len(pdf)}, max|v|={mx})"
+                )
             g = a.T @ a
             sx = a.sum(axis=0)
+            if g.dtype != np.int64 or sx.dtype != np.int64:
+                raise ValueError(
+                    f"covariance partials: non-int64 accumulation"
+                    f" ({g.dtype}/{sx.dtype})"
+                )
             yield pd.DataFrame(
                 {
                     "i": iu[0].astype("int32"),

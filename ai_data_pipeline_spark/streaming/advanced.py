@@ -429,33 +429,48 @@ FROM events GROUP BY event_type
 STREAM_IDX_OFFSET = 10_000_000  # planted-duplicate re-key offset
 
 
-def stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_index_dedup(
+    spark: SparkSession, sf_dir: str, _reverse_batches: bool = False
+) -> DataFrame:
     """Streaming ingest dedup against a STATIC corpus index — the
     production online-ingest topology (the existing streaming dedup,
     `stream_dedup_pairs`, is within-stream only): each micro-batch of
     incoming documents is reduced to its per-fingerprint keeper (min
     doc_id), anti-joined against the already-ingested corpus's
-    fingerprint index, anti-joined against everything the stream has
-    accepted so far (the accepted sink doubles as the incremental
-    index), and appended to an idempotent batch_id-partitioned sink.
-    Result: per-language accepted counts + doc_id checksum over the
-    sink read-back.
+    fingerprint index, and appended as CANDIDATES to an idempotent
+    batch_id-partitioned log; the accepted set is the log's
+    compaction view — global min doc_id per fingerprint. Result:
+    per-language accepted counts + doc_id checksum over that view.
+
+    ARRIVAL-ORDER INVARIANCE (the round-8 driver red): the previous
+    design anti-joined each batch against prior batches' output, so
+    which duplicate won depended on which file Spark's file source
+    read first — an mtime ordering assumption that does not hold in
+    every environment (os.utime may be ignored or tie; file-source
+    order is then arbitrary). The log-and-compact topology removes
+    the assumption entirely: the union of per-batch keepers contains,
+    for every fingerprint, the min doc_id of each batch, so the
+    read-back min_by is the global min regardless of how rows were
+    split into batches or in what order batches ran. The test source
+    is two files with NO mtime staging and maxFilesPerTrigger=1 —
+    either order produces identical results, and replaying a batch is
+    a no-op (partition overwrite + idempotent compaction).
 
     The duplicate channels are PLANTED so both rejections provably
     fire at every SF (the er_fuzzy_linkage discipline): the stream is
     the odd-doc_id half of `documents` PLUS re-keyed copies of every
     doc_id % 10 == 0 document (already in the even-half index →
     rejected against the static index) PLUS re-keyed copies of every
-    odd doc_id % 20 == 1 document (its original is already in the
-    stream → rejected as a within-stream duplicate). Acceptance is
-    therefore exactly min-doc_id-per-new-fingerprint — the batch
-    semantics the oracle states — because the two-file source is
-    mtime-ordered with all re-keyed ids in the later batch.
+    odd doc_id % 20 == 1 document (its original is also in the stream
+    → loses the min-doc_id compaction). Acceptance is exactly
+    min-doc_id-per-new-fingerprint — the oracle's stated semantics.
 
-    Scale: the per-batch work is two fingerprint equi-joins (digests
-    travel, text does not) and one keyed min_by — at 100 TB/day the
-    static index side is a bucketed or Bloom-pruned digest table and
-    the accepted sink is the same partitioned parquet log used here;
+    Scale: the per-batch work is one fingerprint equi-join (digests
+    travel, text does not) and one keyed min_by; the log carries only
+    (fp, doc_id, lang) keepers, and the compaction view is the same
+    keyed min_by over the log — at 100 TB/day the static index side
+    is a bucketed or Bloom-pruned digest table and the log/compaction
+    pair is exactly a streaming table + materialized-view topology;
     nothing passes through the driver."""
     from ai_data_pipeline_spark.catalog import load_table
 
@@ -476,18 +491,19 @@ def stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2 * STREAM_IDX_OFFSET).alias("doc_id"), "lang", "fp"
     )
     tmp = scratch_dir("sidx_")
-    src, sink = f"{tmp}/src", f"{tmp}/accepted"
+    src, sink = f"{tmp}/src", f"{tmp}/candidates"
     os.makedirs(src, exist_ok=True)
-    now = 1_700_000_000
     batches = [odds, planted_vs_index.unionByName(planted_in_stream)]
+    if _reverse_batches:  # adversarial order, pinned identical by test
+        batches = batches[::-1]
     for i, b in enumerate(batches):
         b.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
         part = next(
             f for f in os.listdir(f"{tmp}/b{i}") if f.endswith(".parquet")
         )
-        dst = f"{src}/file_{i}.parquet"
-        os.rename(f"{tmp}/b{i}/{part}", dst)
-        os.utime(dst, (now + i * 60, now + i * 60))
+        # no os.utime staging: batch order is deliberately left to the
+        # file source — the result must not depend on it
+        os.rename(f"{tmp}/b{i}/{part}", f"{src}/file_{i}.parquet")
 
     stream = (
         spark.readStream.schema("doc_id long, lang string, fp string")
@@ -511,11 +527,6 @@ def stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .join(idx, "fp", "left_anti")
         )
-        if os.path.isdir(sink) and any(
-            d.startswith("batch_id=") for d in os.listdir(sink)
-        ):
-            prior = spark.read.option("basePath", sink).parquet(sink)
-            keep = keep.join(prior.select("fp"), "fp", "left_anti")
         keep.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
 
     q = (
@@ -525,7 +536,18 @@ def stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    acc = spark.read.option("basePath", sink).parquet(sink)
+    # compaction view: global min-doc_id keeper per fingerprint over
+    # the candidate log — batch- and order-invariant by construction
+    log = spark.read.option("basePath", sink).parquet(sink)
+    acc = (
+        log.groupBy("fp")
+        .agg(
+            F.expr(
+                "min_by(named_struct('doc_id', doc_id, 'lang', lang), doc_id)"
+            ).alias("b")
+        )
+        .select(F.col("b.doc_id").alias("doc_id"), F.col("b.lang").alias("lang"))
+    )
     # checksum in DECIMAL(38,0): a long sum of doc_ids overflows once
     # corpus ids reach ~10¹² at 10¹² rows (ANSI throws) — same
     # discipline as readers.py's timestamp checksums

@@ -52,3 +52,22 @@ def test_stream_index_dedup_rejects_both_planted_channels(spark):
     # none survived
     assert all(d < STREAM_IDX_OFFSET for d, _ in first.values())
     assert sum(want_n.values()) < len(stream)
+
+
+def test_stream_index_dedup_is_batch_order_invariant(spark):
+    """The round-8 driver red: acceptance must NOT depend on which
+    source file the stream processes first. The log-and-compact
+    topology makes the accepted set a pure function of the row set, so
+    running the planted-duplicates batch FIRST must give bit-identical
+    results to the forward order."""
+    from ai_data_pipeline_spark.streaming.advanced import stream_index_dedup
+    from tests.conftest import SF_DIR
+
+    fwd = sorted(map(tuple, stream_index_dedup(spark, SF_DIR).collect()))
+    rev = sorted(
+        map(
+            tuple,
+            stream_index_dedup(spark, SF_DIR, _reverse_batches=True).collect(),
+        )
+    )
+    assert fwd == rev

@@ -1,5 +1,5 @@
 """Run a named subset of __spark_entry__ contract queries against their
-DuckDB oracles (same compare as tools/drive_contract.py).
+DuckDB oracles (same strict compare as tools/drive_contract.py).
 
     python tools/drive_subset.py q3_top_orders q5_region_revenue
     DRIVE_SF_DIR=/root/testdata/sf0.1 python tools/drive_subset.py ...
@@ -17,10 +17,8 @@ import duckdb  # noqa: E402
 
 from ai_data_pipeline_spark.catalog import TABLES  # noqa: E402
 from ai_data_pipeline_spark.session import get_spark  # noqa: E402
-from tools.drive_contract import norm  # noqa: E402
+from tools.drive_contract import SF, check_query  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
-
-SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main(names: list[str]) -> int:
@@ -35,46 +33,7 @@ def main(names: list[str]) -> int:
     for i, name in enumerate(names):
         t0 = time.time()
         try:
-            sdf = queries[name](spark, SF)
-            scols = sorted(sdf.columns)
-            srows = sorted(
-                [tuple(norm(r[c]) for c in scols) for r in sdf.collect()], key=repr
-            )
-            if name in oracles:
-                res = con.execute(oracles[name])
-                dcols_raw = [d[0] for d in res.description]
-                dcols = sorted(dcols_raw)
-                idx = [dcols_raw.index(c) for c in dcols]
-                drows = sorted(
-                    [tuple(norm(row[j]) for j in idx) for row in res.fetchall()],
-                    key=repr,
-                )
-                ok = scols == dcols and len(srows) == len(drows) and srows == drows
-                huge = [
-                    c
-                    for c, t, *_ in con.execute(
-                        f"DESCRIBE {oracles[name]}"
-                    ).fetchall()
-                    if "HUGEINT" in t.upper()
-                ]
-                if huge:
-                    ok = False
-                status = (
-                    "OK"
-                    if ok
-                    else (
-                        f"MISMATCH huge={huge} cols(s/d)={scols}/{dcols} "
-                        f"rows={len(srows)}/{len(drows)}"
-                    )
-                )
-            else:
-                status = f"rows_only({len(srows)})"
-            if "MISMATCH" in status:
-                fails.append(name)
-            print(
-                f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)",
-                flush=True,
-            )
+            status = check_query(spark, con, queries, oracles, name)
         except Exception as ex:  # noqa: BLE001 — report and continue
             fails.append(name)
             print(
@@ -82,6 +41,13 @@ def main(names: list[str]) -> int:
                 f"({time.time() - t0:.1f}s)",
                 flush=True,
             )
+            continue
+        if "MISMATCH" in status:
+            fails.append(name)
+        print(
+            f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)",
+            flush=True,
+        )
     print(f"FAILURES: {len(fails)} {fails}", flush=True)
     return 1 if fails else 0
 
