@@ -114,6 +114,102 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOGSTAR_MAX_ITERS = 16  # ≥ 2·log₂(n) for any plausible component size
+
+
+def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii: "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the O(log d)-round
+    variant of dedup_clusters' plain O(d) min-label propagation, and
+    the round-count answer for adversarially deep duplicate chains
+    (100 TB crawl graphs routinely contain long path components that
+    would cost plain propagation hundreds of shuffle rounds).
+
+    One round = two edge rewrites, each a single groupBy + join over
+    the CURRENT edge set (which only shrinks toward star forests):
+    - large-star: every node u links its LARGER neighbors to
+      m(u) = min(Γ(u) ∪ {u});
+    - small-star: every node u links its smaller neighbors (and
+      itself) to m(u) = min of those.
+    The fixpoint is a forest of stars centered at component minima, so
+    labels read off as min(direct neighbor, self) — no global
+    transitive closure ever materializes. Convergence is detected with
+    a scalar checksum action per round (count + order-insensitive hash
+    sum); extra rounds past the fixpoint are no-ops by the paper's
+    monotonicity argument, so the heuristic check cannot produce wrong
+    labels, only (vanishingly rarely) one spare round.
+
+    Same output contract and DuckDB recursive-CTE oracle as
+    dedup_clusters; tests/test_operator_properties.py additionally pins
+    label-for-label equality between the two implementations."""
+    pairs = _near_dup_pairs(spark, sf_dir)
+    # canonical (hi, lo) orientation; both rewrites emit it naturally
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .distinct()
+        .repartition(8, "hi")
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(LOGSTAR_MAX_ITERS):
+        # --- large-star: for each u, larger neighbors -> m(u)
+        sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # --- small-star on the large-star output: for each hi node,
+        # its (all-smaller) neighbors and itself -> their min
+        smins = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(smins, "hi")
+            .select(
+                F.when(F.col("lo") != F.col("m"), F.col("lo"))
+                .otherwise(F.col("hi"))
+                .alias("hi"),
+                F.col("m").alias("lo"),
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .repartition(8, "hi")
+            .localCheckpoint()
+        )
+        sig = ss.agg(
+            F.count(F.lit(1)),
+            F.sum(F.hash("hi", "lo").cast("long")),
+        ).first()
+        edges = ss
+        if sig == prev_sig or sig[0] == 0:
+            break
+        prev_sig = sig
+    labels = edges.groupBy(F.col("hi").alias("v")).agg(
+        F.min("lo").alias("label")
+    )
+    assign = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("v"))
+        .join(labels, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("v")).alias("cluster_id"),
+        )
+    )
+    return assign.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+    )
+
+
 CLUSTERS_ORACLE = f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_ORACLE})
@@ -278,6 +374,7 @@ WITH edges AS (
 
 QUERY_DEFS = [
     QueryDef("dedup_clusters", dedup_clusters, CLUSTERS_ORACLE),
+    QueryDef("dedup_clusters_logstar", dedup_clusters_logstar, CLUSTERS_ORACLE),
     QueryDef("dedup_triangles", dedup_triangles, TRIANGLES_ORACLE),
     QueryDef("graph_pagerank_nations", graph_pagerank_nations, _pagerank_oracle()),
 ]

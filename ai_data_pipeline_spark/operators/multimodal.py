@@ -29,13 +29,23 @@ from ai_data_pipeline_spark.registry import QueryDef
 FEATURE_SCHEMA = "doc_id long, source string, n_bytes long, first_byte int, last_byte int, byte_sum long"
 
 
-def decode_image(payload: bytes, target_size: tuple[int, int] = (224, 224)):
-    """STUB: real image decode+resize requires PIL/opencv (not in this
-    container). The Spark-side contract (binary in, float features out via
-    mapInPandas) is exercised by byte_features below."""
+def decode_image(payload: bytes, target_size: tuple[int, int] | None = None):
+    """Decode an image payload by magic-number dispatch. PNG (8-bit
+    grayscale) decodes FOR REAL via the stdlib-only codec in
+    functions/codecs.py (zlib inflate + chunk CRCs + scanline
+    unfiltering) — see multimodal_png_roundtrip below, which drives the
+    full encode→decode→feature pipeline through mapInPandas under an
+    oracle. Other formats (JPEG/WebP/...) still raise: their codecs are
+    genuinely not in this container, and a silent fake would poison
+    features."""
+    from ai_data_pipeline_spark.functions.codecs import png_decode, resize_nearest
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        img, _meta = png_decode(payload)
+        return resize_nearest(img, target_size) if target_size else img
     raise NotImplementedError(
-        "image codecs unavailable in this environment; "
-        "byte_features exercises the same mapInPandas plumbing"
+        "only PNG decode is available in this environment (stdlib zlib); "
+        "JPEG/WebP need codec libraries this container does not ship"
     )
 
 
@@ -125,12 +135,15 @@ FROM feats GROUP BY source
 
 
 def resize_image(payload: bytes, target_size: tuple[int, int] = (224, 224)):
-    """STUB: resize requires an image codec (PIL/opencv, not in this
-    container). Plumbing contract identical to decode_image."""
-    raise NotImplementedError(
-        "image codecs unavailable in this environment; "
-        "frame_sample exercises the same mapInPandas plumbing"
-    )
+    """Decode (PNG) + nearest-neighbor resize + re-encode — a real
+    byte-in/byte-out thumbnailing kernel for the one format this
+    container can decode; other formats raise via decode_image's
+    dispatch. The resampler is exact index math (functions/codecs.py
+    resize_nearest), so results are engine-reproducible — no
+    library-specific interpolation kernels."""
+    from ai_data_pipeline_spark.functions.codecs import png_encode_gray
+
+    return png_encode_gray(decode_image(payload, target_size))
 
 
 FRAME_BYTES = 32  # bytes per pseudo-frame
@@ -317,12 +330,19 @@ FROM flagged GROUP BY doc_id
 
 
 def decode_audio(payload: bytes, sample_rate: int = 16_000):
-    """STUB: real audio decode requires ffmpeg/soundfile (not in this
-    container). audio_energy below exercises the identical plumbing on
-    deterministic pseudo-PCM."""
+    """Decode an audio payload by container dispatch. WAV (mono 16-bit
+    PCM) decodes FOR REAL via the stdlib RIFF parser in
+    functions/codecs.py — see multimodal_wav_roundtrip below, which
+    drives encode→decode→energy features through mapInPandas under an
+    oracle. Compressed formats (MP3/AAC/Opus) still raise: no codec
+    libraries in this container."""
+    from ai_data_pipeline_spark.functions.codecs import wav_decode
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_decode(payload)
     raise NotImplementedError(
-        "audio codecs unavailable in this environment; "
-        "audio_energy exercises the same mapInPandas plumbing"
+        "only WAV/PCM decode is available in this environment; "
+        "MP3/AAC need codec libraries this container does not ship"
     )
 
 
@@ -696,8 +716,166 @@ FROM parsed
 """
 
 
+# --- real-codec roundtrips -------------------------------------------------
+# Deterministic media synthesized from doc_id arithmetic, encoded to a
+# REAL container (PNG via zlib DEFLATE with chunk CRCs; WAV via RIFF),
+# decoded back with the spec-parsing decoders in functions/codecs.py,
+# and feature-extracted — all inside one mapInPandas stage. The oracle
+# recomputes the features from the same closed-form pixel/sample
+# definitions, so any codec defect (filtering, CRC, chunk walk, byte
+# order) surfaces as a value mismatch; the stage additionally asserts
+# decode(encode(x)) == x so corruption fails LOUDLY rather than
+# producing plausible wrong features.
+
+RT_W, RT_H = 24, 16  # synthesized image dims (384 px)
+RS_H, RS_W = 8, 12  # nearest-neighbor resize target
+WAV_N = 256  # samples per synthesized clip
+WAV_RATE = 16_000
+
+PNG_RT_SCHEMA = (
+    "doc_id long, width int, height int, px_sum long, px_min int,"
+    " px_max int, rs_sum long"
+)
+
+
+def _png_roundtrip_batches(it):
+    import numpy as np
+
+    from ai_data_pipeline_spark.functions.codecs import (
+        png_decode,
+        png_encode_gray,
+        resize_nearest,
+    )
+
+    idx = np.arange(RT_W * RT_H, dtype=np.int64)
+    for pdf in it:
+        out = {
+            "doc_id": [], "width": [], "height": [], "px_sum": [],
+            "px_min": [], "px_max": [], "rs_sum": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            img = ((doc_id * 31 + idx * 7) % 256).astype(np.uint8).reshape(
+                RT_H, RT_W
+            )
+            decoded, meta = png_decode(png_encode_gray(img))
+            if not np.array_equal(decoded, img):
+                raise ValueError(f"PNG roundtrip broke identity for doc {doc_id}")
+            rs = resize_nearest(decoded, (RS_H, RS_W))
+            out["doc_id"].append(doc_id)
+            out["width"].append(meta["width"])
+            out["height"].append(meta["height"])
+            out["px_sum"].append(int(decoded.astype(np.int64).sum()))
+            out["px_min"].append(int(decoded.min()))
+            out["px_max"].append(int(decoded.max()))
+            out["rs_sum"].append(int(rs.astype(np.int64).sum()))
+        yield pd.DataFrame(out)
+
+
+def png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-PNG decode path: synthesize per-doc grayscale pixels, write
+    a spec-complete PNG (zlib + CRCs), parse it back (header, chunk
+    walk, inflate, unfilter), assert bit-identity, then feature-extract
+    the DECODED pixels (+ a nearest-neighbor thumbnail). Emitted stats
+    come only from parsed output — width/height from IHDR, sums from
+    decoded pixels — so the oracle checks the codec, not the generator.
+
+    Scale: the media path at 100 TB is exactly this shape — binary in
+    object storage, decode + features in one Arrow-batched Python
+    stage, nothing but fixed-width features ever shuffled."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_png_roundtrip_batches, schema=PNG_RT_SCHEMA)
+
+
+PNG_ROUNDTRIP_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, i, (doc_id * 31 + i * 7) % 256 AS p
+  FROM documents, (SELECT unnest(range(0, {RT_W * RT_H})) AS i)
+), base AS (
+  SELECT doc_id, CAST(sum(p) AS BIGINT) AS px_sum,
+         CAST(min(p) AS INT) AS px_min, CAST(max(p) AS INT) AS px_max
+  FROM px GROUP BY doc_id
+), rs AS (
+  SELECT doc_id,
+         CAST(sum((doc_id * 31
+                   + (((y * {RT_H}) // {RS_H}) * {RT_W}
+                      + (x * {RT_W}) // {RS_W}) * 7) % 256) AS BIGINT)
+           AS rs_sum
+  FROM documents,
+       (SELECT unnest(range(0, {RS_H})) AS y),
+       (SELECT unnest(range(0, {RS_W})) AS x)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, CAST({RT_W} AS INT) AS width, CAST({RT_H} AS INT) AS height,
+       px_sum, px_min, px_max, rs_sum
+FROM base b JOIN rs USING (doc_id)
+"""
+
+
+WAV_RT_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, amp_sum long,"
+    " energy long, s_min int, s_max int"
+)
+
+
+def _wav_roundtrip_batches(it):
+    import numpy as np
+
+    from ai_data_pipeline_spark.functions.codecs import (
+        wav_decode,
+        wav_encode_pcm16,
+    )
+
+    idx = np.arange(WAV_N, dtype=np.int64)
+    for pdf in it:
+        out = {
+            "doc_id": [], "n_samples": [], "sample_rate": [], "amp_sum": [],
+            "energy": [], "s_min": [], "s_max": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            s = (((doc_id * 7 + idx * 11) % 4096) - 2048).astype(np.int16)
+            decoded, rate = wav_decode(wav_encode_pcm16(s, rate=WAV_RATE))
+            if rate != WAV_RATE or not np.array_equal(decoded, s):
+                raise ValueError(f"WAV roundtrip broke identity for doc {doc_id}")
+            d64 = decoded.astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(len(decoded))
+            out["sample_rate"].append(rate)
+            out["amp_sum"].append(int(d64.sum()))
+            out["energy"].append(int((d64 * d64).sum()))
+            out["s_min"].append(int(decoded.min()))
+            out["s_max"].append(int(decoded.max()))
+        yield pd.DataFrame(out)
+
+
+def wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-WAV decode path: synthesize per-doc 16-bit PCM, wrap in a
+    RIFF container, parse it back (chunk walk, fmt validation, LE
+    samples), assert bit-identity, then compute the energy features a
+    speech-curation pipeline runs (sum/energy/range) from the DECODED
+    samples only."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_wav_roundtrip_batches, schema=WAV_RT_SCHEMA)
+
+
+WAV_ROUNDTRIP_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, ((doc_id * 7 + i * 11) % 4096) - 2048 AS v
+  FROM documents, (SELECT unnest(range(0, {WAV_N})) AS i)
+)
+SELECT doc_id, count(*) AS n_samples, CAST({WAV_RATE} AS INT) AS sample_rate,
+       CAST(sum(v) AS BIGINT) AS amp_sum,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(min(v) AS INT) AS s_min, CAST(max(v) AS INT) AS s_max
+FROM s GROUP BY doc_id
+"""
+
+
 QUERY_DEFS = [
     QueryDef("multimodal_byte_features", byte_features, BYTE_FEATURES_ORACLE),
+    QueryDef("multimodal_png_roundtrip", png_roundtrip, PNG_ROUNDTRIP_ORACLE),
+    QueryDef("multimodal_wav_roundtrip", wav_roundtrip, WAV_ROUNDTRIP_ORACLE),
     QueryDef("multimodal_shot_boundaries", shot_boundaries, SHOT_BOUNDARIES_ORACLE),
     QueryDef("multimodal_header_meta", header_meta, HEADER_META_ORACLE),
     QueryDef("multimodal_image_phash_pairs", image_phash_pairs, IMAGE_PHASH_PAIRS_ORACLE),

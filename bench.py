@@ -176,6 +176,10 @@ HEADLINE = [
     "fd_discovery",
     "corpus_split_leakage",
     "emb_drift_monitor",
+    # round-9 additions (anchored in BASELINE.md round-9 section)
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    "dedup_clusters_logstar",
 ]
 
 

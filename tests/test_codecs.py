@@ -1,0 +1,172 @@
+"""Unit tests for the stdlib-only PNG/WAV codecs (functions/codecs.py).
+
+The decoder is validated against the PNG spec BY CONSTRUCTION: filtered
+scanlines for all five filter types are built by hand from the spec's
+forward-filter definitions (RFC 2083 §6), assembled into a real
+PNG byte stream, and must decode back to the original pixels. No
+third-party image library exists in this container to cross-check
+against — hand-built spec vectors are the strongest available oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ai_data_pipeline_spark.functions.codecs import (
+    png_decode,
+    png_encode_gray,
+    resize_nearest,
+    wav_decode,
+    wav_encode_pcm16,
+)
+
+
+def _rng_img(h, w, seed):
+    return np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+
+
+def test_png_roundtrip_identity():
+    for seed, (h, w) in enumerate([(1, 1), (3, 5), (16, 24), (64, 64), (7, 1)]):
+        img = _rng_img(h, w, seed)
+        out, meta = png_decode(png_encode_gray(img))
+        assert np.array_equal(out, img)
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert (meta["bit_depth"], meta["color_type"]) == (8, 0)
+
+
+def _forward_filter(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Spec forward filters (RFC 2083 §6.2-6.6), bpp=1: produce the raw
+    pre-compression stream for the given per-scanline filter types."""
+    h, w = img.shape
+    out = bytearray()
+    for y in range(h):
+        f = ftypes[y]
+        out.append(f)
+        prev = img[y - 1].astype(int) if y > 0 else np.zeros(w, dtype=int)
+        row = img[y].astype(int)
+        for j in range(w):
+            a = row[j - 1] if j > 0 else 0  # left (recon == orig here)
+            b = prev[j]
+            c = prev[j - 1] if j > 0 else 0
+            if f == 0:
+                v = row[j]
+            elif f == 1:
+                v = row[j] - a
+            elif f == 2:
+                v = row[j] - b
+            elif f == 3:
+                v = row[j] - ((a + b) >> 1)
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[j] - pred
+            out.append(v & 0xFF)
+    return bytes(out)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _assemble_png(img: np.ndarray, ftypes: list[int]) -> bytes:
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_forward_filter(img, ftypes)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types_spec_vectors():
+    img = _rng_img(10, 13, 42)
+    # every scanline exercises a different filter, including 3/4 runs
+    ftypes = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    out, _ = png_decode(_assemble_png(img, ftypes))
+    assert np.array_equal(out, img)
+
+
+def test_png_decode_multiple_idat_chunks():
+    img = _rng_img(6, 8, 7)
+    raw = zlib.compress(_forward_filter(img, [0] * 6))
+    ihdr = struct.pack(">IIBBBBB", 8, 6, 8, 0, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", raw[:10])
+        + _chunk(b"IDAT", raw[10:])
+        + _chunk(b"IEND", b"")
+    )
+    out, _ = png_decode(data)
+    assert np.array_equal(out, img)
+
+
+def test_png_decode_rejects_corruption():
+    img = _rng_img(4, 4, 1)
+    data = bytearray(png_encode_gray(img))
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"\x00" + bytes(data[1:]))
+    flipped = bytearray(data)
+    flipped[40] ^= 0xFF  # inside IDAT body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(flipped))
+    with pytest.raises(ValueError, match="truncated"):
+        png_decode(bytes(data[:-6]))
+    # unsupported: RGB color type
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported"):
+        png_decode(bad)
+
+
+def test_resize_nearest_exact_index_map():
+    img = _rng_img(16, 24, 3)
+    out = resize_nearest(img, (8, 12))
+    assert out.shape == (8, 12)
+    for y in range(8):
+        for x in range(12):
+            assert out[y, x] == img[(y * 16) // 8, (x * 24) // 12]
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32768, 300, dtype=np.int16)
+    out, rate = wav_decode(wav_encode_pcm16(s, rate=22_050))
+    assert rate == 22_050 and np.array_equal(out, s)
+    # decoder must walk unknown chunks (word-aligned) before data
+    body = s.astype("<i2").tobytes()
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len + pad
+    data_chunk = b"data" + struct.pack("<I", len(body)) + body
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    riff_body = b"WAVE" + fmt + extra + data_chunk
+    data = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    out2, rate2 = wav_decode(data)
+    assert rate2 == 8000 and np.array_equal(out2, s)
+
+
+def test_wav_decode_rejects_bad_input():
+    s = np.zeros(4, dtype=np.int16)
+    good = wav_encode_pcm16(s)
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode(good[:-3])
+    stereo_fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 2, 8000, 32000, 4, 16
+    )
+    riff_body = b"WAVE" + stereo_fmt
+    with pytest.raises(ValueError, match="mono"):
+        wav_decode(b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body)

@@ -3273,3 +3273,87 @@ def test_emb_drift_monitor_matches_python_recompute(spark):
     # are random splits of one population, so drift must be small
     # relative to a full-population statistic but need not be zero
     assert all(r.drift_ppm >= 0 for r in got.values())
+
+
+def test_priority_div_expr_is_decimal_and_exact_beyond_int64(spark):
+    """The round-8 driver red: priority must be DECIMAL(38,0) (never
+    Spark's long-typed `div`) and exact even where the quotient
+    overflows int64 — w=2·10⁶, u60=0 gives 2·10²¹ > 2⁶³−1. Pins the
+    expression against Python arbitrary-precision floor division over
+    the full operand envelope (tiny/huge denominators, min/max
+    weights)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.operators.curation import (
+        _PRI_SCALE,
+        priority_div_expr,
+    )
+
+    cases = [
+        (2_000_000, 0),            # quotient 2e21: beyond int64
+        (2_000_000, 216),          # just past the old overflow edge
+        (100_000, 0),
+        (100_000, (1 << 60) - 1),  # max 60-bit key
+        (1_234_567, 987_654_321_987_654_321),
+        (2_000_000, (1 << 60) - 1),
+        (1, 1),
+    ]
+    df = (
+        spark.createDataFrame(cases, "w_ppm long, u60 long")
+        .withColumn(
+            "_num", F.expr(f"cast(w_ppm as decimal(38,0)) * {_PRI_SCALE}")
+        )
+        .withColumn("priority", priority_div_expr())
+    )
+    assert dict(df.dtypes)["priority"] == "decimal(38,0)"
+    for r in df.collect():
+        want = (r.w_ppm * _PRI_SCALE) // (r.u60 + 1)
+        assert r.priority == Decimal(want), (r.w_ppm, r.u60)
+
+
+def test_logstar_cc_equals_plain_propagation(spark):
+    """The alternating large-star/small-star components must equal the
+    plain min-label propagation label-for-label (same component minima,
+    same sizes) — two independent algorithms over the same near-dup
+    pair relation."""
+    from ai_data_pipeline_spark.operators.clustering import (
+        dedup_clusters,
+        dedup_clusters_logstar,
+    )
+
+    plain = sorted(map(tuple, dedup_clusters(spark, SF_DIR).collect()))
+    star = sorted(map(tuple, dedup_clusters_logstar(spark, SF_DIR).collect()))
+    assert plain == star
+
+
+def test_logstar_cc_deep_path_converges_in_log_rounds(spark):
+    """A 64-node path component has diameter 63 — plain propagation
+    needs ~63 rounds, the alternating-star algorithm must finish within
+    its LOGSTAR_MAX_ITERS=16 bound and still label every node with the
+    component minimum. Pins the O(log d) claim on the worst-case shape
+    (driven through the same rewrite loop via a monkeypatched pair
+    relation)."""
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.operators import clustering as C
+    from ai_data_pipeline_spark.session import session_scoped_cache
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    cache = session_scoped_cache(spark, "clustering_pairs")
+    key = "__logstar_path_test__"
+    cache[key] = pairs.localCheckpoint()
+    real_load = C.load_table
+    docs = spark.range(1, n + 1).select(F.col("id").alias("doc_id"))
+    try:
+        C.load_table = lambda s, d, t: docs
+        out = C.dedup_clusters_logstar(spark, key).collect()
+    finally:
+        C.load_table = real_load
+        cache.pop(key, None)
+    assert len(out) == n
+    assert all(r.cluster_id == 1 and r.cluster_size == n for r in out)
