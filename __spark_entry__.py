@@ -356,6 +356,8 @@ _UNPROVEN_PRIORITY = [
     "multimodal_png_roundtrip", "multimodal_wav_roundtrip",
     # round-9: O(log d)-round alternating-star connected components
     "dedup_clusters_logstar",
+    # round-9: incremental streaming profiler (profiling × streaming)
+    "stream_profile_documents",
 ]
 
 

@@ -180,6 +180,7 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
     "dedup_clusters_logstar",
+    "stream_profile_documents",
 ]
 
 

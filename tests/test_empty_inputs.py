@@ -82,6 +82,15 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         # requires at least one source row to build stream files
         ("readers", "partitioned_roundtrip_events"),
         ("similarity", "ann_mllib_brp"),
+        # round-9: codec roundtrips, log-star components, the decimal
+        # priority-sample rewrite, and the streaming profiler (whose
+        # fixture writer handles zero-row halves, unlike the events
+        # three-batch source)
+        ("multimodal", "multimodal_png_roundtrip"),
+        ("multimodal", "multimodal_wav_roundtrip"),
+        ("clustering", "dedup_clusters_logstar"),
+        ("curation", "corpus_priority_sample"),
+        ("streaming", "stream_profile_documents"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

@@ -1162,3 +1162,37 @@ def test_emb_drift_monitor_single_keyed_aggregate(spark):
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert "partial_sum" in plan
     assert "Generate" in plan  # the posexplode fan-out
+
+
+def test_codec_roundtrips_are_single_python_stage(spark):
+    """The codec roundtrips must be ONE mapInPandas over a doc_id-only
+    scan — no shuffle, no join: the decode/feature stage is the only
+    work, and only fixed-width features leave it."""
+    from ai_data_pipeline_spark.operators.multimodal import (
+        png_roundtrip,
+        wav_roundtrip,
+    )
+
+    for q in (png_roundtrip, wav_roundtrip):
+        df = q(spark, SF_DIR)
+        plan = _plan(df)
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        # column pruning: the scan reads doc_id only (text never moves)
+        assert "ReadSchema: struct<doc_id:bigint>" in _formatted(df)
+
+
+def test_logstar_round_is_two_keyed_aggregates_no_cartesian(spark):
+    """Each alternating-star rewrite is groupBy + equi-join over the
+    CURRENT edge set only: the final assignment plan must contain no
+    cartesian product and no broadcast of a data-scaled relation, and
+    the labels must come from a keyed aggregate, not a global window."""
+    from ai_data_pipeline_spark.operators.clustering import (
+        dedup_clusters_logstar,
+    )
+
+    plan = _plan(dedup_clusters_logstar(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the only window is the final cluster_size count over cluster_id
+    assert plan.count("Window") == 1

@@ -71,3 +71,28 @@ def test_stream_index_dedup_is_batch_order_invariant(spark):
         )
     )
     assert fwd == rev
+
+
+def test_stream_profile_merge_equals_one_shot_profile(spark):
+    """The merged streaming partials must equal the one-shot partial
+    profile of the full table (batch equivalence of the commutative-
+    monoid merges), and the per-column counts must match the table."""
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.streaming.advanced import (
+        _profile_partials,
+        stream_profile_documents,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {
+        r.col: (r.n, r.n_null, r.min_s, r.max_s, r.sum_dec)
+        for r in _profile_partials(docs).collect()
+    }
+    got = {
+        r.col: (r.n, r.n_null, r.min_s, r.max_s, r.sum_dec)
+        for r in stream_profile_documents(spark, SF_DIR).collect()
+    }
+    assert got == want
+    n_docs = docs.count()
+    assert all(v[0] == n_docs for v in got.values())
