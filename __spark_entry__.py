@@ -358,6 +358,8 @@ _UNPROVEN_PRIORITY = [
     "dedup_clusters_logstar",
     # round-9: incremental streaming profiler (profiling × streaming)
     "stream_profile_documents",
+    # round-9: calibration bins, IVF partition-skew audit, dataset card
+    "cls_reliability_bins", "ann_ivf_cell_balance", "corpus_dataset_card",
 ]
 
 

@@ -1566,7 +1566,64 @@ FROM per CROSS JOIN gm
 """
 
 
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a training-data pipeline publishes with
+    every corpus snapshot (the datasheet/data-card practice — Gebru et
+    al. 2021): corpus size (docs, chars, whitespace tokens), diversity
+    (distinct sources/langs), hygiene (empty-doc count, exact-duplicate
+    ppm over raw text — dedup_exact's grouping key), all in ONE
+    aggregation pass over the corpus.
+
+    Scale: a single wide aggregate with map-side partials; the distinct
+    counts are over enumerable-cardinality columns (sources, langs) and
+    content (text) — at 100 TB the text-distinct becomes the digest
+    count of the dedup index instead of a raw-text distinct (same
+    number, already materialized by the dedup pipeline; here raw text
+    keeps the oracle exact). Sums ride DECIMAL(38,0); the duplicate
+    ratio guards the empty corpus with a CASE instead of dividing by
+    zero (ANSI would throw)."""
+    d = load_table(spark, sf_dir, "documents")
+    card = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("total_chars"),
+        F.sum(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("decimal(38,0)")
+        ).alias("total_ws_tokens"),
+        F.sum((F.length(F.trim(F.col("text"))) == 0).cast("long")).alias(
+            "n_empty"
+        ),
+    )
+    return card.select(
+        "*",
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN 0"
+            " ELSE ((n_docs - n_distinct_texts) * 1000000) div n_docs END"
+        ).alias("exact_dup_ppm"),
+    )
+
+
+DATASET_CARD_ORACLE = r"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT text) AS n_distinct_texts,
+       CAST(CAST(sum(n_chars) AS HUGEINT) AS DECIMAL(38,0)) AS total_chars,
+       CAST(CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                 AS HUGEINT) AS DECIMAL(38,0)) AS total_ws_tokens,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+       CASE WHEN count(*) = 0 THEN 0
+            ELSE ((count(*) - count(DISTINCT text)) * 1000000) // count(*)
+       END AS exact_dup_ppm
+FROM documents
+"""
+
+
 QUERY_DEFS = [
+    QueryDef("corpus_dataset_card", corpus_dataset_card, DATASET_CARD_ORACLE),
     QueryDef("corpus_decontaminate", corpus_decontaminate, DECONTAMINATE_ORACLE),
     QueryDef("corpus_lm_train", corpus_lm_train, LM_TRAIN_ORACLE),
     QueryDef("corpus_lm_quality", corpus_lm_quality, LM_QUALITY_ORACLE),

@@ -335,6 +335,86 @@ FROM j GROUP BY q_id
 """
 
 
+def ann_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-population balance audit — the THIRD leg of the
+    index-build audit set (dedup_lsh_recall: banding; ann_ivf_recall:
+    routing recall; this: partition skew). At 100 TB the IVF cell map
+    IS the physical partitioning of the vector index: a hot cell is a
+    straggler executor at build time and a tail-latency probe at serve
+    time, and empty cells are wasted routing capacity that silently
+    degrades effective N_PROBE. Emits every cell (empty ones included,
+    via a left join from the centroid list): member count, corpus
+    share, and load factor vs perfect balance (load_ppm = n·N_CELLS·10⁶
+    // total — 10⁶ means perfectly balanced, 2·10⁶ a 2× hot cell).
+
+    Scale: the assignment subtree is ann_ivf's (broadcast centroids,
+    keyed max_by — one copy of each vector rides the shuffle); the
+    audit itself aggregates to N_CELLS rows before anything else
+    touches it. The long arithmetic n·N_CELLS·10⁶ holds to ~5·10¹¹
+    vectors per index shard (beyond that, shard the index — the audit
+    then runs per shard anyway). Non-negative operands, so Spark's
+    truncating div and DuckDB's flooring // agree."""
+    e = _vectors(spark, sf_dir)
+    cents = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", _cosine_udf("v", "cv").alias("c_cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cell_id"),
+                F.struct(F.col("c_cos").alias("c"), (-F.col("cell_id")).alias("nc")),
+            ).alias("cell_id")
+        )
+    )
+    sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        cents.select("cell_id")
+        .join(sizes, "cell_id", "left")
+        .select("cell_id", F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"))
+        .withColumn("total", F.sum("n_vecs").over(W.partitionBy()))  # N_CELLS rows
+        .select(
+            "cell_id",
+            "n_vecs",
+            F.expr("(n_vecs * 1000000) div nullif(total, 0)").alias("share_ppm"),
+            F.expr(
+                f"(n_vecs * {N_CELLS} * 1000000) div nullif(total, 0)"
+            ).alias("load_ppm"),
+        )
+    )
+
+
+def _ann_ivf_balance_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+), assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, cents.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos_sql("v", "cv")} DESC, cell_id ASC) AS crk
+    FROM e CROSS JOIN cents WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE crk = 1
+), sizes AS (
+  SELECT c.cell_id,
+         CAST(coalesce(count(a.vec_id), 0) AS BIGINT) AS n_vecs
+  FROM cents c LEFT JOIN assigned a ON a.cell_id = c.cell_id
+  GROUP BY c.cell_id
+), tot AS (SELECT sum(n_vecs) AS total FROM sizes)
+SELECT cell_id, n_vecs,
+       CAST((n_vecs * 1000000) // nullif(total, 0) AS BIGINT) AS share_ppm,
+       CAST((n_vecs * {N_CELLS} * 1000000) // nullif(total, 0) AS BIGINT)
+         AS load_ppm
+FROM sizes CROSS JOIN tot
+"""
+
+
 def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval — the canonical ANN serving plan: candidate
     generation via multi-probe sign-LSH (each query probes its own
@@ -1974,6 +2054,7 @@ QUERY_DEFS = [
     QueryDef("ann_rerank", ann_rerank, _ann_rerank_oracle()),
     QueryDef("ann_ivf", ann_ivf, _ann_ivf_oracle()),
     QueryDef("ann_ivf_recall", ann_ivf_recall, _ann_ivf_recall_oracle()),
+    QueryDef("ann_ivf_cell_balance", ann_ivf_cell_balance, _ann_ivf_balance_oracle()),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_ORACLE),
     QueryDef("emb_covariance_stats", emb_covariance_stats, EMB_COV_ORACLE),
     QueryDef("ann_mllib_brp", ann_mllib_brp, None),  # rows-only (see docstring)

@@ -1102,6 +1102,77 @@ FROM pairs CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
 """
 
 
+def cls_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration (reliability diagram, tabular): per fixed
+    score band, the OBSERVED positive rate — the check that a quality
+    score ordered by band actually orders label prevalence, run before
+    trusting classifier-filtered curation thresholds. Inversions
+    (a band whose observed rate falls below the band beneath it) are
+    flagged via a lag over the band relation — each flagged row is a
+    calibration defect a percentile/threshold consumer would hit.
+
+    Scale: same aggregate-before-window discipline as cls_linear_eval —
+    the corpus reduces to the provably-bounded band relation first
+    (|score| ≤ n_feats·max|w|, so bands are O(hundreds) at any corpus
+    size), and the inversion lag runs over bands only. The band sums
+    stay in DECIMAL(38,0); the positive-rate division n_pos·10⁶ //
+    n_docs has non-negative operands, so Spark's truncating div and
+    DuckDB's flooring // agree."""
+    from pyspark.sql import Window as W
+
+    scored = cls_linear_score(spark, sf_dir)
+    bands = scored.groupBy(
+        F.floor(F.col("score_ppm").cast("double") / CLS_BAND_PPM)
+        .cast("long")
+        .alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("label").alias("n_pos"),
+        F.sum(F.col("score_ppm").cast("decimal(38,0)")).alias("sum_score"),
+    )
+    w = W.orderBy("band")
+    return (
+        bands.withColumn(
+            "pos_rate_ppm", F.expr("(n_pos * 1000000) div n_docs")
+        )
+        .withColumn("prev_rate", F.lag("pos_rate_ppm").over(w))
+        .select(
+            "band",
+            "n_docs",
+            "n_pos",
+            "sum_score",
+            "pos_rate_ppm",
+            F.coalesce(
+                (F.col("pos_rate_ppm") < F.col("prev_rate")).cast("int"),
+                F.lit(0),
+            ).alias("flag_inversion"),
+        )
+    )
+
+
+CLS_RELIABILITY_ORACLE = f"""
+WITH pres AS ({CLS_PRES_DUCK}),
+w AS ({CLS_WEIGHTS_DUCK}),
+scored AS (
+  SELECT p.doc_id, p.y AS label, CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm
+  FROM pres p JOIN w ON p.bucket = w.bucket
+  GROUP BY p.doc_id, p.y
+), bands AS (
+  SELECT CAST(floor(CAST(score_ppm AS DOUBLE) / {CLS_BAND_PPM}) AS BIGINT) AS band,
+         count(*) AS n_docs, CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(CAST(sum(score_ppm) AS HUGEINT) AS DECIMAL(38,0)) AS sum_score
+  FROM scored GROUP BY 1
+), rated AS (
+  SELECT *, (n_pos * 1000000) // n_docs AS pos_rate_ppm FROM bands
+)
+SELECT band, n_docs, n_pos, sum_score, pos_rate_ppm,
+       CAST(coalesce(pos_rate_ppm <
+              lag(pos_rate_ppm) OVER (ORDER BY band), FALSE) AS INT)
+         AS flag_inversion
+FROM rated
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_corr_matrix", q_corr_matrix, _corr_oracle()),
     QueryDef("quality_kendall_tau", quality_kendall_tau, _kendall_oracle()),
@@ -1115,4 +1186,5 @@ QUERY_DEFS = [
     QueryDef("cls_roc_auc", cls_roc_auc, CLS_ROC_AUC_ORACLE),
     QueryDef("cls_confusion_matrix", cls_confusion_matrix, CLS_CONFUSION_ORACLE),
     QueryDef("cls_score_percentile", cls_score_percentile, CLS_PCT_ORACLE),
+    QueryDef("cls_reliability_bins", cls_reliability_bins, CLS_RELIABILITY_ORACLE),
 ]

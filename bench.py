@@ -181,6 +181,9 @@ HEADLINE = [
     "multimodal_wav_roundtrip",
     "dedup_clusters_logstar",
     "stream_profile_documents",
+    "cls_reliability_bins",
+    "ann_ivf_cell_balance",
+    "corpus_dataset_card",
 ]
 
 

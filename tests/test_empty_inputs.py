@@ -91,6 +91,9 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("clustering", "dedup_clusters_logstar"),
         ("curation", "corpus_priority_sample"),
         ("streaming", "stream_profile_documents"),
+        ("stats", "cls_reliability_bins"),
+        ("similarity", "ann_ivf_cell_balance"),
+        ("corpus", "corpus_dataset_card"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

@@ -3357,3 +3357,89 @@ def test_logstar_cc_deep_path_converges_in_log_rounds(spark):
         cache.pop(key, None)
     assert len(out) == n
     assert all(r.cluster_id == 1 and r.cluster_size == n for r in out)
+
+
+def test_reliability_bins_match_python_tally(spark):
+    """Per-band positive rates and inversion flags must equal an exact
+    Python recompute from the classifier's own scored relation."""
+    from ai_data_pipeline_spark.operators.stats import (
+        CLS_BAND_PPM,
+        cls_linear_score,
+        cls_reliability_bins,
+    )
+
+    scored = cls_linear_score(spark, SF_DIR).collect()
+    import math
+    from collections import defaultdict
+
+    tally = defaultdict(lambda: [0, 0, 0])
+    for r in scored:
+        b = math.floor(r.score_ppm / CLS_BAND_PPM)
+        tally[b][0] += 1
+        tally[b][1] += r.label
+        tally[b][2] += r.score_ppm
+    want = {}
+    prev = None
+    for b in sorted(tally):
+        n, p, s = tally[b]
+        rate = (p * 1_000_000) // n
+        want[b] = (n, p, s, rate, int(prev is not None and rate < prev))
+        prev = rate
+    got = {
+        r.band: (r.n_docs, r.n_pos, int(r.sum_score), r.pos_rate_ppm,
+                 r.flag_inversion)
+        for r in cls_reliability_bins(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_ivf_cell_balance_invariants(spark):
+    """Every centroid appears exactly once; member counts total the
+    corpus population; load factors are the exact integer identity
+    n*N_CELLS*1e6 // total."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        ann_ivf_cell_balance,
+        _vectors,
+    )
+
+    rows = ann_ivf_cell_balance(spark, SF_DIR).collect()
+    assert len(rows) == N_CELLS
+    assert len({r.cell_id for r in rows}) == N_CELLS
+    total = sum(r.n_vecs for r in rows)
+    n_corpus = _vectors(spark, SF_DIR).filter(f"vec_id >= {N_QUERIES}").count()
+    assert total == n_corpus
+    for r in rows:
+        assert r.share_ppm == (r.n_vecs * 1_000_000) // total
+        assert r.load_ppm == (r.n_vecs * N_CELLS * 1_000_000) // total
+
+
+def test_dataset_card_matches_python_recompute(spark):
+    """The one-row dataset card must equal an exact Python recompute
+    over the collected corpus (including the whitespace-token count and
+    the exact-duplicate ppm)."""
+    import re
+
+    from ai_data_pipeline_spark.operators.corpus import corpus_dataset_card
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    n = len(docs)
+    texts = [r.text for r in docs]
+    want = (
+        n,
+        len({r.source for r in docs}),
+        len({r.lang for r in docs}),
+        len(set(texts)),
+        sum(r.n_chars for r in docs),
+        sum(len(re.split(r"\s+", t.strip())) for t in texts),
+        sum(1 for t in texts if not t.strip()),
+        ((n - len(set(texts))) * 1_000_000) // n if n else 0,
+    )
+    r = corpus_dataset_card(spark, SF_DIR).collect()[0]
+    got = (
+        r.n_docs, r.n_sources, r.n_langs, r.n_distinct_texts,
+        int(r.total_chars), int(r.total_ws_tokens), r.n_empty,
+        r.exact_dup_ppm,
+    )
+    assert got == want
