@@ -360,6 +360,8 @@ _UNPROVEN_PRIORITY = [
     "stream_profile_documents",
     # round-9: calibration bins, IVF partition-skew audit, dataset card
     "cls_reliability_bins", "ann_ivf_cell_balance", "corpus_dataset_card",
+    # round-9: covariance-statistics consumer (per-dim variance ranking)
+    "emb_dim_variance_rank",
 ]
 
 

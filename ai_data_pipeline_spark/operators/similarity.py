@@ -1939,6 +1939,53 @@ GROUP BY 1, 2
 """
 
 
+def emb_dim_variance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking — the CONSUMER side of
+    emb_covariance_stats, and the first question asked of it in
+    practice: which embedding dimensions carry signal and which are
+    near-constant (dead dims from a truncated encoder, padding, or a
+    quantization bug)? Dimensions rank by the exact integer variance
+    numerator n·Σx² − (Σx)² (population variance × n²) read off the
+    statistics' DIAGONAL — n is identical across dims, so ordering by
+    the numerator IS ordering by variance, with zero division or
+    sqrt anywhere. flag_dead marks var_num = 0 (a literally constant
+    dimension).
+
+    Scale: inherits the one-pass map-side-combine reduction; this
+    consumer touches only the D diagonal rows, and the ranking window
+    orders a D-row relation (dimension count, never corpus). Arithmetic
+    stays DECIMAL(38,0)-exact to ~10¹⁸ rows × the ×10⁶ fixed-point
+    value bound (n·Σx² ≤ 10³⁸); beyond that, shard and merge partials
+    before ranking — same relation shape."""
+    diag = emb_covariance_stats(spark, sf_dir).filter(F.col("i") == F.col("j"))
+    ranked = diag.select(
+        F.col("i").alias("dim"),
+        "n",
+        (F.col("n") * F.col("s_xy") - F.col("s_x") * F.col("s_y"))
+        .cast("decimal(38,0)")
+        .alias("var_num"),
+    )
+    w = W.orderBy(F.desc("var_num"), F.asc("dim"))  # D rows — bounded
+    return ranked.withColumn("rk", F.row_number().over(w)).withColumn(
+        "flag_dead", (F.col("var_num") == 0).cast("int")
+    )
+
+
+EMB_DIM_VAR_ORACLE = f"""
+WITH cov AS ({EMB_COV_ORACLE}),
+diag AS (
+  SELECT i AS dim, n,
+         CAST(CAST(n AS HUGEINT) * s_xy - CAST(s_x AS HUGEINT) * s_y
+              AS DECIMAL(38,0)) AS var_num
+  FROM cov WHERE i = j
+)
+SELECT dim, n, var_num,
+       row_number() OVER (ORDER BY var_num DESC, dim ASC) AS rk,
+       CAST(var_num = 0 AS INT) AS flag_dead
+FROM diag
+"""
+
+
 DRIFT_BAND_W = 250_000  # micro-units per histogram band (0.25 raw)
 
 
@@ -2057,5 +2104,6 @@ QUERY_DEFS = [
     QueryDef("ann_ivf_cell_balance", ann_ivf_cell_balance, _ann_ivf_balance_oracle()),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_ORACLE),
     QueryDef("emb_covariance_stats", emb_covariance_stats, EMB_COV_ORACLE),
+    QueryDef("emb_dim_variance_rank", emb_dim_variance_rank, EMB_DIM_VAR_ORACLE),
     QueryDef("ann_mllib_brp", ann_mllib_brp, None),  # rows-only (see docstring)
 ]

@@ -184,6 +184,7 @@ HEADLINE = [
     "cls_reliability_bins",
     "ann_ivf_cell_balance",
     "corpus_dataset_card",
+    "emb_dim_variance_rank",
 ]
 
 

@@ -94,6 +94,7 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("stats", "cls_reliability_bins"),
         ("similarity", "ann_ivf_cell_balance"),
         ("corpus", "corpus_dataset_card"),
+        ("similarity", "emb_dim_variance_rank"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

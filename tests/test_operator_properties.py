@@ -3443,3 +3443,37 @@ def test_dataset_card_matches_python_recompute(spark):
         r.exact_dup_ppm,
     )
     assert got == want
+
+
+def test_dim_variance_rank_matches_numpy(spark):
+    """The per-dimension variance ranking must equal numpy's exact
+    integer recompute over the quantized embedding matrix (same ×10⁶
+    fixed-point), with n constant across dims and a total rank order."""
+    import numpy as np
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        emb_dim_variance_rank,
+    )
+
+    vecs = np.array(
+        [
+            np.floor(np.asarray(r.embedding, dtype=np.float64) * 1_000_000)
+            for r in load_table(spark, SF_DIR, "embeddings").collect()
+        ],
+        dtype=np.int64,
+    )
+    n = len(vecs)
+    var_num = {
+        d: int(n) * int((vecs[:, d].astype(object) ** 2).sum())
+        - int(vecs[:, d].sum()) ** 2
+        for d in range(vecs.shape[1])
+    }
+    order = sorted(var_num, key=lambda d: (-var_num[d], d))
+    want_rank = {d: i + 1 for i, d in enumerate(order)}
+    rows = emb_dim_variance_rank(spark, SF_DIR).collect()
+    assert len(rows) == vecs.shape[1]
+    for r in rows:
+        assert r.n == n
+        assert int(r.var_num) == var_num[r.dim], r.dim
+        assert r.rk == want_rank[r.dim]
+        assert r.flag_dead == int(var_num[r.dim] == 0)
