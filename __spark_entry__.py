@@ -210,7 +210,20 @@ def _driver_green() -> dict[str, int]:
 # schema partitioned read-back) was driver-re-proven green in
 # CORRECTNESS_r08.json on current code, so the set was cleared at the
 # start of round 9 (VERDICT r8 task #5).
-_REWRITTEN_SINCE_GREEN: set[str] = set()
+# r9 rewrites: the regex-count expressions moved from
+# size(regexp_extract_all(...)) to regexp_count(...) — identical
+# counts (A/B collect-equality verified, and each query re-driven
+# strict-green at sf0.01 + sf0.1 post-rewrite), no match arrays
+# materialized (allocation-flat; ~25% faster on the regex-heavy
+# paths and the suspected fix for text_readability's bimodal bench
+# spikes). Clear only against post-rewrite driver greens.
+_REWRITTEN_SINCE_GREEN: set[str] = {
+    "text_stats",
+    "text_lang_id",
+    "text_quality_flags",
+    "text_readability",
+    "pipeline_clean_corpus",
+}
 
 # Oracled queries declared late in a round, AFTER that round's driver
 # budget was already filled: these rank behind every re-proof so they

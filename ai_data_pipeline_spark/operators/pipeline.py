@@ -33,7 +33,7 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RX), F.lit(0)))
+    n_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_RX))
     rows = d.filter(F.length("text") >= MIN_CHARS).select(
         F.md5("text").alias("h"),
         F.struct(

@@ -205,22 +205,31 @@ def main() -> None:
     ).count()
 
     timed_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Hybrid estimator, tuned to this host's two noise modes:
+    # - per query: one untimed compile run, then `timed_reps`
+    #   back-to-back timed reps (warm codegen — compilation happens
+    #   once per query shape and amortizes to zero at scale);
+    # - then ONE extra interleaved rescue pass over the whole list,
+    #   taking the per-query MIN with the inner reps.
+    # Why both: the host's CPU-quota throttle events last tens of
+    # seconds — long enough to inflate BOTH back-to-back inner reps of
+    # whichever query they land on (every round-9 inner-loop bench had
+    # exactly one 2-3x spiked query, a different one each run); the
+    # rescue pass re-times each query minutes later, when the same
+    # event cannot still be in flight. A PURE interleaved design was
+    # tried and rejected: with ~163 queries between compile and
+    # timing, the janino codegen cache evicts and short queries pay
+    # recompilation in every pass (text_lang_id measured 2.6x). The
+    # inner reps keep codegen warm; the rescue pass de-correlates
+    # throttle. The FIRST inner rep is also kept as the single-run
+    # estimator for comparability with BASELINE.md's single-run
+    # tables; both columns land in BENCH_SELF.json. Caches are
+    # cleared so measured runs pay their own materialization.
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    rows_out: dict[str, int] = {}
     for name in HEADLINE:
-        # one untimed run to compile the plan (codegen happens once per
-        # query shape and amortizes to zero at scale), then take the MIN
-        # of `timed_reps` steady-state executions: this host throttles
-        # CPU quota under sustained load, inflating single-shot wall
-        # times 2-4x at random — min-of-N is the standard steady-state
-        # estimator under that noise. The FIRST timed rep is also kept
-        # (single-run estimator) so numbers stay comparable with the
-        # single-run baselines in BASELINE.md — both columns land in
-        # BENCH_SELF.json. Caches are cleared so measured runs pay
-        # their own materialization.
-        qs[name](spark, sf_dir).count()
-        best = None
-        n = 0
+        qs[name](spark, sf_dir).count()  # untimed compile run
         for rep in range(timed_reps):
             spark.catalog.clearCache()
             t0 = time.time()
@@ -228,9 +237,18 @@ def main() -> None:
             dt = time.time() - t0
             if rep == 0:
                 first_run[name] = round(dt, 3)
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+                rows_out[name] = n
+            timings[name] = round(min(timings.get(name, dt), dt), 3)
+    for name in HEADLINE:  # interleaved throttle-rescue pass
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(min(timings[name], time.time() - t0), 3)
+    for name in HEADLINE:
+        print(
+            f"# {name}: {timings[name]}s ({rows_out[name]} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
