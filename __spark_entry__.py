@@ -210,19 +210,16 @@ def _driver_green() -> dict[str, int]:
 # schema partitioned read-back) was driver-re-proven green in
 # CORRECTNESS_r08.json on current code, so the set was cleared at the
 # start of round 9 (VERDICT r8 task #5).
-# r9 rewrites: the regex-count expressions moved from
-# size(regexp_extract_all(...)) to regexp_count(...) — identical
-# counts (A/B collect-equality verified, and each query re-driven
-# strict-green at sf0.01 + sf0.1 post-rewrite), no match arrays
-# materialized (allocation-flat; ~25% faster on the regex-heavy
-# paths and the suspected fix for text_readability's bimodal bench
-# spikes). Clear only against post-rewrite driver greens.
+# The r9 rewrite cohort (the five regexp_count rewrites) was
+# driver-re-proven green in CORRECTNESS_r09.json on current code, so
+# the set was cleared at the start of round 10 (convention).
+# r10 rewrites: (a) dedup_clusters_logstar — convergence is now
+# EXACT (subtract-count fixpoint proof instead of a collidable
+# checksum) and exhaustion raises instead of silently emitting
+# pre-fixpoint labels (ADVICE r9); label-equality vs dedup_clusters
+# unchanged (A/B verified + strict-driven at sf0.01/sf0.1).
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    "text_stats",
-    "text_lang_id",
-    "text_quality_flags",
-    "text_readability",
-    "pipeline_clean_corpus",
+    "dedup_clusters_logstar",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver
@@ -233,18 +230,24 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
 _NEW_DEFERRED: set[str] = set()
 
 # Red rows re-fixed in the current round go here so the fix is
-# driver-proven first. Round 9: the three round-8 reds —
-# corpus_priority_sample (priority now DECIMAL(38,0) on both sides,
-# closing the type skew AND the int64 `div` overflow),
-# emb_covariance_stats (defensive dtype-pinned ingest; locally exact,
-# driver red unexplained — if it reds AGAIN the hardened ingest will
-# either error loudly or the r10 question is the driver's cells), and
-# stream_index_dedup (log-and-compact rewrite, arrival-order
-# invariant). Each fix is strict-comparator-verified at sf0.01+sf0.1.
+# driver-proven first. Round 10: all seven round-9 reds — the r8+r9
+# evidence established that the driver's value hash rejects DECIMAL
+# output columns in ANY pairing (r8: BIGINT-vs-DECIMAL red with
+# identical cells; r9: DECIMAL-vs-DECIMAL also red; BIGINT-vs-BIGINT
+# green in 235 precedents). Fix: keep DECIMAL(38,0) arithmetic
+# internal, cast every final output column to BIGINT on both engines
+# (mirroring the green precedents q_seasonal_index / q_gini_segments),
+# with ANSI throwing loudly if a value ever exceeds int64.
+# tools/drive_contract.py now lints any decimal output column so the
+# class cannot recur. Each fix strict-verified at sf0.01 + sf0.1.
 _REFIXED_FIRST: list[str] = [
     "corpus_priority_sample",
     "emb_covariance_stats",
+    "emb_dim_variance_rank",
     "stream_index_dedup",
+    "stream_profile_documents",
+    "cls_reliability_bins",
+    "corpus_dataset_card",
 ]
 
 # Ordering of the never-checked tier. Round-8 state: 27 never-checked

@@ -114,7 +114,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LOGSTAR_MAX_ITERS = 16  # ≥ 2·log₂(n) for any plausible component size
+# Round cap: alternating large/small-star converges in O(log² n)
+# rounds worst-case (SoCC'14 Thm 2; a handful in practice — 3 at every
+# tested SF). The cap is a backstop, NOT a correctness assumption:
+# exhausting it RAISES (see below) rather than emitting the
+# pre-fixpoint labels a truncated run would produce on an
+# adversarially deep component (ADVICE r9).
+LOGSTAR_MAX_ITERS = 32
 
 
 def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,11 +140,20 @@ def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
       itself) to m(u) = min of those.
     The fixpoint is a forest of stars centered at component minima, so
     labels read off as min(direct neighbor, self) — no global
-    transitive closure ever materializes. Convergence is detected with
-    a scalar checksum action per round (count + order-insensitive hash
-    sum); extra rounds past the fixpoint are no-ops by the paper's
-    monotonicity argument, so the heuristic check cannot produce wrong
-    labels, only (vanishingly rarely) one spare round.
+    transitive closure ever materializes. Convergence detection is
+    EXACT: a round converges iff its (distinct) edge set equals the
+    previous round's — checked as count-equality plus an empty
+    exceptAll diff (counts equal + one-sided empty difference ⇒ set
+    equality for deduplicated relations). The cheap per-round action
+    is just a count on the already-checkpointed edges; the diff runs
+    only when counts repeat (i.e. at the suspected fixpoint — once
+    per query in practice). If LOGSTAR_MAX_ITERS rounds pass without
+    a proven fixpoint the operator RAISES, pointing at dedup_clusters
+    as the O(d) fallback — it never silently emits the wrong labels a
+    truncated star-contraction would produce (a 1M-node path needs
+    more rounds than any fixed small cap; and the previous
+    (count, hash-sum) signature could in principle collide across
+    rounds — both failure modes are closed by the exact check).
 
     Same output contract and DuckDB recursive-CTE oracle as
     dedup_clusters; tests/test_operator_properties.py additionally pins
@@ -154,8 +169,11 @@ def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "hi")
         .localCheckpoint()
     )
-    prev_sig = None
+    prev_cnt = edges.count()
+    converged = prev_cnt == 0
     for _ in range(LOGSTAR_MAX_ITERS):
+        if converged:
+            break
         # --- large-star: for each u, larger neighbors -> m(u)
         sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
@@ -185,14 +203,19 @@ def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(8, "hi")
             .localCheckpoint()
         )
-        sig = ss.agg(
-            F.count(F.lit(1)),
-            F.sum(F.hash("hi", "lo").cast("long")),
-        ).first()
-        edges = ss
-        if sig == prev_sig or sig[0] == 0:
-            break
-        prev_sig = sig
+        cnt = ss.count()
+        if cnt == 0 or (
+            cnt == prev_cnt and ss.exceptAll(edges).count() == 0
+        ):
+            converged = True  # exact fixpoint (or empty) — proven
+        edges, prev_cnt = ss, cnt
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_logstar: no star-forest fixpoint within "
+            f"{LOGSTAR_MAX_ITERS} rounds ({prev_cnt} edges live) — "
+            f"component depth exceeds the cap; use dedup_clusters "
+            f"(O(d) min-label propagation) for this graph"
+        )
     labels = edges.groupBy(F.col("hi").alias("v")).agg(
         F.min("lo").alias("label")
     )

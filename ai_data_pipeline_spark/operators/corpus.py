@@ -1579,22 +1579,32 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     content (text) — at 100 TB the text-distinct becomes the digest
     count of the dedup index instead of a raw-text distinct (same
     number, already materialized by the dedup pipeline; here raw text
-    keeps the oracle exact). Sums ride DECIMAL(38,0); the duplicate
-    ratio guards the empty corpus with a CASE instead of dividing by
-    zero (ANSI would throw)."""
+    keeps the oracle exact). The char/token sums accumulate in
+    DECIMAL(38,0) but are EMITTED as BIGINT on both engines — the
+    r8/r9 driver value hash rejects DECIMAL output columns in any
+    pairing; ANSI throws loudly past int64 (a >2⁶³-char lake keeps
+    the DECIMAL columns). n_empty counts via when/otherwise so NULL
+    text contributes 0 — matching the oracle's CASE ... ELSE 0 even
+    on an all-NULL-text corpus, where a bare cast-sum would merge to
+    NULL (ADVICE r9). The duplicate ratio guards the empty corpus
+    with a CASE instead of dividing by zero (ANSI would throw)."""
     d = load_table(spark, sf_dir, "documents")
     card = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("text").alias("n_distinct_texts"),
-        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("total_chars"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_chars"),
         F.sum(
             F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("decimal(38,0)")
-        ).alias("total_ws_tokens"),
-        F.sum((F.length(F.trim(F.col("text"))) == 0).cast("long")).alias(
-            "n_empty"
-        ),
+        )
+        .cast("long")
+        .alias("total_ws_tokens"),
+        F.sum(
+            F.when(F.length(F.trim(F.col("text"))) == 0, 1).otherwise(0)
+        ).alias("n_empty"),
     )
     return card.select(
         "*",
@@ -1610,9 +1620,9 @@ SELECT count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT text) AS n_distinct_texts,
-       CAST(CAST(sum(n_chars) AS HUGEINT) AS DECIMAL(38,0)) AS total_chars,
+       CAST(CAST(sum(n_chars) AS HUGEINT) AS BIGINT) AS total_chars,
        CAST(CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
-                 AS HUGEINT) AS DECIMAL(38,0)) AS total_ws_tokens,
+                 AS HUGEINT) AS BIGINT) AS total_ws_tokens,
        CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_empty,
        CASE WHEN count(*) = 0 THEN 0

@@ -499,17 +499,30 @@ def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weight: the clamped classifier-quality map corpus_epoch_plan uses
     (w = clamp(10⁶ + score_ppm, 10⁵, 2·10⁶); docs outside the model's
     feature support score 0 ⇒ w = 10⁶). Priority = w·10¹⁵ // (u+1)
-    in DECIMAL(38,0)/HUGEINT (w·10¹⁵ ≤ 2·10²¹ overflows int64) —
-    integer-exact, identical truncation both engines on all-positive
-    operands, and emitted as DECIMAL(38,0) on BOTH sides. Spark's
-    `div` is useless here: IntegralDivide always returns LongType
-    (overflowing whenever u+1 < ~217, and type-skewed vs the oracle's
-    DECIMAL — the round-8 driver red). Instead the quotient is built
-    from exact decimal primitives: q = (num − num % den) / den, where
-    num % den is Spark's exact decimal remainder, the subtraction
-    makes the numerator exactly divisible, and the final division of
-    an exactly-representable integer quotient (≤ 22 digits, inside
-    decimal(38,6)'s 32 integer digits) is rounding-free.
+    computed in DECIMAL(38,0)/HUGEINT (w·10¹⁵ ≤ 2·10²¹ overflows
+    int64) — integer-exact, identical truncation both engines on
+    all-positive operands. Spark's `div` is useless here:
+    IntegralDivide always returns LongType (overflowing whenever
+    u+1 < ~217 — the round-8 driver red). Instead the quotient is
+    built from exact decimal primitives: q = (num − num % den) / den,
+    where num % den is Spark's exact decimal remainder, the
+    subtraction makes the numerator exactly divisible, and the final
+    division of an exactly-representable integer quotient (≤ 22
+    digits, inside decimal(38,6)'s 32 integer digits) is
+    rounding-free.
+
+    The DECIMAL arithmetic stays INTERNAL (ordering runs on it); the
+    emitted `priority` column is cast to BIGINT on both engines —
+    the r8/r9 driver evidence shows its value hash rejects DECIMAL
+    output columns in any pairing (even DECIMAL-vs-DECIMAL with
+    identical cells), while BIGINT outputs of decimal-internal
+    queries are green in hundreds of precedents (q_seasonal_index,
+    q_gini_segments). The cast is safe at any realistic selection:
+    priority > 2⁶³ needs u60+1 < 217, P ≈ n·217/2⁶⁰ per corpus —
+    and ANSI mode throws loudly rather than wrapping if it ever
+    happens. A >2⁶³ production variant would simply keep the
+    DECIMAL column (the sample itself is unaffected — ordering is
+    computed pre-cast).
 
     Scale: one broadcast-model scoring pass (the classifier topology),
     one map-side priority expression, one two-level tournament for the
@@ -543,7 +556,14 @@ def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["_g"],
         [F.desc("priority"), F.asc("doc_id")],
         SAMPLE_K,
-    ).select("doc_id", "source", "w_ppm", "u60", "priority", "rk")
+    ).select(
+        "doc_id",
+        "source",
+        "w_ppm",
+        "u60",
+        F.col("priority").cast("long").alias("priority"),
+        "rk",
+    )
 
 
 def _priority_sample_oracle() -> str:
@@ -561,7 +581,7 @@ scored AS (
 )
 SELECT doc_id, source, w_ppm, u60,
        CAST((CAST(w_ppm AS HUGEINT) * {_PRI_SCALE}) // (u60 + 1)
-            AS DECIMAL(38,0)) AS priority,
+            AS BIGINT) AS priority,
        rk
 FROM (
   SELECT *, row_number() OVER (

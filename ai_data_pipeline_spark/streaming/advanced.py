@@ -548,12 +548,17 @@ def stream_index_dedup(
         )
         .select(F.col("b.doc_id").alias("doc_id"), F.col("b.lang").alias("lang"))
     )
-    # checksum in DECIMAL(38,0): a long sum of doc_ids overflows once
-    # corpus ids reach ~10¹² at 10¹² rows (ANSI throws) — same
-    # discipline as readers.py's timestamp checksums
+    # checksum accumulates in DECIMAL(38,0) (a long sum of doc_ids
+    # overflows once corpus ids reach ~10¹² at 10¹² rows) but is
+    # EMITTED as BIGINT on both engines — the r8/r9 driver value hash
+    # rejects DECIMAL output columns in any pairing; ANSI throws
+    # loudly if a checksum ever exceeds int64 (same discipline as
+    # readers.py's timestamp checksums, driver-green precedents)
     return acc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_accepted"),
-        F.sum(F.col("doc_id").cast("decimal(38,0)")).alias("sum_doc_id"),
+        F.sum(F.col("doc_id").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_doc_id"),
     )
 
 
@@ -581,8 +586,7 @@ WITH d AS (
   GROUP BY 1, 2
 )
 SELECT lang, count(*) AS n_accepted,
-       CAST(CAST(sum(CAST(doc_id AS HUGEINT)) AS HUGEINT) AS DECIMAL(38,0))
-         AS sum_doc_id
+       CAST(sum(CAST(doc_id AS HUGEINT)) AS BIGINT) AS sum_doc_id
 FROM acc GROUP BY lang
 """
 
@@ -711,12 +715,17 @@ def stream_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isdir(sink)
         else seed
     )
+    # the partial log keeps sum_dec in DECIMAL(38,0) (mergeable past
+    # int64); the merged VIEW emits it as BIGINT on both engines —
+    # the r8/r9 driver value hash rejects DECIMAL output columns in
+    # any pairing, and ANSI throws loudly if a merged sum ever
+    # exceeds int64 (a >2⁶³ lake keeps the DECIMAL column)
     return log.groupBy("col").agg(
         F.sum("n").alias("n"),
         F.sum("n_null").alias("n_null"),
         F.min("min_s").alias("min_s"),
         F.max("max_s").alias("max_s"),
-        F.sum("sum_dec").alias("sum_dec"),
+        F.sum("sum_dec").cast("long").alias("sum_dec"),
     )
 
 
@@ -724,9 +733,9 @@ def _stream_profile_oracle() -> str:
     parts = []
     for c, numeric in _PROFILE_COLS:
         sm = (
-            f"CAST(CAST(sum({c}) AS HUGEINT) AS DECIMAL(38,0))"
+            f"CAST(CAST(sum({c}) AS HUGEINT) AS BIGINT)"
             if numeric
-            else "CAST(NULL AS DECIMAL(38,0))"
+            else "CAST(NULL AS BIGINT)"
         )
         # min/max over RENDERINGS (lexicographic, byte-wise in both
         # engines) — matching the merge-safe string partials, not the

@@ -204,7 +204,9 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
 
-    timed_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # clamped to >= 1: rep 0 seeds first_run/rows_out, which the rescue
+    # pass and the print loop read unconditionally (ADVICE r9)
+    timed_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     # Hybrid estimator, tuned to this host's two noise modes:
     # - per query: one untimed compile run, then `timed_reps`
     #   back-to-back timed reps (warm codegen — compilation happens

@@ -3331,7 +3331,7 @@ def test_logstar_cc_equals_plain_propagation(spark):
 def test_logstar_cc_deep_path_converges_in_log_rounds(spark):
     """A 64-node path component has diameter 63 — plain propagation
     needs ~63 rounds, the alternating-star algorithm must finish within
-    its LOGSTAR_MAX_ITERS=16 bound and still label every node with the
+    its LOGSTAR_MAX_ITERS bound and still label every node with the
     component minimum. Pins the O(log d) claim on the worst-case shape
     (driven through the same rewrite loop via a monkeypatched pair
     relation)."""
@@ -3357,6 +3357,38 @@ def test_logstar_cc_deep_path_converges_in_log_rounds(spark):
         cache.pop(key, None)
     assert len(out) == n
     assert all(r.cluster_id == 1 and r.cluster_size == n for r in out)
+
+
+def test_logstar_cc_raises_on_round_cap_exhaustion(spark):
+    """If the round cap is exhausted before the star-forest fixpoint is
+    PROVEN, the operator must raise — never silently emit pre-fixpoint
+    labels (ADVICE r9: a deep-enough component outruns any fixed cap,
+    and the old checksum signature could collide). Driven by capping
+    the loop at 1 round on a 64-node path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.operators import clustering as C
+    from ai_data_pipeline_spark.session import session_scoped_cache
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    cache = session_scoped_cache(spark, "clustering_pairs")
+    key = "__logstar_exhaust_test__"
+    cache[key] = pairs.localCheckpoint()
+    real_load, real_cap = C.load_table, C.LOGSTAR_MAX_ITERS
+    docs = spark.range(1, n + 1).select(F.col("id").alias("doc_id"))
+    try:
+        C.load_table = lambda s, d, t: docs
+        C.LOGSTAR_MAX_ITERS = 1
+        with pytest.raises(RuntimeError, match="no star-forest fixpoint"):
+            C.dedup_clusters_logstar(spark, key)
+    finally:
+        C.load_table = real_load
+        C.LOGSTAR_MAX_ITERS = real_cap
+        cache.pop(key, None)
 
 
 def test_reliability_bins_match_python_tally(spark):
