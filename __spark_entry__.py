@@ -166,11 +166,15 @@ def _profile_catalog_oracle() -> str:
 # burned half the round-4 budget on re-proof).
 
 
-def _driver_green() -> dict[str, int]:
-    """Map query name -> LAST round it was driver-green in. The round
-    number orders the proven tier oldest-evidence-first (VERDICT r7 task
-    #2), so spare driver slots refresh the longest-unchecked greens
-    instead of re-proving last round's a second time."""
+def _driver_evidence() -> tuple[dict[str, int], set[str]]:
+    """(green, seen): green maps query name -> LAST round it was
+    driver-green in — the round number orders the proven tier
+    oldest-evidence-first (VERDICT r7 task #2), so spare driver slots
+    refresh the longest-unchecked greens instead of re-proving last
+    round's a second time. seen is every name that has EVER received a
+    driver row (green or not) — rows-only queries missing from it have
+    zero driver evidence and rank ahead of the proven tier for their
+    first row (VERDICT r9 task #3)."""
     import glob
     import json
     import os
@@ -178,6 +182,7 @@ def _driver_green() -> dict[str, int]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     green: dict[str, int] = {}
+    seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r0*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -186,13 +191,14 @@ def _driver_green() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, r in record.items():
+            seen.add(name)
             if (
                 r.get("hash_match")
                 and r.get("rows_match")
                 and r.get("schema_match")
             ):
                 green[name] = max(green.get(name, 0), rnd)
-    return green
+    return green, seen
 
 
 # Queries whose implementation (or oracle) changed AFTER their last
@@ -393,7 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for d in mod.QUERY_DEFS:
             q[d.name] = d.fn
     oracled = set(oracle_sql())
-    last_green = _driver_green()
+    last_green, seen = _driver_evidence()
     green = set(last_green) - _REWRITTEN_SINCE_GREEN
     refixed_rank = {n: i for i, n in enumerate(_REFIXED_FIRST)}
     unproven_rank = {n: i for i, n in enumerate(_UNPROVEN_PRIORITY)}
@@ -401,8 +407,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(name: str) -> tuple[int, int]:
         if name in refixed_rank:
             return (0, refixed_rank[name])
-        if name not in oracled:  # rows-only checks: weakest evidence last
-            return (4, 0)
+        if name not in oracled:
+            # rows-only: a query with NO driver row ever ranks ahead of
+            # the proven tier so it gets its first (weaker, rows-only)
+            # evidence; once any row exists, weakest evidence last
+            return (2, 2) if name not in seen else (4, 0)
         if name in _NEW_DEFERRED:  # late additions: behind re-proofs
             return (2, 1)
         if name in green:

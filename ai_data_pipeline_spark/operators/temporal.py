@@ -279,17 +279,54 @@ FROM events GROUP BY 1
 """
 
 
+# HLL estimate tolerance: approx_count_distinct(rsd=0.02) has standard
+# error 2%; 3σ = 6% two-sided, plus 2 absolute for tiny days (where the
+# sparse-mode estimate is exact anyway). Integer-exact predicate:
+# |est − exact|·100 ≤ exact·6 + 200.
+HLL_RSD = 0.02
+HLL_TOL_PCT = 6
+HLL_TOL_ABS = 2
+
+
 def q_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier of q_daily_distinct_users: approx_count_distinct
     (HyperLogLog++). HLL registers are mergeable, so daily sketches
     union into weekly/monthly counts without rescanning — the property
-    the exact tier lacks. Rows-only: estimates aren't cross-engine
-    bit-comparable."""
+    the exact tier lacks.
+
+    Raw estimates aren't cross-engine bit-comparable, so the oracle
+    contract is the estimate's ACCURACY CLAIM instead (VERDICT r9 task
+    #3): alongside the exact per-day count (oracle-identical), the
+    query emits est_within_tol = [|est − exact| ≤ 6% + 2], the 3σ
+    bound of the configured rsd=0.02 — the oracle asserts 1, so a
+    drifting or broken sketch hash-reds loudly instead of hiding
+    behind a rows-only check. Spark's HLL is deterministic for a given
+    input set (fixed hash, commutative register merge), so the flag is
+    batching- and partitioning-invariant. The exact count rides along
+    only to anchor the tolerance; the 100 TB consumer drops it and
+    keeps the mergeable sketch."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-        F.approx_count_distinct("user_id", 0.02).alias("daily_users_est"),
+    agg = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.approx_count_distinct("user_id", HLL_RSD).alias("est"),
+        F.countDistinct("user_id").alias("daily_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    ok = (
+        F.abs(F.col("est") - F.col("daily_users")) * 100
+        <= F.col("daily_users") * HLL_TOL_PCT + HLL_TOL_ABS * 100
+    )
+    return agg.select(
+        "day", "daily_users", "n_events", ok.cast("int").alias("est_within_tol")
+    )
+
+
+Q_DAILY_USERS_HLL_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS daily_users,
+       count(*) AS n_events,
+       1 AS est_within_tol
+FROM events GROUP BY 1
+"""
 
 
 Z_BITS = 16
@@ -698,7 +735,7 @@ QUERY_DEFS = [
     QueryDef("q_time_weighted_avg", q_time_weighted_avg, Q_TWA_ORACLE),
     QueryDef("q_zorder_layout", q_zorder_layout, Q_ZORDER_ORACLE),
     QueryDef("q_daily_distinct_users", q_daily_distinct_users, Q_DAILY_USERS_ORACLE),
-    QueryDef("q_daily_users_hll", q_daily_users_hll, None),  # sketch tier
+    QueryDef("q_daily_users_hll", q_daily_users_hll, Q_DAILY_USERS_HLL_ORACLE),
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
     QueryDef("q_time_bucket_rollup", q_time_bucket_rollup, Q_TIME_BUCKET_ORACLE),
     QueryDef("q_sliding_window", q_sliding_window, Q_SLIDING_ORACLE),
