@@ -224,8 +224,25 @@ def _driver_evidence() -> tuple[dict[str, int], set[str]]:
 # checksum) and exhaustion raises instead of silently emitting
 # pre-fixpoint labels (ADVICE r9); label-equality vs dedup_clusters
 # unchanged (A/B verified + strict-driven at sf0.01/sf0.1).
+# (b) the profile family — the claim-pattern set widened to full
+# reference parity (boolean on|off, the second looser email shape —
+# VERDICT r9 parity gaps #1/#2), adding two h_* ratio columns to
+# every profile row on BOTH engines; re-prove on the widened set.
 _REWRITTEN_SINCE_GREEN: set[str] = {
     "dedup_clusters_logstar",
+    "profile_region",
+    "profile_nation",
+    "profile_customer",
+    "profile_supplier",
+    "profile_part",
+    "profile_orders",
+    "profile_lineitem",
+    "profile_events",
+    "profile_documents",
+    "profile_embeddings",
+    "profile_summary_customer",
+    "profile_summary_events",
+    "profile_catalog",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver
@@ -384,6 +401,11 @@ _UNPROVEN_PRIORITY = [
     "cls_reliability_bins", "ann_ivf_cell_balance", "corpus_dataset_card",
     # round-9: covariance-statistics consumer (per-dim variance ranking)
     "emb_dim_variance_rank",
+    # round-10: the HLL sketch made oracle-bearing via its 3σ tolerance
+    # flag, the BMP real-codec roundtrip, and the percentile_approx
+    # rank-error audit (first engine-native-sketch driver artifact)
+    "q_daily_users_hll", "multimodal_bmp_roundtrip",
+    "sketch_quantile_tolerance",
 ]
 
 

@@ -1,10 +1,12 @@
-"""Real media codecs, stdlib-only: PNG (zlib DEFLATE + chunk CRCs) and
-WAV (RIFF PCM). These close the "decode is a stub" boundary documented
-in operators/multimodal.py for the two formats whose full spec is
-implementable with the standard library alone — PNG's DEFLATE layer IS
-zlib (RFC 2083 §5), and WAV is a plain RIFF container over raw PCM.
-JPEG/MP3/H.264 etc. still raise NotImplementedError in the dispatch
-stubs (their codecs are genuinely not in this container).
+"""Real media codecs, stdlib-only: PNG (zlib DEFLATE + chunk CRCs),
+BMP (BITMAPINFOHEADER indexed-8 DIB), and WAV (RIFF PCM). These close
+the "decode is a stub" boundary documented in operators/multimodal.py
+for the formats whose full spec is implementable with the standard
+library alone — PNG's DEFLATE layer IS zlib (RFC 2083 §5), BMP BI_RGB
+is raw padded scanlines under a fixed header, and WAV is a plain RIFF
+container over raw PCM. JPEG/MP3/H.264 etc. still raise
+NotImplementedError in the dispatch stubs (their codecs are genuinely
+not in this container).
 
 Design notes:
 - Decoders VERIFY chunk CRCs (PNG) and container invariants (WAV) and
@@ -153,6 +155,75 @@ def resize_nearest(img: np.ndarray, target_hw: tuple[int, int]) -> np.ndarray:
     ys = (np.arange(th) * h) // th
     xs = (np.arange(tw) * w) // tw
     return img[np.ix_(ys, xs)]
+
+
+_BMP_HDR_SIZE = 14 + 40 + 256 * 4  # file header + BITMAPINFOHEADER + palette
+
+
+def bmp_encode_gray(img: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 array as an 8-bit indexed BMP with an
+    identity grayscale palette (BITMAPINFOHEADER, BI_RGB uncompressed,
+    bottom-up rows padded to 4-byte boundaries — the baseline Windows
+    DIB every viewer reads)."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError(
+            f"bmp_encode_gray wants (H,W) uint8, got {img.dtype} {img.shape}"
+        )
+    h, w = img.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = img[::-1]  # bottom-up scanline order
+    body = rows.tobytes()
+    palette = np.zeros((256, 4), dtype=np.uint8)
+    palette[:, 0] = palette[:, 1] = palette[:, 2] = np.arange(256)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 256, 0
+    )
+    file_hdr = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HDR_SIZE + len(body), 0, 0, _BMP_HDR_SIZE
+    )
+    return file_hdr + info + palette.tobytes() + body
+
+
+def bmp_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode an 8-bit indexed, BI_RGB, bottom-up BMP with a grayscale
+    palette to an (H, W) uint8 array + header metadata. Verifies the
+    magic, header sizes, compression mode, palette grayscale-identity,
+    and pixel-array bounds; raises ValueError on corruption or
+    unsupported variants (top-down, RLE, <8/‑>8 bpp)."""
+    if len(data) < _BMP_HDR_SIZE or data[:2] != b"BM":
+        raise ValueError("BMP: bad magic or truncated header")
+    file_size, _, _, offset = struct.unpack("<IHHI", data[2:14])
+    hdr_size, w, h, planes, bpp, comp, img_size = struct.unpack(
+        "<IiiHHII", data[14:38]
+    )
+    if hdr_size != 40:
+        raise ValueError(f"BMP: unsupported DIB header size {hdr_size}")
+    if (planes, bpp, comp) != (1, 8, 0):
+        raise ValueError(
+            f"BMP: only 8-bit BI_RGB supported (planes={planes},"
+            f" bpp={bpp}, compression={comp})"
+        )
+    if h <= 0 or w <= 0:
+        raise ValueError(f"BMP: unsupported dims {w}x{h} (top-down or empty)")
+    pal = np.frombuffer(data[54 : 54 + 256 * 4], dtype=np.uint8).reshape(256, 4)
+    idx = np.arange(256, dtype=np.uint8)
+    if not (
+        np.array_equal(pal[:, 0], idx)
+        and np.array_equal(pal[:, 1], idx)
+        and np.array_equal(pal[:, 2], idx)
+    ):
+        raise ValueError("BMP: palette is not the identity grayscale ramp")
+    stride = (w + 3) & ~3
+    need = offset + stride * h
+    if len(data) < need or file_size < need:
+        raise ValueError(
+            f"BMP: truncated pixel array ({len(data)} < {need} bytes)"
+        )
+    rows = np.frombuffer(
+        data[offset : offset + stride * h], dtype=np.uint8
+    ).reshape(h, stride)
+    return rows[::-1, :w].copy(), {"width": w, "height": h, "bit_depth": bpp}
 
 
 def wav_encode_pcm16(samples: np.ndarray, rate: int = 16_000) -> bytes:

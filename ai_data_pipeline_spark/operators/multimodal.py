@@ -31,21 +31,29 @@ FEATURE_SCHEMA = "doc_id long, source string, n_bytes long, first_byte int, last
 
 def decode_image(payload: bytes, target_size: tuple[int, int] | None = None):
     """Decode an image payload by magic-number dispatch. PNG (8-bit
-    grayscale) decodes FOR REAL via the stdlib-only codec in
-    functions/codecs.py (zlib inflate + chunk CRCs + scanline
-    unfiltering) — see multimodal_png_roundtrip below, which drives the
-    full encode→decode→feature pipeline through mapInPandas under an
-    oracle. Other formats (JPEG/WebP/...) still raise: their codecs are
-    genuinely not in this container, and a silent fake would poison
-    features."""
-    from ai_data_pipeline_spark.functions.codecs import png_decode, resize_nearest
+    grayscale) and BMP (indexed-8 grayscale DIB) decode FOR REAL via
+    the stdlib-only codecs in functions/codecs.py — see
+    multimodal_png_roundtrip / multimodal_bmp_roundtrip below, which
+    drive the full encode→decode→feature pipeline through mapInPandas
+    under an oracle. Other formats (JPEG/WebP/...) still raise: their
+    codecs are genuinely not in this container, and a silent fake
+    would poison features."""
+    from ai_data_pipeline_spark.functions.codecs import (
+        bmp_decode,
+        png_decode,
+        resize_nearest,
+    )
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         img, _meta = png_decode(payload)
         return resize_nearest(img, target_size) if target_size else img
+    if payload[:2] == b"BM":
+        img, _meta = bmp_decode(payload)
+        return resize_nearest(img, target_size) if target_size else img
     raise NotImplementedError(
-        "only PNG decode is available in this environment (stdlib zlib); "
-        "JPEG/WebP need codec libraries this container does not ship"
+        "only PNG and BMP decode are available in this environment "
+        "(stdlib-only codecs); JPEG/WebP need codec libraries this "
+        "container does not ship"
     )
 
 
@@ -812,6 +820,80 @@ FROM base b JOIN rs USING (doc_id)
 """
 
 
+# BMP roundtrip: deliberately ODD width so the 4-byte row padding path
+# is exercised (stride 24 for width 23), and a top-row feature so a
+# decoder that forgot the bottom-up flip fails the oracle even though
+# whole-image sums would still match.
+BMP_W, BMP_H = 23, 14
+
+BMP_RT_SCHEMA = (
+    "doc_id long, width int, height int, px_sum long, px_min int,"
+    " px_max int, top_row_sum long"
+)
+
+
+def _bmp_roundtrip_batches(it):
+    import numpy as np
+
+    from ai_data_pipeline_spark.functions.codecs import (
+        bmp_decode,
+        bmp_encode_gray,
+    )
+
+    idx = np.arange(BMP_W * BMP_H, dtype=np.int64)
+    for pdf in it:
+        out = {
+            "doc_id": [], "width": [], "height": [], "px_sum": [],
+            "px_min": [], "px_max": [], "top_row_sum": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            img = ((doc_id * 13 + idx * 5) % 256).astype(np.uint8).reshape(
+                BMP_H, BMP_W
+            )
+            decoded, meta = bmp_decode(bmp_encode_gray(img))
+            if not np.array_equal(decoded, img):
+                raise ValueError(f"BMP roundtrip broke identity for doc {doc_id}")
+            d64 = decoded.astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["width"].append(meta["width"])
+            out["height"].append(meta["height"])
+            out["px_sum"].append(int(d64.sum()))
+            out["px_min"].append(int(decoded.min()))
+            out["px_max"].append(int(decoded.max()))
+            out["top_row_sum"].append(int(d64[0].sum()))
+        yield pd.DataFrame(out)
+
+
+def bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-BMP decode path: synthesize per-doc grayscale pixels, write
+    an indexed-8 BI_RGB DIB (identity palette, bottom-up padded rows),
+    parse it back (header validation, palette check, flip, de-pad),
+    assert bit-identity, then feature-extract the DECODED pixels. The
+    top-row sum pins scanline ORDER — a decoder that skipped the
+    bottom-up flip reproduces every whole-image stat but fails it.
+
+    Same 100 TB shape as multimodal_png_roundtrip: binary payloads
+    decode in one Arrow-batched Python stage; only fixed-width
+    features shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_bmp_roundtrip_batches, schema=BMP_RT_SCHEMA)
+
+
+BMP_ROUNDTRIP_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, i, (doc_id * 13 + i * 5) % 256 AS p
+  FROM documents, (SELECT unnest(range(0, {BMP_W * BMP_H})) AS i)
+)
+SELECT doc_id, CAST({BMP_W} AS INT) AS width, CAST({BMP_H} AS INT) AS height,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(min(p) AS INT) AS px_min, CAST(max(p) AS INT) AS px_max,
+       CAST(sum(CASE WHEN i < {BMP_W} THEN p ELSE 0 END) AS BIGINT)
+         AS top_row_sum
+FROM px GROUP BY doc_id
+"""
+
+
 WAV_RT_SCHEMA = (
     "doc_id long, n_samples long, sample_rate int, amp_sum long,"
     " energy long, s_min int, s_max int"
@@ -875,6 +957,7 @@ FROM s GROUP BY doc_id
 QUERY_DEFS = [
     QueryDef("multimodal_byte_features", byte_features, BYTE_FEATURES_ORACLE),
     QueryDef("multimodal_png_roundtrip", png_roundtrip, PNG_ROUNDTRIP_ORACLE),
+    QueryDef("multimodal_bmp_roundtrip", bmp_roundtrip, BMP_ROUNDTRIP_ORACLE),
     QueryDef("multimodal_wav_roundtrip", wav_roundtrip, WAV_ROUNDTRIP_ORACLE),
     QueryDef("multimodal_shot_boundaries", shot_boundaries, SHOT_BOUNDARIES_ORACLE),
     QueryDef("multimodal_header_meta", header_meta, HEADER_META_ORACLE),

@@ -11,7 +11,11 @@ Parity notes (reference: saipuli3872/ai-data-pipeline, read-only at
 - Pattern matching runs on *string renderings* of values
   (pattern_classifier.py:73 `astype(str)`), anchored regexes, a type is
   claimed when any single pattern of that type matches >= 80% of the
-  non-null values (pattern_classifier.py:149-154).
+  non-null values (pattern_classifier.py:149-154). Both reference email
+  shapes are carried (strict anchored + the looser
+  pattern_classifier.py:29 variant) and the full reference boolean set
+  including on|off (pattern_classifier.py:56); bool_t_f is a deliberate
+  extension beyond the reference (single-letter t/f renderings).
 - Decision precedence is the "test-intent" fixed order documented in
   SURVEY.md §7.6: identifier-heuristic, EMAIL, DATE, PHONE, NUMERIC,
   BOOLEAN, then fallbacks — this fixes the reference's phone-before-date
@@ -59,6 +63,11 @@ PII_ORDER = {PII_NONE: 0, PII_LOW: 1, PII_MEDIUM: 2, PII_HIGH: 3}
 
 PATTERNS: list[tuple[str, str, str]] = [
     (EMAIL, "email_std", r"(?i)^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$"),
+    # the reference's SECOND, looser email shape (pattern_classifier.py:29)
+    # — any-single-pattern ≥80% semantics means unusual-but-valid locals
+    # (e.g. quoted/underscored) claim email here where the strict anchor
+    # alone would drop below threshold (VERDICT r9 parity gap #2)
+    (EMAIL, "email_loose", r"(?i)^[a-z0-9_.+-]+@[a-z0-9_-]+\.[a-z0-9_.-]+$"),
     (DATE, "date_iso", r"^\d{4}-\d{2}-\d{2}$"),
     (DATE, "date_us", r"^\d{1,2}/\d{1,2}/\d{4}$"),
     (DATE, "date_iso_slash", r"^\d{4}/\d{1,2}/\d{1,2}$"),
@@ -75,6 +84,12 @@ PATTERNS: list[tuple[str, str, str]] = [
     (BOOLEAN, "bool_yn", r"(?i)^(yes|no)$"),
     (BOOLEAN, "bool_yn1", r"(?i)^(y|n)$"),
     (BOOLEAN, "bool_01", r"^(0|1)$"),
+    # on|off is in the reference's boolean set (pattern_classifier.py:56);
+    # it was missing here through round 9, so an on/off column profiled
+    # as text (VERDICT r9 parity gap #1)
+    (BOOLEAN, "bool_onoff", r"(?i)^(on|off)$"),
+    # extension beyond the reference: single-letter t/f renderings
+    # (reference would profile such a column as text)
     (BOOLEAN, "bool_t_f", r"(?i)^(t|f)$"),
     # identifier patterns exist but are NOT in the claim loop (parity with
     # pattern_classifier.py:146-147 which skips IDENTIFIER; identifiers are

@@ -17,6 +17,8 @@ import numpy as np
 import pytest
 
 from ai_data_pipeline_spark.functions.codecs import (
+    bmp_decode,
+    bmp_encode_gray,
     png_decode,
     png_encode_gray,
     resize_nearest,
@@ -128,6 +130,58 @@ def test_png_decode_rejects_corruption():
     bad = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unsupported"):
         png_decode(bad)
+
+
+def test_bmp_roundtrip_identity_all_strides():
+    """Every width mod 4 exercises a different padding stride; the
+    bottom-up flip must reverse exactly (asymmetric test images)."""
+    for w in (21, 22, 23, 24):
+        img = _rng_img(7, w, w)
+        img[0, 0], img[-1, -1] = 1, 254  # make flip errors visible
+        decoded, meta = bmp_decode(bmp_encode_gray(img))
+        assert np.array_equal(decoded, img), f"width {w}"
+        assert (meta["width"], meta["height"]) == (w, 7)
+
+
+def test_bmp_encoder_layout_matches_spec():
+    """Pin the on-disk layout against the DIB spec by hand: magic,
+    header/palette sizes, offset arithmetic, stride padding, and the
+    bottom-up scanline order (last row of the image is the FIRST row
+    of the pixel array)."""
+    img = np.arange(23 * 2, dtype=np.uint8).reshape(2, 23)
+    data = bmp_encode_gray(img)
+    assert data[:2] == b"BM"
+    offset = struct.unpack("<I", data[10:14])[0]
+    assert offset == 14 + 40 + 256 * 4
+    hdr_size, w, h = struct.unpack("<Iii", data[14:26])
+    assert (hdr_size, w, h) == (40, 23, 2)
+    stride = 24  # 23 padded to 4 bytes
+    assert len(data) == offset + stride * 2
+    first_stored_row = np.frombuffer(data[offset : offset + 23], np.uint8)
+    assert np.array_equal(first_stored_row, img[1])  # bottom-up
+
+
+def test_bmp_decode_rejects_corruption():
+    img = _rng_img(5, 8, 9)
+    data = bmp_encode_gray(img)
+    with pytest.raises(ValueError, match="magic|truncated"):
+        bmp_decode(b"XX" + data[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        bmp_decode(data[:-3])
+    # non-grayscale palette
+    tinted = bytearray(data)
+    tinted[54] ^= 0x7F  # first palette entry's blue channel
+    with pytest.raises(ValueError, match="palette"):
+        bmp_decode(bytes(tinted))
+    # 24-bit / compressed variants are refused, not mis-decoded
+    bad_bpp = bytearray(data)
+    struct.pack_into("<H", bad_bpp, 28, 24)
+    with pytest.raises(ValueError, match="only 8-bit"):
+        bmp_decode(bytes(bad_bpp))
+    topdown = bytearray(data)
+    struct.pack_into("<i", topdown, 22, -5)
+    with pytest.raises(ValueError, match="top-down|dims"):
+        bmp_decode(bytes(topdown))
 
 
 def test_resize_nearest_exact_index_map():
