@@ -185,6 +185,10 @@ HEADLINE = [
     "ann_ivf_cell_balance",
     "corpus_dataset_card",
     "emb_dim_variance_rank",
+    # round-10 additions (anchored in BASELINE.md round-10 section)
+    "multimodal_bmp_roundtrip",
+    "sketch_quantile_tolerance",
+    "q_daily_users_hll",
 ]
 
 
