@@ -61,8 +61,10 @@ def test_evidence_bookkeeping_names_are_fresh():
     ):
         stale = [n for n in names if n not in declared]
         assert not stale, f"{label} references undeclared queries: {stale}"
-    gone = [n for n in entry_mod._driver_green() if n not in declared]
+    green, seen = entry_mod._driver_evidence()
+    gone = [n for n in green if n not in declared]
     assert not gone, f"CORRECTNESS greens for queries no longer declared: {gone}"
+    assert set(green) <= seen  # every green row is also driver evidence
 
 
 def test_coverage_doc_names_every_contract_query():
