@@ -1169,11 +1169,12 @@ def test_codec_roundtrips_are_single_python_stage(spark):
     scan — no shuffle, no join: the decode/feature stage is the only
     work, and only fixed-width features leave it."""
     from ai_data_pipeline_spark.operators.multimodal import (
+        bmp_roundtrip,
         png_roundtrip,
         wav_roundtrip,
     )
 
-    for q in (png_roundtrip, wav_roundtrip):
+    for q in (png_roundtrip, bmp_roundtrip, wav_roundtrip):
         df = q(spark, SF_DIR)
         plan = _plan(df)
         assert plan.count("MapInPandas") == 1
@@ -1181,6 +1182,21 @@ def test_codec_roundtrips_are_single_python_stage(spark):
         assert "Join" not in plan
         # column pruning: the scan reads doc_id only (text never moves)
         assert "ReadSchema: struct<doc_id:bigint>" in _formatted(df)
+
+
+def test_sketch_quantile_tolerance_broadcasts_probes(spark):
+    """The rank audit must be ONE conditional-count scan of lineitem
+    against the BROADCAST 3-row probe relation (sketch values) — a
+    bounded-side broadcast nested-loop, never a CartesianProduct, and
+    no corpus sort anywhere."""
+    from ai_data_pipeline_spark.operators.sketches import (
+        sketch_quantile_tolerance,
+    )
+
+    plan = _plan(sketch_quantile_tolerance(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Sort" not in plan
 
 
 def test_logstar_round_is_two_keyed_aggregates_no_cartesian(spark):
