@@ -406,6 +406,9 @@ _UNPROVEN_PRIORITY = [
     # rank-error audit (first engine-native-sketch driver artifact)
     "q_daily_users_hll", "multimodal_bmp_roundtrip",
     "sketch_quantile_tolerance",
+    # round-10: partition-health anomaly screen (trailing-mean
+    # deviation flags over the calendar-bounded day relation)
+    "dq_partition_anomaly",
 ]
 
 

@@ -548,10 +548,99 @@ FULL OUTER JOIN (SELECT {rk} AS k, count(*) AS nr FROM {rt} GROUP BY 1) rc
     return "\nUNION ALL\n".join(branches)
 
 
+# Partition-health anomaly screen: trailing window width and the
+# deviation threshold (percent of the trailing mean) for flagging.
+ANOM_PRIOR_DAYS = 7
+ANOM_DEV_PCT = 50
+
+
+def dq_partition_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-health anomaly screen — the monitor a lake runs on
+    every ingest partition before downstream jobs trust it: per day,
+    row volume and distinct-user reach are compared against the
+    trailing-{ANOM_PRIOR_DAYS}-day mean, and a partition deviating more
+    than {ANOM_DEV_PCT}% (either direction — a half-empty partition is
+    a failed ingest, a doubled one is a replay) is flagged. Days with
+    no history (the stream's first partitions) report prior_days and
+    are never flagged — absence of a baseline is not an anomaly.
+
+    The deviation predicate is integer-exact on both engines with no
+    division: |n·k − S|·100 > {ANOM_DEV_PCT}·S, where k/S are the
+    trailing count/sum — algebraically |n − S/k| > S/k · dev%, with
+    n·k bounded by rows·{ANOM_PRIOR_DAYS} (no overflow at any corpus).
+
+    Scale: the corpus reduces to ONE row per (day) in a single keyed
+    aggregate (map-side combines; the exact distinct is the only
+    Expand — swap approx_count_distinct at 100 TB, same monitor); the
+    trailing windows then run over the calendar-bounded day relation —
+    never over data."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(-ANOM_PRIOR_DAYS, -1)
+    cur = per.select(
+        "day",
+        "n_rows",
+        "n_users",
+        F.count(F.lit(1)).over(w).alias("prior_days"),
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("sum_prior_rows"),
+        F.coalesce(F.sum("n_users").over(w), F.lit(0)).alias("sum_prior_users"),
+    )
+
+    def dev_flag(n: str, s: str) -> F.Column:
+        return (
+            (F.col("prior_days") > 0)
+            & (
+                F.abs(F.col(n) * F.col("prior_days") - F.col(s)) * 100
+                > ANOM_DEV_PCT * F.col(s)
+            )
+        ).cast("int")
+
+    return cur.select(
+        "*",
+        dev_flag("n_rows", "sum_prior_rows").alias("flag_volume_anomaly"),
+        dev_flag("n_users", "sum_prior_users").alias("flag_users_anomaly"),
+    )
+
+
+PARTITION_ANOMALY_ORACLE = f"""
+WITH per AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+         count(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1
+), trail AS (
+  SELECT day, n_rows, n_users,
+         count(*) OVER w AS prior_days,
+         CAST(coalesce(sum(n_rows) OVER w, 0) AS BIGINT) AS sum_prior_rows,
+         CAST(coalesce(sum(n_users) OVER w, 0) AS BIGINT) AS sum_prior_users
+  FROM per
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {ANOM_PRIOR_DAYS} PRECEDING
+               AND 1 PRECEDING)
+)
+SELECT *,
+       CAST(prior_days > 0 AND
+            abs(n_rows * prior_days - sum_prior_rows) * 100
+              > {ANOM_DEV_PCT} * sum_prior_rows AS INT)
+         AS flag_volume_anomaly,
+       CAST(prior_days > 0 AND
+            abs(n_users * prior_days - sum_prior_users) * 100
+              > {ANOM_DEV_PCT} * sum_prior_users AS INT)
+         AS flag_users_anomaly
+FROM trail
+"""
+
+
 QUERY_DEFS = [
     QueryDef("dq_benford_check", dq_benford_check, _benford_oracle()),
     QueryDef("dq_join_fanout_guard", dq_join_fanout_guard, _fanout_oracle()),
     QueryDef("dq_k_anonymity", dq_k_anonymity, K_ANON_ORACLE),
+    QueryDef(
+        "dq_partition_anomaly", dq_partition_anomaly, PARTITION_ANOMALY_ORACLE
+    ),
     QueryDef("dq_l_diversity", dq_l_diversity, L_DIVERSITY_ORACLE),
     QueryDef("dq_checks", dq_checks, DQ_ORACLE),
     QueryDef("q_stratified_sample", q_stratified_sample, STRATIFIED_ORACLE),

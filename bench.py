@@ -189,6 +189,7 @@ HEADLINE = [
     "multimodal_bmp_roundtrip",
     "sketch_quantile_tolerance",
     "q_daily_users_hll",
+    "dq_partition_anomaly",
 ]
 
 

@@ -2974,6 +2974,44 @@ def test_corpus_pii_scan_matches_python_recompute(spark):
         assert row[4] == (1 if doc_id % PII_SSN_MOD == 0 else 0)
 
 
+def test_partition_anomaly_flags_planted_outage(spark):
+    """The deviation predicate must actually FIRE (the driver testdata
+    is uniform by day, so the oracle alone only proves the all-quiet
+    path): plant 10 steady days of 100 events, then an outage day at
+    40 (−60% of the trailing mean → volume flag) and a replay day at
+    220 (+120% → flag), and check the first day reports prior_days=0
+    with no flag (no baseline is not an anomaly)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.operators import quality as Q
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    day_counts = [100] * 10 + [40, 220]
+    eid = 0
+    for d, n in enumerate(day_counts):
+        for i in range(n):
+            rows.append((eid, base + datetime.timedelta(days=d), eid % 37))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    real_load = Q.load_table
+    try:
+        Q.load_table = lambda s, sf, t: ev
+        out = {r["day"]: r for r in Q.dq_partition_anomaly(spark, "x").collect()}
+    finally:
+        Q.load_table = real_load
+    assert len(out) == len(day_counts)
+    first, outage, replay = "2024-03-01", "2024-03-11", "2024-03-12"
+    assert out[first]["prior_days"] == 0
+    assert out[first]["flag_volume_anomaly"] == 0
+    assert out[outage]["flag_volume_anomaly"] == 1  # 40 vs mean 100
+    assert out[replay]["flag_volume_anomaly"] == 1  # 220 vs mean ~94
+    quiet = [d for d in out if d not in (first, outage, replay)]
+    assert all(out[d]["flag_volume_anomaly"] == 0 for d in quiet)
+
+
 def test_tombstone_purge_matches_python_recompute(spark):
     """Per-language purge accounting must equal a Python recompute of
     the fingerprint propagation, satisfy purged+retained=docs and
