@@ -31,6 +31,47 @@ def _rng_img(h, w, seed):
     return np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
 
 
+# --- property tests: roundtrip identity over arbitrary payloads -----------
+# (hypothesis drives shapes AND content; the fixed tests above pin the
+# spec layout, these pin the identity law itself)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 17),
+    w=st.integers(1, 23),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_bmp_roundtrip_identity_property(h, w, seed):
+    img = _rng_img(h, w, seed)
+    png_back, png_meta = png_decode(png_encode_gray(img))
+    assert np.array_equal(png_back, img)
+    assert (png_meta["width"], png_meta["height"]) == (w, h)
+    bmp_back, bmp_meta = bmp_decode(bmp_encode_gray(img))
+    assert np.array_equal(bmp_back, img)
+    assert (bmp_meta["width"], bmp_meta["height"]) == (w, h)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 700),
+    rate=st.sampled_from([8_000, 16_000, 44_100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_identity_property(n, rate, seed):
+    s = (
+        np.random.default_rng(seed)
+        .integers(-(2**15), 2**15, n)
+        .astype(np.int16)
+    )
+    back, got_rate = wav_decode(wav_encode_pcm16(s, rate=rate))
+    assert got_rate == rate
+    assert np.array_equal(back, s)
+
+
 def test_png_roundtrip_identity():
     for seed, (h, w) in enumerate([(1, 1), (3, 5), (16, 24), (64, 64), (7, 1)]):
         img = _rng_img(h, w, seed)
