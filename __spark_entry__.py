@@ -161,12 +161,12 @@ def _profile_catalog_oracle() -> str:
 # still-unproven tail — ordering only; every query remains declared and
 # locally verified via tools/drive_contract.py at the same SF.
 #
-# The green set is DERIVED from the committed CORRECTNESS_r0*.json
+# The green set is DERIVED from the committed CORRECTNESS_r*.json
 # artifacts at import time (a hand-maintained copy went stale in r4 and
 # burned half the round-4 budget on re-proof).
 
 
-def _driver_evidence() -> tuple[dict[str, int], set[str]]:
+def _driver_evidence(base_dir: str | None = None) -> tuple[dict[str, int], set[str]]:
     """(green, seen): green maps query name -> LAST round it was
     driver-green in — the round number orders the proven tier
     oldest-evidence-first (VERDICT r7 task #2), so spare driver slots
@@ -180,10 +180,13 @@ def _driver_evidence() -> tuple[dict[str, int], set[str]]:
     import os
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = base_dir or os.path.dirname(os.path.abspath(__file__))
     green: dict[str, int] = {}
     seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r0*.json"))):
+    # r* (not r0*): round 10+ records are CORRECTNESS_r10.json etc. —
+    # the old r0* glob would silently drop all post-r9 evidence and
+    # freeze the rotation (round-10 review finding)
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:

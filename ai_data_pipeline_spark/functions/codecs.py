@@ -170,6 +170,10 @@ def bmp_encode_gray(img: np.ndarray) -> bytes:
             f"bmp_encode_gray wants (H,W) uint8, got {img.dtype} {img.shape}"
         )
     h, w = img.shape
+    if h == 0 or w == 0:
+        # reject up front: a zero-dimension DIB is undecodable (our own
+        # decoder and spec-conforming readers refuse biWidth/biHeight=0)
+        raise ValueError(f"bmp_encode_gray: empty image {img.shape}")
     stride = (w + 3) & ~3
     rows = np.zeros((h, stride), dtype=np.uint8)
     rows[:, :w] = img[::-1]  # bottom-up scanline order

@@ -134,9 +134,17 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the sketch is one mergeable grouped aggregate; the audit is
     a broadcast of the |groups|·2-row probe relation against one
-    conditional-count scan, partitioned by the same group key."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.col("l_quantity").alias("v")
+    conditional-count scan, partitioned by the same group key.
+
+    NULLs are filtered up front on both engines (the sketch's rank
+    space is non-null — see sketches.rank_audit_cols, which both
+    percentile audits share so the rank convention cannot drift)."""
+    from ai_data_pipeline_spark.operators.sketches import rank_audit_cols
+
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", F.col("l_quantity").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
     apx = l.groupBy("l_returnflag").agg(
         F.expr(
@@ -162,9 +170,7 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("v") <= F.col("av")).cast("long")).alias("cnt_le"),
         )
     )
-    target = F.expr("(q_pct * n + 99) div 100")
-    err = F.expr(f"n div {QPA_ACCURACY}") + F.lit(2)
-    ok = (F.col("cnt_lt") + 1 <= target + err) & (F.col("cnt_le") >= target - err)
+    target, ok = rank_audit_cols(QPA_ACCURACY)
     return counted.select(
         "l_returnflag",
         "q_pct",
@@ -176,7 +182,8 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QPA_ORACLE = """
 WITH per AS (
-  SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1
+  SELECT l_returnflag, count(*) AS n FROM lineitem
+  WHERE l_quantity IS NOT NULL GROUP BY 1
 )
 SELECT l_returnflag, q_pct, n AS n_rows,
        (q_pct * n + 99) // 100 AS target_rank,

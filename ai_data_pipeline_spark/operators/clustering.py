@@ -141,19 +141,21 @@ def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixpoint is a forest of stars centered at component minima, so
     labels read off as min(direct neighbor, self) — no global
     transitive closure ever materializes. Convergence detection is
-    EXACT: a round converges iff its (distinct) edge set equals the
-    previous round's — checked as count-equality plus an empty
-    exceptAll diff (counts equal + one-sided empty difference ⇒ set
-    equality for deduplicated relations). The cheap per-round action
-    is just a count on the already-checkpointed edges; the diff runs
-    only when counts repeat (i.e. at the suspected fixpoint — once
-    per query in practice). If LOGSTAR_MAX_ITERS rounds pass without
-    a proven fixpoint the operator RAISES, pointing at dedup_clusters
-    as the O(d) fallback — it never silently emits the wrong labels a
-    truncated star-contraction would produce (a 1M-node path needs
-    more rounds than any fixed small cap; and the previous
-    (count, hash-sum) signature could in principle collide across
-    rounds — both failure modes are closed by the exact check).
+    EXACT and two-tier: each round computes a cheap (count,
+    order-insensitive hash-sum) signature in one aggregate action, and
+    only when the signature REPEATS does the exact confirmation run —
+    an empty exceptAll diff (counts equal + one-sided empty difference
+    ⇒ set equality for deduplicated relations). The signature alone
+    decided convergence before round 10 (collidable in principle); a
+    count alone would trigger the exact diff EVERY round on
+    path-shaped components, whose edge count is invariant across
+    rewrites while the hash-sum keeps moving toward the minima — the
+    signature prefilter restores one exact diff per query on exactly
+    the adversarial shape this operator exists for. If
+    LOGSTAR_MAX_ITERS rounds pass without a PROVEN fixpoint the
+    operator RAISES, pointing at dedup_clusters as the O(d) fallback —
+    it never silently emits the wrong labels a truncated
+    star-contraction would produce.
 
     Same output contract and DuckDB recursive-CTE oracle as
     dedup_clusters; tests/test_operator_properties.py additionally pins
@@ -169,8 +171,15 @@ def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "hi")
         .localCheckpoint()
     )
-    prev_cnt = edges.count()
-    converged = prev_cnt == 0
+    def _sig(df: DataFrame):
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)), F.sum(F.hash("hi", "lo").cast("long"))
+            ).first()
+        )
+
+    prev_sig = _sig(edges)
+    converged = prev_sig[0] == 0
     for _ in range(LOGSTAR_MAX_ITERS):
         if converged:
             break
@@ -203,16 +212,19 @@ def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(8, "hi")
             .localCheckpoint()
         )
-        cnt = ss.count()
-        if cnt == 0 or (
-            cnt == prev_cnt and ss.exceptAll(edges).count() == 0
+        sig = _sig(ss)
+        if sig[0] == 0 or (
+            # signature match is the cheap prefilter; equality is then
+            # PROVEN by the one-sided empty diff (counts already equal)
+            sig == prev_sig
+            and ss.exceptAll(edges).count() == 0
         ):
             converged = True  # exact fixpoint (or empty) — proven
-        edges, prev_cnt = ss, cnt
+        edges, prev_sig = ss, sig
     if not converged:
         raise RuntimeError(
             f"dedup_clusters_logstar: no star-forest fixpoint within "
-            f"{LOGSTAR_MAX_ITERS} rounds ({prev_cnt} edges live) — "
+            f"{LOGSTAR_MAX_ITERS} rounds ({prev_sig[0]} edges live) — "
             f"component depth exceeds the cap; use dedup_clusters "
             f"(O(d) min-label propagation) for this graph"
         )

@@ -556,34 +556,54 @@ ANOM_DEV_PCT = 50
 
 def dq_partition_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-health anomaly screen — the monitor a lake runs on
-    every ingest partition before downstream jobs trust it: per day,
-    row volume and distinct-user reach are compared against the
-    trailing-{ANOM_PRIOR_DAYS}-day mean, and a partition deviating more
-    than {ANOM_DEV_PCT}% (either direction — a half-empty partition is
-    a failed ingest, a doubled one is a replay) is flagged. Days with
-    no history (the stream's first partitions) report prior_days and
-    are never flagged — absence of a baseline is not an anomaly.
+    every ingest partition before downstream jobs trust it: per
+    CALENDAR day between the first and last observed event, row volume
+    and distinct-user reach are compared against the trailing
+    {ANOM_PRIOR_DAYS}-calendar-day mean, and a partition deviating
+    more than {ANOM_DEV_PCT}% (either direction — a half-empty
+    partition is a failed ingest, a doubled one is a replay) is
+    flagged. The per-day stats join onto a generated calendar SPINE,
+    so a fully-missing day appears as an n_rows=0 row and flags —
+    the most severe failure (100% loss) would otherwise be the one
+    the monitor structurally could not see; and the trailing window
+    is a RANGE frame over the day ordinal, so it always spans exactly
+    the prior {ANOM_PRIOR_DAYS} calendar days even around gaps (a
+    ROWS frame would silently dilate across them) — both round-10
+    review findings. Days with no history (the stream's first
+    partitions) report prior_days = 0 and are never flagged —
+    absence of a baseline is not an anomaly.
 
     The deviation predicate is integer-exact on both engines with no
     division: |n·k − S|·100 > {ANOM_DEV_PCT}·S, where k/S are the
-    trailing count/sum — algebraically |n − S/k| > S/k · dev%, with
-    n·k bounded by rows·{ANOM_PRIOR_DAYS} (no overflow at any corpus).
+    trailing day count/sum — algebraically |n − S/k| > S/k · dev%,
+    with n·k bounded by rows·{ANOM_PRIOR_DAYS} (no overflow at any
+    corpus).
 
-    Scale: the corpus reduces to ONE row per (day) in a single keyed
+    Scale: the corpus reduces to ONE row per day in a single keyed
     aggregate (map-side combines; the exact distinct is the only
     Expand — swap approx_count_distinct at 100 TB, same monitor); the
-    trailing windows then run over the calendar-bounded day relation —
-    never over data."""
+    spine is generated from a 1-row bound aggregate, and the trailing
+    windows run over the calendar-bounded day relation — never over
+    data."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    per = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+    per = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
     )
-    w = Window.orderBy("day").rowsBetween(-ANOM_PRIOR_DAYS, -1)
-    cur = per.select(
-        "day",
+    spine = per.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    days = spine.join(per, "d", "left").select(
+        "d",
+        F.datediff("d", F.lit("1970-01-01").cast("date")).alias("day_num"),
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
+    )
+    w = Window.orderBy("day_num").rangeBetween(-ANOM_PRIOR_DAYS, -1)
+    cur = days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
         "n_rows",
         "n_users",
         F.count(F.lit(1)).over(w).alias("prior_days"),
@@ -609,16 +629,26 @@ def dq_partition_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PARTITION_ANOMALY_ORACLE = f"""
 WITH per AS (
-  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n_rows,
          count(DISTINCT user_id) AS n_users
   FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM per
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds WHERE lo IS NOT NULL
+), days AS (
+  SELECT s.d, date_diff('day', DATE '1970-01-01', s.d) AS day_num,
+         coalesce(p.n_rows, 0) AS n_rows,
+         coalesce(p.n_users, 0) AS n_users
+  FROM spine s LEFT JOIN per p ON s.d = p.d
 ), trail AS (
-  SELECT day, n_rows, n_users,
+  SELECT strftime(d, '%Y-%m-%d') AS day, n_rows, n_users,
          count(*) OVER w AS prior_days,
          CAST(coalesce(sum(n_rows) OVER w, 0) AS BIGINT) AS sum_prior_rows,
          CAST(coalesce(sum(n_users) OVER w, 0) AS BIGINT) AS sum_prior_users
-  FROM per
-  WINDOW w AS (ORDER BY day ROWS BETWEEN {ANOM_PRIOR_DAYS} PRECEDING
+  FROM days
+  WINDOW w AS (ORDER BY day_num RANGE BETWEEN {ANOM_PRIOR_DAYS} PRECEDING
                AND 1 PRECEDING)
 )
 SELECT *,

@@ -370,6 +370,25 @@ FROM targets t JOIN ranked r ON r.rn = t.target_rank
 QT_ACCURACY = 10_000  # percentile_approx accuracy ⇒ rank error ≤ n/accuracy
 
 
+def rank_audit_cols(accuracy: int):
+    """(target_rank, within_guarantee) expressions shared by BOTH
+    percentile_approx audits (the global sketch_quantile_tolerance and
+    the grouped q_percentiles_approx in analytic.py) so the rank
+    convention and tolerance can never drift between the two copies
+    (round-10 review finding). Expects columns q_pct, n (NON-NULL row
+    count — the sketch's rank space: percentile_approx ignores NULLs,
+    so targets computed over a NULL-inclusive count would skew off the
+    occupied interval), cnt_lt, cnt_le. The +2 absorbs rank-convention
+    off-by-ones between ceil(q·n/100) and the sketch's internal
+    convention; all-integer, both engines agree exactly."""
+    target = F.expr("(q_pct * n + 99) div 100")
+    err = F.expr(f"n div {accuracy}") + F.lit(2)
+    ok = (F.col("cnt_lt") + 1 <= target + err) & (
+        F.col("cnt_le") >= target - err
+    )
+    return target, ok
+
+
 def sketch_quantile_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit of Spark's own percentile_approx sketch (Greenwald-Khanna
     style) against its published rank-error guarantee — the first
@@ -388,15 +407,23 @@ def sketch_quantile_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the 3-row probe relation against a single scan with
     conditional counts. At 100 TB the audit runs on a sampled shard —
     the guarantee is distribution-free, so any shard bounds the
-    machinery's health."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("v")
+    machinery's health.
+
+    NULLs are filtered up front on BOTH engines: percentile_approx
+    ignores them, so the audit's rank space (n, targets, occupied
+    intervals) must be the non-null space too — a NULL-inclusive count
+    would skew targets off the interval and falsely fail the flag on
+    nullable columns (round-10 review finding)."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
     apx = l.agg(
         F.percentile_approx(
             "v", F.array(*[F.lit(p / 100.0) for p in QH_PCTS]), F.lit(QT_ACCURACY)
         ).alias("avs"),
-        F.count("v").alias("n"),
+        F.count(F.lit(1)).alias("n"),
     )
     probes = apx.select(
         "n", F.posexplode("avs").alias("i", "av")
@@ -415,9 +442,7 @@ def sketch_quantile_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("v") <= F.col("av")).cast("long")).alias("cnt_le"),
         )
     )
-    target = F.expr("(q_pct * n + 99) div 100")
-    err = F.expr(f"n div {QT_ACCURACY}") + F.lit(2)
-    ok = (F.col("cnt_lt") + 1 <= target + err) & (F.col("cnt_le") >= target - err)
+    target, ok = rank_audit_cols(QT_ACCURACY)
     return counted.select(
         "q_pct",
         F.col("n").alias("n_rows"),
@@ -427,7 +452,9 @@ def sketch_quantile_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QT_TOLERANCE_ORACLE = f"""
-WITH tot AS (SELECT count(*) AS n FROM lineitem)
+WITH tot AS (
+  SELECT count(*) AS n FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
 SELECT q_pct, n AS n_rows, (q_pct * n + 99) // 100 AS target_rank,
        1 AS sketch_rank_ok
 FROM (SELECT unnest([{", ".join(str(p) for p in QH_PCTS)}]) AS q_pct)

@@ -413,9 +413,11 @@ def cls_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The SCORED relation is memoized per (session, sf_dir) behind an
     eager localCheckpoint — the `_doc_shingles` discipline: nine
-    downstream queries (eval, ROC, confusion bands, percentile,
-    reliability bins, Kendall tau, epoch plan, priority sample,
-    scorecard → resample/funnel) all consume these scores, and the
+    downstream queries (eval, ROC, percentile, reliability bins,
+    Kendall tau, epoch plan, priority sample, scorecard, resample —
+    plus the funnel composing scorecard + percentile; the confusion
+    matrix is NOT a consumer, it scores via cls_linear_multiclass)
+    all consume these scores, and the
     curation funnel alone composes TWO of those consumers, so without
     the checkpoint the tokenize+train+score subtree re-executes
     per consumer. The materialized relation is one fixed-width row

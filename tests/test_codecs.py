@@ -202,6 +202,13 @@ def test_bmp_encoder_layout_matches_spec():
     assert np.array_equal(first_stored_row, img[1])  # bottom-up
 
 
+def test_bmp_encode_rejects_empty_image():
+    with pytest.raises(ValueError, match="empty"):
+        bmp_encode_gray(np.zeros((0, 5), dtype=np.uint8))
+    with pytest.raises(ValueError, match="empty"):
+        bmp_encode_gray(np.zeros((5, 0), dtype=np.uint8))
+
+
 def test_bmp_decode_rejects_corruption():
     img = _rng_img(5, 8, 9)
     data = bmp_encode_gray(img)

@@ -67,6 +67,23 @@ def test_evidence_bookkeeping_names_are_fresh():
     assert set(green) <= seen  # every green row is also driver evidence
 
 
+def test_evidence_glob_reads_double_digit_rounds(tmp_path):
+    """The evidence reader must pick up CORRECTNESS_r10.json and later —
+    the original r0* glob silently dropped every post-r9 record, which
+    would freeze the proven-tier rotation (round-10 review finding).
+    Also pins last-green = MAX round across records."""
+    import json
+
+    row = {"rows_match": True, "schema_match": True, "hash_match": True}
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps({"a": row}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"a": row, "b": dict(row, hash_match=False)})
+    )
+    green, seen = entry_mod._driver_evidence(str(tmp_path))
+    assert green == {"a": 10}
+    assert seen == {"a", "b"}
+
+
 def test_coverage_doc_names_every_contract_query():
     """COVERAGE.md is the judge-facing operator inventory — every
     queries() key must appear in it (backtick-quoted) so no declared

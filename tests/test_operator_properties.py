@@ -2971,19 +2971,19 @@ def test_corpus_pii_scan_matches_python_recompute(spark):
 def test_partition_anomaly_flags_planted_outage(spark):
     """The deviation predicate must actually FIRE (the driver testdata
     is uniform by day, so the oracle alone only proves the all-quiet
-    path): plant 10 steady days of 100 events, then an outage day at
-    40 (−60% of the trailing mean → volume flag) and a replay day at
-    220 (+120% → flag), and check the first day reports prior_days=0
-    with no flag (no baseline is not an anomaly)."""
+    path): plant 10 steady days of 100 events, then a fully MISSING
+    day (the spine must surface it as an n_rows=0 row and flag 100%
+    loss), an outage day at 40 and a replay day at 220 (both beyond
+    ±50% of the trailing mean → flags), and check the first day
+    reports prior_days=0 with no flag (no baseline is not an
+    anomaly)."""
     import datetime
-
-    from pyspark.sql import functions as F
 
     from ai_data_pipeline_spark.operators import quality as Q
 
     base = datetime.datetime(2024, 3, 1)
     rows = []
-    day_counts = [100] * 10 + [40, 220]
+    day_counts = [100] * 10 + [0, 40, 220]  # day 10 fully missing
     eid = 0
     for d, n in enumerate(day_counts):
         for i in range(n):
@@ -2996,13 +2996,17 @@ def test_partition_anomaly_flags_planted_outage(spark):
         out = {r["day"]: r for r in Q.dq_partition_anomaly(spark, "x").collect()}
     finally:
         Q.load_table = real_load
-    assert len(out) == len(day_counts)
-    first, outage, replay = "2024-03-01", "2024-03-11", "2024-03-12"
+    assert len(out) == len(day_counts)  # spine includes the missing day
+    first, missing, outage, replay = (
+        "2024-03-01", "2024-03-11", "2024-03-12", "2024-03-13",
+    )
     assert out[first]["prior_days"] == 0
     assert out[first]["flag_volume_anomaly"] == 0
-    assert out[outage]["flag_volume_anomaly"] == 1  # 40 vs mean 100
-    assert out[replay]["flag_volume_anomaly"] == 1  # 220 vs mean ~94
-    quiet = [d for d in out if d not in (first, outage, replay)]
+    assert out[missing]["n_rows"] == 0
+    assert out[missing]["flag_volume_anomaly"] == 1  # 100% loss flags
+    assert out[outage]["flag_volume_anomaly"] == 1  # 40 vs mean ~86
+    assert out[replay]["flag_volume_anomaly"] == 1  # 220 vs mean ~77
+    quiet = [d for d in out if d not in (first, missing, outage, replay)]
     assert all(out[d]["flag_volume_anomaly"] == 0 for d in quiet)
 
 
