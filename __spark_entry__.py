@@ -41,6 +41,7 @@ from ai_data_pipeline_spark.operators import (
 from ai_data_pipeline_spark.sources import advanced as sources_advanced
 from ai_data_pipeline_spark.sources import readers
 from ai_data_pipeline_spark.streaming import advanced as streaming_advanced
+from ai_data_pipeline_spark.streaming import ivf as streaming_ivf
 from ai_data_pipeline_spark.streaming import windows as streaming_windows
 from ai_data_pipeline_spark.profiling.profiler import profile_summary, profile_table
 from ai_data_pipeline_spark.profiling.oracle import (
@@ -57,6 +58,7 @@ QUERY_DEF_MODULES = [
     temporal,
     streaming_windows,
     streaming_advanced,
+    streaming_ivf,
     vault,
     readers,
     sources_advanced,
@@ -118,8 +120,10 @@ def _summary_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
 
 def _profile_approx_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
     """100 TB-tier profile: HLL approx_count_distinct instead of the exact
-    Expand-based distinct. Declared rows-only (no oracle) — sketches are
-    not bit-comparable across engines by design."""
+    Expand-based distinct. Declared rows-only (no oracle) — the raw
+    sketch estimates are not bit-comparable across engines by design;
+    the tier's GUARANTEES are driver-proven by the oracle-bearing audit
+    twin profile_lineitem_approx_audit below."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return profile_table(
@@ -127,6 +131,63 @@ def _profile_approx_query(table: str) -> Callable[[SparkSession, str], DataFrame
         )
 
     return run
+
+
+# HLL tolerance for the approx-profile audit: the profiler's sketch runs
+# at rsd=0.02 (profiler.py), so 5σ = 10% two-sided, plus 2 absolute for
+# tiny columns where sparse-mode HLL is exact anyway — the same bound
+# (and the same ~6e-7 per-column false-flag argument) as
+# q_daily_users_hll (operators/temporal.py).
+_APPROX_TOL_PCT = 10
+_APPROX_TOL_ABS = 2
+
+
+def _profile_approx_audit(table: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Oracle-bearing audit of the HLL profile tier (VERDICT r10 task
+    #2, the sketch_quantile_tolerance recipe): per column, emit
+
+    - ``unique_count``   — the EXACT distinct count (oracle-identical),
+    - ``data_type``      — the cascade decision driven by the HLL
+                           estimate (proves the sketch-driven semantic
+                           typing agrees with the exact-driven oracle:
+                           no profiled ratio sits close enough to a
+                           cascade threshold for 0.8%-rsd drift to flip
+                           a decision),
+    - ``est_within_tol`` — [|hll − exact| ≤ 10% + 2], the 5σ bound of
+                           the profiler's rsd=0.02 sketch.
+
+    The audit intentionally runs BOTH tiers (two scans): it is the
+    verification query one runs at a small SF before trusting the
+    sketch tier on the full corpus, not the 100 TB production path."""
+    from pyspark.sql import functions as F
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        approx = profile_table(df, TABLES[table], exact_distinct=False).select(
+            "column_name", "data_type", F.col("unique_count").alias("uc_hll")
+        )
+        exact = profile_table(df, TABLES[table]).select(
+            "column_name", "unique_count"
+        )
+        ok = (
+            F.abs(F.col("uc_hll") - F.col("unique_count")) * 100
+            <= F.col("unique_count") * _APPROX_TOL_PCT + _APPROX_TOL_ABS * 100
+        )
+        return approx.join(exact, "column_name").select(
+            "column_name",
+            "data_type",
+            "unique_count",
+            ok.cast("int").alias("est_within_tol"),
+        )
+
+    return run
+
+
+def _profile_approx_audit_oracle(table: str) -> str:
+    return (
+        "SELECT column_name, data_type, unique_count, 1 AS est_within_tol "
+        f"FROM (\n{profile_oracle_sql(table, TABLES[table])}\n)"
+    )
 
 
 def _profile_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,57 +271,20 @@ def _driver_evidence(base_dir: str | None = None) -> tuple[dict[str, int], set[s
 # tier drains. Convention: any rewrite of a driver-green query adds its
 # name here IN THE SAME COMMIT (comment-only edits excepted), and the
 # entry is only cleared against a green row proven on the post-rewrite
-# code. History: the r4/r5/r6 rewrite cohorts (43 names, including
-# dedup_ngram_jaccard's r7 NGRAM_DF_CAP semantic change) were all
-# driver-re-proven green in CORRECTNESS_r07.json on current code, so
-# the set was cleared at the start of round 8 (VERDICT r7 task #1).
-# The r8 rewrite cohort (MinHash full-digest pair, placement-robust
-# compaction, decimal-rewritten seasonal index and Gini, explicit-
-# schema partitioned read-back) was driver-re-proven green in
-# CORRECTNESS_r08.json on current code, so the set was cleared at the
-# start of round 9 (VERDICT r8 task #5).
-# The r9 rewrite cohort (the five regexp_count rewrites) was
-# driver-re-proven green in CORRECTNESS_r09.json on current code, so
-# the set was cleared at the start of round 10 (convention).
-# r10 rewrites: (a) dedup_clusters_logstar — convergence is now
-# EXACT (subtract-count fixpoint proof instead of a collidable
-# checksum) and exhaustion raises instead of silently emitting
-# pre-fixpoint labels (ADVICE r9); label-equality vs dedup_clusters
-# unchanged (A/B verified + strict-driven at sf0.01/sf0.1).
-# (b) the profile family — the claim-pattern set widened to full
-# reference parity (boolean on|off, the second looser email shape —
-# VERDICT r9 parity gaps #1/#2), adding two h_* ratio columns to
-# every profile row on BOTH engines; re-prove on the widened set.
-# (c) the classifier-consumer family — cls_linear_score's scored
-# relation is now memoized per (session, sf_dir) behind an eager
-# localCheckpoint (the _doc_shingles discipline; VERDICT r9 named the
-# funnel's re-scored subtree as the one cheap win left). Semantics
-# identical (deterministic closed-form scores); every consumer
-# re-proves on the memoized path.
+# code. History: every prior cohort (r4–r10, 66 names total) was
+# driver-re-proven green on its post-rewrite code in the following
+# round's CORRECTNESS record and cleared — see git history of this
+# block for the per-cohort narratives.
+# r11 rewrites: (a) q_daily_users_hll — the HLL tolerance flag widened
+# from 3σ to 5σ (ADVICE r10: an in-contract sketch exceeds 3σ for
+# ~0.3% of groups, a persistent false red on an unlucky dataset).
+# (b) q_cheapest_supplier — the per-part argmin is now a struct-MIN
+# hash aggregate with map-side combines instead of a row_number
+# window sorting lineitem inside the shuffle (VERDICT r10 item #1);
+# same deterministic tie-break, A/B-verified at sf0.001/0.01/0.1.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    "dedup_clusters_logstar",
-    "cls_linear_score",
-    "cls_linear_eval",
-    "cls_roc_auc",
-    "cls_score_percentile",
-    "quality_kendall_tau",
-    "corpus_epoch_plan",
-    "pipeline_quality_resample",
-    "pipeline_doc_scorecard",
-    "pipeline_curation_funnel",
-    "profile_region",
-    "profile_nation",
-    "profile_customer",
-    "profile_supplier",
-    "profile_part",
-    "profile_orders",
-    "profile_lineitem",
-    "profile_events",
-    "profile_documents",
-    "profile_embeddings",
-    "profile_summary_customer",
-    "profile_summary_events",
-    "profile_catalog",
+    "q_daily_users_hll",
+    "q_cheapest_supplier",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver
@@ -271,166 +295,30 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
 _NEW_DEFERRED: set[str] = set()
 
 # Red rows re-fixed in the current round go here so the fix is
-# driver-proven first. Round 10: all seven round-9 reds — the r8+r9
-# evidence established that the driver's value hash rejects DECIMAL
-# output columns in ANY pairing (r8: BIGINT-vs-DECIMAL red with
-# identical cells; r9: DECIMAL-vs-DECIMAL also red; BIGINT-vs-BIGINT
-# green in 235 precedents). Fix: keep DECIMAL(38,0) arithmetic
-# internal, cast every final output column to BIGINT on both engines
-# (mirroring the green precedents q_seasonal_index / q_gini_segments),
-# with ANSI throwing loudly if a value ever exceeds int64.
-# tools/drive_contract.py now lints any decimal output column so the
-# class cannot recur. Each fix strict-verified at sf0.01 + sf0.1.
-_REFIXED_FIRST: list[str] = [
-    "corpus_priority_sample",
-    "emb_covariance_stats",
-    "emb_dim_variance_rank",
-    "stream_index_dedup",
-    "stream_profile_documents",
-    "cls_reliability_bins",
-    "corpus_dataset_card",
-]
+# driver-proven first. (The r10 cohort — the seven DECIMAL-output
+# reds, fixed by BIGINT output casts on both engines — all re-proved
+# green in CORRECTNESS_r10.json; tools/drive_contract.py lints any
+# decimal output column so the class cannot recur.) No reds in r10,
+# so the set is empty this round.
+_REFIXED_FIRST: list[str] = []
 
-# Ordering of the never-checked tier. Round-8 state: 27 never-checked
-# (3 r7 deferrals + the r8 LM/bucket/resample/curation additions, the
-# retrieval/mining/tau batch, the bucketed-join/first-touch batch, the
-# outlier-screen/priority-sample batch, the scorecard/pivot batch, the
-# corrupt-ingest query, the classifier-eval closure pair
-# cls_roc_auc / cls_confusion_matrix, the LSH banding audit
-# dedup_lsh_recall, the RAKE keyword extractor text_keyword_rake, the
-# IVF routing audit ann_ivf_recall, the linkage accuracy audit
-# er_linkage_eval, the MMR diverse selection retrieval_mmr_select,
-# the calibration/funnel pair cls_score_percentile /
-# pipeline_curation_funnel, the covariance statistics
-# emb_covariance_stats, the streaming ingest dedup
-# stream_index_dedup, the PII-scan/tombstone-purge pair
-# corpus_pii_scan / corpus_tombstone_purge, the privacy/layout
-# audit pair dq_l_diversity / zonemap_skip_audit, and the
-# dependency/leakage pair fd_discovery / corpus_split_leakage, and
-# the embedding drift monitor emb_drift_monitor)
-# + 5 rewritten-since-green (full-digest MinHash pair,
-# placement-robust compaction, decimal-rewritten seasonal index and
-# Gini) = 44 driver
-# slots on new evidence; the remaining ~6
-# re-confirm the oldest greens (proven tier orders by last-green round
-# ascending — the r2/r3 profile_* family refreshes first per VERDICT r7
-# task #2). Names listed here but already green just rank in the
-# proven tier (the rank() lookup ignores stale priority entries).
+# Ordering of the never-checked oracle-bearing tier (first driver
+# slots). Historical note: through r10 this list carried the full
+# per-round narrative of every batch ever added (~115 lines); with the
+# tier now essentially empty — everything oracled has been driver-green
+# at least once — the history lives in git and the derived ledger
+# (_driver_evidence) encodes the truth (VERDICT r10 item #2). Only
+# CURRENT never-green names belong here, flagship-first; names that
+# have gone green just rank in the proven tier (the rank() lookup
+# ignores stale entries).
 _UNPROVEN_PRIORITY = [
-    # flagship TPC-H paths a reference user hits first
-    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
-    "q7_nation_trade", "q_cheapest_supplier",
-    # rewritten this round per VERDICT — must land green in r5
-    "corpus_domain_caps", "multimodal_byte_features",
-    # new this round: the BPE encode step (train→apply loop closed) and
-    # the token-rarity quality signal
-    "corpus_bpe_apply", "corpus_token_rarity",
-    # text analysis family
-    "text_stats", "text_quality_flags", "text_lang_id",
-    "text_fingerprint", "text_winnowing", "text_tfidf_top_terms",
-    "text_vocab_top_terms",
-    # multimodal (image tiles/phash new this round: 2D pooling + image
-    # near-dup signature)
-    "multimodal_frame_sample", "multimodal_audio_energy",
-    "multimodal_image_tiles", "multimodal_image_phash",
-    # ANN / embedding family (ann_rerank new this round: two-stage
-    # multi-probe LSH → exact re-rank)
-    "ann_cosine_topk", "ann_lsh_buckets", "ann_rerank", "ann_ivf",
-    "dedup_embedding_cosine", "emb_kmeans_fixed_point",
-    "emb_label_centroids", "emb_scalar_quantize",
-    # UDF surface
-    "udaf_sum_sq", "udtf_tokenize", "udf_arrow_stats",
-    # SQL API
-    "sql_q1_portable", "sql_top_segments", "sql_grouping_sets",
-    "sql_recursive_closure",
-    # data-quality family (dq_referential_integrity new this round)
-    "dq_benford_check", "dq_k_anonymity", "dq_checks",
-    "dq_referential_integrity",
-    "q_stratified_sample", "schema_drift", "pii_redact",
-    # named in VERDICT: semi/anti/set-ops/cube and remaining relational
-    "q_semi_join", "q_anti_join", "q_set_ops", "q_cube_revenue",
-    "q_outer_join_coverage", "q_rollup_revenue", "q_topk_per_group",
-    "q_events_window", "q_sessionize", "q_events_json",
-    "q_full_outer_daily", "q_corr_matrix", "q_chi_square",
-    "q_upsert_merge", "q_salted_join_revenue", "q_event_funnel",
-    "pipeline_clean_corpus", "text_feature_hashing",
-    "sketch_countmin_users", "sketch_bloom_filter_join",
-    # new in round 5: semantic dedup (SemDeDup cells), banded-Hamming
-    # image near-dup pairs, source boilerplate, temperature mixing
-    "dedup_semantic", "multimodal_image_phash_pairs",
-    "corpus_boilerplate_ngrams", "corpus_temperature_mix",
-    # new in round 5 (second batch): JL random projection, PQ encode,
-    # sentence-level dedup, incremental-ingest dedup, encoding audit,
-    # exactly-once streaming parquet sink
-    "emb_random_projection", "emb_pq_encode", "dedup_sentences",
-    "dedup_incremental", "text_encoding_audit", "stream_sink_parquet",
-    "ann_ivf_pq", "q_cdc_apply", "q_interval_sweep",
-    "compaction_roundtrip_events", "schema_evolution_roundtrip",
-    "dedup_minhash_estimate", "text_readability",
-    "dq_join_fanout_guard", "er_golden_record",
-    "q_table_diff", "corpus_ngram_novelty",
-    "multimodal_shot_boundaries", "multimodal_header_meta",
-    "q_gini_segments", "emb_prefix_recall",
-    "corpus_chunk_overlap", "text_vocab_coverage",
-    "q_mad_outliers", "q_percent_rank_dist", "emb_quality_audit",
-    "corpus_source_overlap", "q_seasonal_index", "q_scd2_merge",
-    "ann_knn_classify",
-    # source roundtrips last (family already has driver-green twins)
-    "orc_roundtrip_lineitem", "partitioned_roundtrip_events",
-    "binfile_ingest_documents", "pyds_synthetic_agg", "pyds_stream_agg",
-    # new in round 6: mergeable histogram-quantile sketch + the exact
-    # two-phase refinement it anchors
-    "sketch_quantile_hist", "q_quantile_exact_twophase",
-    # new in round 7: hashed-feature linear classifier (closed-form
-    # train + broadcast-model scoring) — after the r6 leftovers so the
-    # five queries the judge already queued keep their slots
-    "cls_linear_train", "cls_linear_score",
-    # round-8 classifier-eval closure
-    "cls_roc_auc", "cls_confusion_matrix",
-    # round-8 tenth batch: LSH banding audit + RAKE keywords + IVF audit
-    "dedup_lsh_recall", "text_keyword_rake", "ann_ivf_recall",
-    "er_linkage_eval",
-    # round-8 eleventh batch: MMR diverse selection
-    "retrieval_mmr_select",
-    # round-8 twelfth batch: percentile calibration + curation funnel
-    "cls_score_percentile", "pipeline_curation_funnel",
-    # round-8 thirteenth batch: covariance sufficient statistics
-    "emb_covariance_stats",
-    # round-8 fourteenth batch: streaming ingest dedup vs static index
-    "stream_index_dedup",
-    # round-8 fifteenth batch: corpus PII scan + right-to-be-forgotten
-    # purge with duplicate-cluster propagation
-    "corpus_pii_scan", "corpus_tombstone_purge",
-    # round-8 sixteenth batch: l-diversity privacy audit + zone-map
-    # data-skipping layout audit
-    "dq_l_diversity", "zonemap_skip_audit",
-    # round-8 seventeenth batch: FD discovery + split leakage audit
-    "fd_discovery", "corpus_split_leakage",
-    # round-8 eighteenth batch: embedding distribution drift monitor
-    "emb_drift_monitor",
-    # round-9: real-codec roundtrips (stdlib PNG/WAV decode is no
-    # longer a stub — functions/codecs.py)
-    "multimodal_png_roundtrip", "multimodal_wav_roundtrip",
-    # round-9: O(log d)-round alternating-star connected components
-    "dedup_clusters_logstar",
-    # round-9: incremental streaming profiler (profiling × streaming)
-    "stream_profile_documents",
-    # round-9: calibration bins, IVF partition-skew audit, dataset card
-    "cls_reliability_bins", "ann_ivf_cell_balance", "corpus_dataset_card",
-    # round-9: covariance-statistics consumer (per-dim variance ranking)
-    "emb_dim_variance_rank",
-    # round-10: the HLL sketch made oracle-bearing via its 3σ tolerance
-    # flag, the BMP real-codec roundtrip, and the percentile_approx
-    # rank-error audit (first engine-native-sketch driver artifact)
-    "q_daily_users_hll", "multimodal_bmp_roundtrip",
-    "sketch_quantile_tolerance",
-    # round-10: partition-health anomaly screen (trailing-mean
-    # deviation flags over the calendar-bounded day relation)
-    "dq_partition_anomaly",
-    # round-10: the grouped percentile sketch made oracle-bearing via
-    # its per-group rank-error guarantee (sketch_quantile_tolerance's
-    # pattern applied to the groupBy tier)
-    "q_percentiles_approx",
+    # round-11: the last two rows-only queries made oracle-bearing via
+    # audit twins (BRP recall/subset flags; HLL-profile 5-sigma +
+    # decision-stability flags) — VERDICT r10 tasks #1/#2
+    "ann_mllib_brp_recall", "profile_lineitem_approx_audit",
+    # round-11 frontier family: incremental ANN index maintenance
+    # (streaming upsert of IVF cell assignments + churn audit)
+    "stream_ivf_index_upsert", "stream_ivf_cell_migration",
 ]
 
 
@@ -441,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_summary_customer"] = _summary_query("customer")
     q["profile_summary_events"] = _summary_query("events")
     q["profile_lineitem_approx"] = _profile_approx_query("lineitem")
+    q["profile_lineitem_approx_audit"] = _profile_approx_audit("lineitem")
     q["profile_catalog"] = _profile_catalog
     for mod in QUERY_DEF_MODULES:
         for d in mod.QUERY_DEFS:
@@ -480,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
     o["profile_summary_customer"] = profile_summary_oracle_sql("customer", TABLES["customer"])
     o["profile_summary_events"] = profile_summary_oracle_sql("events", TABLES["events"])
     o["profile_catalog"] = _profile_catalog_oracle()
+    o["profile_lineitem_approx_audit"] = _profile_approx_audit_oracle("lineitem")
     for mod in QUERY_DEF_MODULES:
         for d in mod.QUERY_DEFS:
             if d.oracle is not None:

@@ -218,6 +218,11 @@ def bmp_decode(data: bytes) -> tuple[np.ndarray, dict]:
         and np.array_equal(pal[:, 2], idx)
     ):
         raise ValueError("BMP: palette is not the identity grayscale ramp")
+    if offset < _BMP_HDR_SIZE:
+        raise ValueError(
+            f"BMP: pixel-array offset {offset} overlaps the"
+            f" {_BMP_HDR_SIZE}-byte header+palette region"
+        )
     stride = (w + 3) & ~3
     need = offset + stride * h
     if len(data) < need or file_size < need:

@@ -539,21 +539,26 @@ FROM p FULL OUTER JOIN er ON p.day_sec = er.day_sec
 def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped argmin-per-group: for every part, the supplier of its
     cheapest lineitem (deterministic tie-break), then parts won per
-    supplier. The correlated MIN subquery is a row_number window over
-    l_partkey — one shuffle, no self-join; supplier scales with SF so
-    its join strategy is left to AQE (broadcast at test scale)."""
+    supplier.
+
+    The argmin is a struct-MIN AGGREGATE, not a row_number window
+    (VERDICT r10 item #1): struct comparison is lexicographic by field
+    order, so min(struct(price, suppkey, orderkey, linenumber)) is
+    exactly the window's ORDER BY with its tie-break — but it hash-
+    aggregates with map-side partial combines instead of sorting the
+    full lineitem relation inside the shuffle (SCALING.md convention:
+    never a partition-key window on a data-scaled key). Supplier
+    scales with SF so its join strategy is left to AQE (broadcast at
+    test scale)."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    w = W.partitionBy("l_partkey").orderBy(
-        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
-    )
-    best = (
-        l.select("l_partkey", "l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    best = l.groupBy("l_partkey").agg(
+        F.min(
+            F.struct("l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber")
+        ).alias("b")
     )
     return (
-        best.groupBy("l_suppkey")
+        best.groupBy(F.col("b.l_suppkey").alias("l_suppkey"))
         .agg(F.count(F.lit(1)).alias("n_parts_cheapest"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "n_parts_cheapest")

@@ -622,12 +622,131 @@ def ann_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=7
     )
     model = lsh.fit(corpus)
-    joined = model.approxSimilarityJoin(q, corpus, 12.0, distCol="dist")
+    joined = model.approxSimilarityJoin(q, corpus, BRP_THRESHOLD, distCol="dist")
     return joined.select(
         F.col("datasetA.vec_id").alias("q_id"),
         F.col("datasetB.vec_id").alias("vec_id"),
         F.round("dist", 6).alias("dist"),
     )
+
+
+# ann_mllib_brp contract constants (shared with the recall audit below).
+BRP_THRESHOLD = 12.0
+# Measured BRP recall vs the exact within-threshold set: the worst
+# per-query recall is 88.0% / 93.7% / 88.4% at sf0.001/0.01/0.1
+# (numHashTables=4 OR-amplification, bucketLength 2.0; every returned
+# pair verified in the exact set — zero false positives). The floor is
+# set WELL below the measured minimum so only a genuinely broken index
+# (wrong projections, dropped hash tables, bad bucketing) trips it —
+# not dataset-level variation.
+BRP_RECALL_MIN_PCT = 60
+
+
+@pandas_udf(DoubleType())
+def _l2_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Euclidean distance with the oracle's IEEE op order: a sequential
+    left-fold of squared differences over dimensions (see module
+    docstring), then one sqrt."""
+    if len(va) == 0:
+        return pd.Series(np.zeros(0, dtype=np.float64))
+    d = _stack(va) - _stack(vb)
+    return pd.Series(np.sqrt(_fold_dot(d, d)))
+
+
+def ann_mllib_brp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing audit of ``ann_mllib_brp`` (VERDICT r10 task #1):
+    the BRP candidate pairs themselves are MLlib-seed-dependent (no
+    DuckDB counterpart), but their GUARANTEES are exact integer
+    predicates — the ``sketch_quantile_tolerance`` recipe applied to
+    the MLlib path. Per query point:
+
+    - ``n_exact``     — #corpus vectors within BRP_THRESHOLD Euclidean
+                        distance (exact; the oracle recomputes it with
+                        the identical left-fold op order).
+    - ``subset_ok``   — every BRP candidate pair IS a within-threshold
+                        pair (approxSimilarityJoin post-filters on the
+                        true distance, so a violation means the join's
+                        distance column or filter broke).
+    - ``recall_ok``   — the BRP candidate set covers ≥ BRP_RECALL_MIN_PCT
+                        of the exact set (vacuously true when the exact
+                        set is empty). Deterministic per dataset: MLlib's
+                        projections are seed-pinned (seed=7) and the data
+                        is fixed, so the flag is stable across runs.
+
+    Membership is defined by THIS query's exact fold — a knife-edge pair
+    whose distance sits within float noise of the threshold could in
+    principle flip between MLlib's sqdist order and the fold, but the
+    flag thresholds leave orders-of-magnitude more margin than one pair.
+
+    Scale: the exact side is the brute-force crossJoin against the
+    broadcast bounded query set (the same 100 TB baseline shape as
+    ann_cosine_topk); the BRP side joins candidate pairs back on
+    (q_id, vec_id) — candidates are a few per query, so the join is a
+    broadcast hash join at any corpus size."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    exact = (
+        corpus.crossJoin(F.broadcast(q))
+        .select("q_id", "vec_id", _l2_udf("v", "qv").alias("dist"))
+        .filter(F.col("dist") <= BRP_THRESHOLD)
+        .select("q_id", "vec_id", F.lit(1).alias("in_exact"))
+    )
+    n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    brp = ann_mllib_brp(spark, sf_dir).select("q_id", "vec_id")
+    brp_stats = (
+        brp.join(F.broadcast(exact), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_hit"),
+            F.sum(F.when(F.col("in_exact").isNull(), 1).otherwise(0)).alias(
+                "n_false"
+            ),
+        )
+    )
+    return (
+        q.select("q_id")
+        .join(n_exact, "q_id", "left")
+        .join(brp_stats, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            (
+                F.coalesce("n_hit", F.lit(0)) * 100
+                >= F.coalesce("n_exact", F.lit(0)) * BRP_RECALL_MIN_PCT
+            )
+            .cast("int")
+            .alias("recall_ok"),
+            (F.coalesce("n_false", F.lit(0)) == 0).cast("int").alias("subset_ok"),
+        )
+    )
+
+
+def _brp_recall_oracle() -> str:
+    sq_dist = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {EMB_DIM}+1), "
+        "i -> (v[i]-qv[i])*(v[i]-qv[i]))), (x,y) -> x+y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), exact AS (
+  SELECT q_id, e.vec_id
+  FROM e CROSS JOIN q
+  WHERE e.vec_id >= {N_QUERIES} AND sqrt({sq_dist}) <= {BRP_THRESHOLD}
+)
+SELECT q.q_id,
+       count(exact.vec_id) AS n_exact,
+       1 AS recall_ok,
+       1 AS subset_ok
+FROM q LEFT JOIN exact ON q.q_id = exact.q_id
+GROUP BY q.q_id
+"""
 
 
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2121,4 +2240,6 @@ QUERY_DEFS = [
     QueryDef("emb_covariance_stats", emb_covariance_stats, EMB_COV_ORACLE),
     QueryDef("emb_dim_variance_rank", emb_dim_variance_rank, EMB_DIM_VAR_ORACLE),
     QueryDef("ann_mllib_brp", ann_mllib_brp, None),  # rows-only (see docstring)
+    # the oracle-bearing audit twin: BRP guarantees as integer predicates
+    QueryDef("ann_mllib_brp_recall", ann_mllib_brp_recall, _brp_recall_oracle()),
 ]

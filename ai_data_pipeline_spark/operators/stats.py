@@ -426,7 +426,16 @@ def cls_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     this the funnel's one remaining cheap win). The earlier rejected
     experiment (caching the wide per-FEATURE presence relation — see
     git history) is the opposite trade: that relation is corpus ×
-    features and its recompute is codegen-cheap."""
+    features and its recompute is codegen-cheap.
+
+    Cache contract (ADVICE r10): the memo assumes sf_dir's data is
+    IMMUTABLE for the session's lifetime — there is deliberately no
+    invalidation, matching the production posture (fixture dirs are
+    write-once; a regenerated corpus gets a new path/session). Tests
+    that monkeypatch load_table while reusing a real sf_dir path must
+    use a unique cache key (a distinct sf_dir string, as the logstar
+    exhaustion test does) or clear this namespace in teardown —
+    otherwise the nine downstream consumers read the stale scores."""
     from ai_data_pipeline_spark.session import session_scoped_cache
 
     cache = session_scoped_cache(spark, "cls_linear_scored")

@@ -280,11 +280,16 @@ FROM events GROUP BY 1
 
 
 # HLL estimate tolerance: approx_count_distinct(rsd=0.02) has standard
-# error 2%; 3σ = 6% two-sided, plus 2 absolute for tiny days (where the
-# sparse-mode estimate is exact anyway). Integer-exact predicate:
-# |est − exact|·100 ≤ exact·6 + 200.
+# error 2%; the flag uses 5σ = 10% two-sided, plus 2 absolute for tiny
+# days (where the sparse-mode estimate is exact anyway). 3σ was the
+# original bound, but an in-contract HLL++ still exceeds 3σ for ~0.3%
+# of groups — a dataset with many days could red the driver check with
+# no actual bug (deterministic per dataset, so a PERSISTENT false red
+# for that SF; ADVICE r10). At 5σ the per-group false-flag probability
+# is ~6e-7 while a broken/drifting sketch (tens of percent off) still
+# trips it. Integer-exact predicate: |est − exact|·100 ≤ exact·10 + 200.
 HLL_RSD = 0.02
-HLL_TOL_PCT = 6
+HLL_TOL_PCT = 10
 HLL_TOL_ABS = 2
 
 
@@ -297,7 +302,7 @@ def q_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Raw estimates aren't cross-engine bit-comparable, so the oracle
     contract is the estimate's ACCURACY CLAIM instead (VERDICT r9 task
     #3): alongside the exact per-day count (oracle-identical), the
-    query emits est_within_tol = [|est − exact| ≤ 6% + 2], the 3σ
+    query emits est_within_tol = [|est − exact| ≤ 10% + 2], the 5σ
     bound of the configured rsd=0.02 — the oracle asserts 1, so a
     drifting or broken sketch hash-reds loudly instead of hiding
     behind a rows-only check. Spark's HLL is deterministic for a given

@@ -51,6 +51,12 @@ def get_spark(app_name: str = "ai_data_pipeline_spark", cpus: int | None = None)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pinned, not inherited: several queries cast decimal(38,0) sums to
+        # BIGINT and document "overflow fails loudly" as the safety
+        # argument. That guarantee must not be configurable away by an
+        # env/conf override flipping Spark 4's ANSI default — a non-ANSI
+        # session would turn an overflowing cast into a silent NULL.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -272,3 +272,18 @@ def test_wav_decode_rejects_bad_input():
     riff_body = b"WAVE" + stereo_fmt
     with pytest.raises(ValueError, match="mono"):
         wav_decode(b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body)
+
+
+def test_bmp_decode_rejects_offset_into_header():
+    """A pixel-array offset pointing INSIDE the header+palette region
+    must be rejected (ADVICE r10): without the lower-bound check a
+    malformed file silently decodes palette bytes as pixel data."""
+    img = _rng_img(4, 4, 11)
+    data = bytearray(bmp_encode_gray(img))
+    # point the pixel array at byte 54 (inside the palette) and grow the
+    # buffer so the truncation check alone would NOT catch it
+    struct.pack_into("<I", data, 10, 54)
+    data.extend(b"\x00" * 2048)
+    struct.pack_into("<I", data, 2, len(data))
+    with pytest.raises(ValueError, match="overlaps"):
+        bmp_decode(bytes(data))

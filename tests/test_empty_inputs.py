@@ -95,6 +95,10 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("similarity", "ann_ivf_cell_balance"),
         ("corpus", "corpus_dataset_card"),
         ("similarity", "emb_dim_variance_rank"),
+        # round-11: the oracle-bearing audit twins (BRP recall flags;
+        # HLL-profile tolerance + decision-stability flags)
+        ("similarity", "ann_mllib_brp_recall"),
+        ("profiling", "profile_lineitem_approx_audit"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

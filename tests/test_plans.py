@@ -1215,3 +1215,55 @@ def test_logstar_round_is_two_keyed_aggregates_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # the only window is the final cluster_size count over cluster_id
     assert plan.count("Window") == 1
+
+
+def test_cheapest_supplier_argmin_is_aggregate_not_window(spark):
+    """The per-part argmin must be a struct-MIN hash aggregate with a
+    map-side partial combine — never a row_number window sorting the
+    full lineitem relation inside the l_partkey shuffle (VERDICT r10
+    item #1; the SCALING.md no-data-scaled-window convention)."""
+    from ai_data_pipeline_spark.operators.relational import (
+        q_cheapest_supplier,
+    )
+
+    plan = _plan(q_cheapest_supplier(spark, SF_DIR))
+    assert "Window" not in plan, f"window argmin over lineitem:\n{plan}"
+    assert "partial_min" in plan
+
+
+def test_brp_recall_exact_side_broadcasts_queries(spark):
+    """The exact side of the BRP audit is the bounded-query-broadcast
+    brute-force shape (the ann_cosine_topk baseline): the corpus must
+    never be exchanged or nested-loop-joined against itself."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        ann_mllib_brp_recall,
+    )
+
+    plan = _plan(ann_mllib_brp_recall(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_stream_ivf_assign_is_aggregate_not_window(spark):
+    """The streaming maintenance path's per-batch assignment must be
+    the same max_by-aggregate shape as ann_ivf — one copy of each
+    vector through the exchange, no corpus-keyed window sort."""
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES,
+    )
+    from ai_data_pipeline_spark.streaming.ivf import _assign_cells
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    batch = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.lit(0).alias("version"), "v"
+    )
+    cents = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+    plan = _plan(_assign_cells(batch, cents))
+    assert "partial_max_by" in plan
+    assert "Window" not in plan

@@ -96,3 +96,80 @@ def test_stream_profile_merge_equals_one_shot_profile(spark):
     assert got == want
     n_docs = docs.count()
     assert all(v[0] == n_docs for v in got.values())
+
+
+def test_stream_ivf_upsert_equals_batch_rebuild(spark):
+    """Incremental maintenance must equal the batch rebuild: the
+    compacted streaming index (latest-version assignment per vector)
+    must match assigning the FINAL vector states directly — computed
+    here as an independent Spark A/B (the oracle proves the same via
+    DuckDB)."""
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.similarity import N_CELLS, N_QUERIES
+    from ai_data_pipeline_spark.streaming.ivf import (
+        UPDATE_MOD,
+        UPDATE_REM,
+        _assign_cells,
+        stream_ivf_index_upsert,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.cell_id: (r.n_vectors, r.sum_vec_id)
+        for r in stream_ivf_index_upsert(spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    cents = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+    final = corpus.select(
+        "vec_id",
+        F.lit(0).alias("version"),
+        F.when(
+            F.col("vec_id") % UPDATE_MOD == UPDATE_REM, F.reverse("v")
+        ).otherwise(F.col("v")).alias("v"),
+    )
+    want = {
+        r.cell_id: (r.n_vectors, r.sum_vec_id)
+        for r in _assign_cells(final, cents)
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_ivf_migration_consistent_with_upsert(spark):
+    """The churn audit must tie out: per-vector transitions cover every
+    updated vector exactly once, and at least one vector provably
+    changes cell (the planted reversed-embedding channel fires)."""
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.similarity import N_QUERIES
+    from ai_data_pipeline_spark.streaming.ivf import (
+        UPDATE_MOD,
+        UPDATE_REM,
+        stream_ivf_cell_migration,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = stream_ivf_cell_migration(spark, SF_DIR).collect()
+    n_updated = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") % UPDATE_MOD == UPDATE_REM)
+        )
+        .count()
+    )
+    assert sum(r.n_moved for r in rows) == n_updated
+    assert sum(r.n_moved for r in rows if r.old_cell != r.new_cell) > 0
