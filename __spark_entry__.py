@@ -282,9 +282,22 @@ def _driver_evidence(base_dir: str | None = None) -> tuple[dict[str, int], set[s
 # hash aggregate with map-side combines instead of a row_number
 # window sorting lineitem inside the shuffle (VERDICT r10 item #1);
 # same deterministic tie-break, A/B-verified at sf0.001/0.01/0.1.
+# (c) the sf1 memory-pressure sweep cohort (SCALING.md r11):
+# dedup_clusters / dedup_clusters_logstar — cluster_size is now an
+# aggregate + hash join (no corpus-sorting window) and the CC loop
+# width scales with the measured edge count instead of a hard-coded
+# 8; dedup_embedding_cosine — the all-pairs block count now scales
+# with the corpus (fixed B let per-task matrices grow quadratically).
+# (d) multimodal_image_phash — tile pass extracted into
+# _phash_relation so the cross-modal agreement audit can phash an
+# augmented corpus; identical plan, shared helper.
 _REWRITTEN_SINCE_GREEN: set[str] = {
     "q_daily_users_hll",
     "q_cheapest_supplier",
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "dedup_embedding_cosine",
+    "multimodal_image_phash",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver
@@ -319,6 +332,9 @@ _UNPROVEN_PRIORITY = [
     # round-11 frontier family: incremental ANN index maintenance
     # (streaming upsert of IVF cell assignments + churn audit)
     "stream_ivf_index_upsert", "stream_ivf_cell_migration",
+    # round-11 cross-modal audit: text-fingerprint vs image-phash
+    # dedup agreement over a planted-twin corpus (pair-free masses)
+    "crossmodal_dedup_agreement",
 ]
 
 

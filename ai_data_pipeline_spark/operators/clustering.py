@@ -22,7 +22,7 @@ iterative operators that still has an exact SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_table
@@ -57,15 +57,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, cluster_size): connected components over
     n-gram-Jaccard near-dup pairs; cluster_id = min doc_id in component."""
     pairs = _near_dup_pairs(spark, sf_dir)
-    # The edge set is tiny relative to the corpus (near-dup pairs only):
-    # squeeze it onto a few partitions before the loop so each round's
-    # joins schedule a handful of tasks, not shuffle-partitions-many.
-    # At larger edge counts the repartition width scales with the data;
-    # 8 is right for the ≤ thousands of edges the thresholds admit here.
+    # The edge set is small relative to the corpus (near-dup pairs
+    # only), but NOT constant: duplicate-heavy corpora grow it
+    # quadratically in per-cluster multiplicity (the r11 sf1
+    # memory-pressure sweep measured ×100 edge mass at ×10 rows on a
+    # 10-replica corpus — SCALING.md). The loop width therefore scales
+    # with the measured edge count (pairs is already checkpointed, so
+    # the sizing count is cheap plan metadata): ~100k edges/partition,
+    # floor 8 so a tiny edge set still schedules a handful of tasks
+    # instead of shuffle-partitions-many.
+    n_edges = 2 * pairs.count()
+    width = max(8, -(-n_edges // 100_000))
     sym = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .repartition(8, "src")
+        .repartition(width, "src")
         .localCheckpoint()  # materialize once; reused every round
     )
     # Only edge-touched vertices enter the loop: isolated docs are their
@@ -109,8 +115,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("label"), F.col("v")).alias("cluster_id"),
         )
     )
-    return assign.withColumn(
-        "cluster_size", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+    return _with_cluster_size(assign)
+
+
+def _with_cluster_size(assign: DataFrame) -> DataFrame:
+    """cluster_size as a keyed AGGREGATE + hash join back, not a
+    cluster_id window: the window sorts the full corpus inside its
+    shuffle, while the aggregate's map-side partial combines collapse
+    each partition's cluster mass before the exchange (the
+    q_cheapest_supplier convention — no sorting window on a
+    data-scaled key)."""
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assign.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
     )
 
 
@@ -240,9 +259,7 @@ def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("label"), F.col("v")).alias("cluster_id"),
         )
     )
-    return assign.withColumn(
-        "cluster_size", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
-    )
+    return _with_cluster_size(assign)
 
 
 CLUSTERS_ORACLE = f"""

@@ -284,6 +284,30 @@ FROM grid g LEFT JOIN tiles t ON g.doc_id = t.doc_id AND g.tile = t.tile
 """
 
 
+def _phash_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, phash, total_sum) over any (doc_id, text) relation —
+    the tile pass + threshold rollup shared by image_phash and the
+    cross-modal agreement audit (which phashes an AUGMENTED corpus)."""
+    from pyspark.sql import Window
+
+    d = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    tiles = d.mapInPandas(
+        _image_tile_batches, schema="doc_id long, tile int, px_sum long"
+    )
+    n_tiles = TILE_GRID * TILE_GRID
+    wt = Window.partitionBy("doc_id")  # 16 rows per partition
+    flagged = tiles.withColumn("total_sum", F.sum("px_sum").over(wt)).withColumn(
+        "bit",
+        F.when(
+            F.col("px_sum") * n_tiles > F.col("total_sum"),
+            F.expr("shiftleft(1L, tile)"),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("bit").alias("phash"), F.min("total_sum").alias("total_sum")
+    )
+
+
 def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash-style image near-dup signature: bit j of the
     16-bit signature is set iff tile j's pixel sum exceeds the image
@@ -296,20 +320,8 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composed from the tile relation (one mapInPandas pass), a
     16-row-per-doc window for the image total, and a per-doc rollup on
     the same doc_id partitioning."""
-    from pyspark.sql import Window
-
-    tiles = image_tiles(spark, sf_dir)
-    n_tiles = TILE_GRID * TILE_GRID
-    wt = Window.partitionBy("doc_id")  # 16 rows per partition
-    flagged = tiles.withColumn("total_sum", F.sum("px_sum").over(wt)).withColumn(
-        "bit",
-        F.when(
-            F.col("px_sum") * n_tiles > F.col("total_sum"),
-            F.expr("shiftleft(1L, tile)"),
-        ).otherwise(F.lit(0)),
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.sum("bit").alias("phash"), F.min("total_sum").alias("total_sum")
+    return _phash_relation(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -334,6 +346,170 @@ SELECT doc_id,
                      THEN (1 << tile) ELSE 0 END) AS BIGINT) AS phash,
        CAST(min(total_sum) AS BIGINT) AS total_sum
 FROM flagged GROUP BY doc_id
+"""
+
+
+# --- cross-modal dedup agreement (round-11 frontier) -----------------------
+
+CROSSMODAL_OFF = 10_000_000  # planted-twin doc_id re-key offset
+
+
+def _crossmodal_fp_sql(text: str) -> str:
+    """Exact-text fingerprint (normalized md5) — the stream_index_dedup
+    normalization, shared verbatim by both engines."""
+    return f"md5(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'))"
+
+
+def _augmented_corpus(docs: DataFrame) -> DataFrame:
+    """documents + three deterministic planted twin channels (the
+    er_fuzzy_linkage discipline — each channel provably fires at every
+    SF; cross-engine equality holds because every transform is
+    character-exact ASCII-safe SQL both engines implement identically):
+
+    - BOTH twin   (doc_id % 10 == 0): verbatim copy → same text
+      fingerprint AND same image phash.
+    - IMAGE twin  (doc_id % 10 == 5, len ≥ 2): first two characters
+      swapped — a byte permutation WITHIN tile 0, so every tile sum
+      (hence the phash) is unchanged, while the normalized text
+      fingerprint differs for any doc whose first two characters
+      differ.
+    - TEXT twin   (doc_id % 10 == 2): two trailing spaces appended —
+      trim-normalization keeps the fingerprint identical, while the
+      appended bytes land inside the pixel window (all test texts are
+      shorter than IMG_W·IMG_H) and perturb the tile sums.
+    """
+    both = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + CROSSMODAL_OFF).alias("doc_id"), "text"
+    )
+    image = (
+        docs.filter((F.col("doc_id") % 10 == 5) & (F.length("text") >= 2))
+        .select(
+            (F.col("doc_id") + 2 * CROSSMODAL_OFF).alias("doc_id"),
+            F.concat(
+                F.substring("text", 2, 1),
+                F.substring("text", 1, 1),
+                F.expr("substring(text, 3)"),
+            ).alias("text"),
+        )
+    )
+    text = docs.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 3 * CROSSMODAL_OFF).alias("doc_id"),
+        F.concat("text", F.lit("  ")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(both).unionByName(
+        image
+    ).unionByName(text)
+
+
+def crossmodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup agreement audit: over the planted-twin corpus,
+    how often do the TEXT near-dup screen (exact normalized
+    fingerprint) and the IMAGE near-dup screen (tile phash over the
+    byte payload) nominate the same duplicate pairs? The answer prices
+    a cheap single-modality screen before trusting it to gate the
+    other modality at 100 TB (e.g. dropping images because their
+    caption text is a dup).
+
+    Pair masses are computed WITHOUT enumerating pairs: per-key group
+    counts n contribute C(n,2) = n·(n−1)/2, summed — three keyed
+    aggregates over the corpus, no joins of data-scaled relations, so
+    the audit runs at any corpus size (the pair-free trick that the
+    pair-ENUMERATING screens, dedup_exact and image_phash_pairs,
+    cannot use because they must emit the pairs). jaccard_ppm =
+    |both| / |text ∪ image| in integer ppm (div == // on
+    non-negatives)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = _augmented_corpus(docs)
+    fp = aug.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    ph = _phash_relation(aug).select("doc_id", "phash")
+    j = fp.join(ph, "doc_id").localCheckpoint()  # fixed-width, 3 consumers
+
+    def pair_mass(cols: list, name: str) -> DataFrame:
+        return (
+            j.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.coalesce(F.sum(F.expr("n * (n - 1) div 2")), F.lit(0))
+                .cast("long")
+                .alias(name)
+            )
+        )
+
+    t = pair_mass(["fp"], "n_pairs_text")
+    i = pair_mass(["phash"], "n_pairs_image")
+    b = pair_mass(["fp", "phash"], "n_pairs_both")
+    return (
+        t.crossJoin(i)
+        .crossJoin(b)
+        .select(
+            "n_pairs_text",
+            "n_pairs_image",
+            "n_pairs_both",
+            F.expr(
+                "cast(coalesce((n_pairs_both * 1000000)"
+                " div nullif(n_pairs_text + n_pairs_image - n_pairs_both, 0),"
+                " 0) as bigint)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def _crossmodal_oracle() -> str:
+    n_tiles = TILE_GRID * TILE_GRID
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CROSSMODAL_OFF}, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {2 * CROSSMODAL_OFF},
+         substr(text, 2, 1) || substr(text, 1, 1) || substr(text, 3)
+  FROM documents WHERE doc_id % 10 = 5 AND length(text) >= 2
+  UNION ALL
+  SELECT doc_id + {3 * CROSSMODAL_OFF}, text || '  '
+  FROM documents WHERE doc_id % 10 = 2
+), hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM aug
+), bytes AS (
+  SELECT doc_id, (unnest(range(1, least(length(h), {2 * IMG_W * IMG_H}) + 1, 2)) - 1) // 2 AS pos, h
+  FROM hx
+), px AS (
+  SELECT doc_id, pos, {_hexpair_to_int('h', '2*pos + 1')} AS b FROM bytes
+), tiles AS (
+  SELECT doc_id, {_tile_expr()} AS tile, CAST(sum(b) AS BIGINT) AS px_sum
+  FROM px GROUP BY 1, 2
+), flagged AS (
+  SELECT doc_id, tile, px_sum,
+         sum(px_sum) OVER (PARTITION BY doc_id) AS total_sum
+  FROM tiles
+), ph AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN px_sum * {n_tiles} > total_sum
+                       THEN (1 << tile) ELSE 0 END) AS BIGINT) AS phash
+  FROM flagged GROUP BY doc_id
+), joined AS (
+  SELECT a.doc_id, {_crossmodal_fp_sql("a.text")} AS fp, ph.phash
+  FROM aug a JOIN ph USING (doc_id)
+), t AS (
+  SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_pairs_text
+  FROM (SELECT count(*) AS n FROM joined GROUP BY fp)
+), i AS (
+  SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_pairs_image
+  FROM (SELECT count(*) AS n FROM joined GROUP BY phash)
+), b AS (
+  SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_pairs_both
+  FROM (SELECT count(*) AS n FROM joined GROUP BY fp, phash)
+)
+SELECT n_pairs_text, n_pairs_image, n_pairs_both,
+       CAST(coalesce((n_pairs_both * 1000000)
+            // nullif(n_pairs_text + n_pairs_image - n_pairs_both, 0), 0)
+            AS BIGINT) AS jaccard_ppm
+FROM t CROSS JOIN i CROSS JOIN b
 """
 
 
@@ -966,4 +1142,7 @@ QUERY_DEFS = [
     QueryDef("multimodal_audio_energy", audio_energy, AUDIO_ENERGY_ORACLE),
     QueryDef("multimodal_image_tiles", image_tiles, IMAGE_TILES_ORACLE),
     QueryDef("multimodal_image_phash", image_phash, IMAGE_PHASH_ORACLE),
+    QueryDef(
+        "crossmodal_dedup_agreement", crossmodal_dedup_agreement, _crossmodal_oracle()
+    ),
 ]

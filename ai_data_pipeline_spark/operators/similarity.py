@@ -499,9 +499,15 @@ SELECT q_id, vec_id, cosine, rk, n_cand FROM (
 
 
 NEAR_DUP_COS = 0.4  # report threshold (data max ~0.51 — no exact dups planted)
+# Target rows per block for the all-pairs block decomposition: blocks
+# are collect_list'd into single rows, so a block must stay
+# executor-task-sized. The sf1 memory-pressure sweep (SCALING.md r11)
+# showed the FIXED block count letting per-task matrices grow
+# quadratically with corpus size; the count now scales so per-task
+# work stays ~BLOCK_ROWS² regardless of corpus size.
+DEDUP_EMB_BLOCK_ROWS = 1024
 
 
-DEDUP_EMB_BLOCKS = 8  # pair-blocks; at scale ~sqrt(2·cluster cores)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,18 +515,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= NEAR_DUP_COS.
 
     Exact all-pairs via a distributed block-matrix join (the classic
-    O(n²/B) decomposition): vectors hash into DEDUP_EMB_BLOCKS blocks,
-    the B·(B+1)/2 unordered block pairs join, and each block pair runs
-    one vectorized numpy kernel. Nothing is collected to the driver and
-    no single task sees more than two blocks — at 100 TB you raise
-    DEDUP_EMB_BLOCKS so blocks stay executor-sized, and the replication
-    cost is O(n·B), the known optimum for exact all-pairs. The LSH/IVF
-    tiers (ann_lsh_buckets / ann_ivf) are the sub-quadratic approximate
-    path; this operator is the exact verify primitive.
+    O(n²/B) decomposition): vectors hash into B blocks, the B·(B+1)/2
+    unordered block pairs join, and each block pair runs one vectorized
+    numpy kernel. Nothing is collected to the driver and no single task
+    sees more than two blocks. B is SIZED FROM THE CORPUS COUNT
+    (ceil(n / DEDUP_EMB_BLOCK_ROWS), min 8) so per-task matrices stay
+    ~BLOCK_ROWS² at any corpus size — the r11 sf1 memory-pressure sweep
+    caught the earlier fixed B=8 letting per-task work grow
+    quadratically with n; the one-scalar count that sizes B is plan
+    metadata, not a data collect. Total work is still O(n²) — exact
+    all-pairs is quadratic BY DEFINITION; the LSH/IVF tiers
+    (ann_lsh_buckets / ann_ivf) are the sub-quadratic approximate path,
+    and this operator is the exact verify primitive one runs on
+    bounded candidate sets or bounded corpora.
     """
     e = _vectors(spark, sf_dir)
+    n = e.count()
+    n_blocks = max(8, -(-n // DEDUP_EMB_BLOCK_ROWS))
     blocks = (
-        e.select((F.col("vec_id") % DEDUP_EMB_BLOCKS).alias("blk"), "vec_id", "v")
+        e.select((F.col("vec_id") % n_blocks).alias("blk"), "vec_id", "v")
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vec_id", "v")).alias("vecs"))
     )
@@ -533,7 +546,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.blk").alias("blk_b"),
             F.col("b.vecs").alias("vb"),
         )
-        .repartition(DEDUP_EMB_BLOCKS * (DEDUP_EMB_BLOCKS + 1) // 2)
+        .repartition(n_blocks * (n_blocks + 1) // 2)
     )
     # Kernel prefilter uses a small slack below the threshold on the RAW
     # cosine; the exact decision (half-up 6 dp round, >= threshold) is

@@ -190,6 +190,12 @@ HEADLINE = [
     "sketch_quantile_tolerance",
     "q_daily_users_hll",
     "dq_partition_anomaly",
+    # round-11 additions (anchored in BASELINE.md round-11 section)
+    "ann_mllib_brp_recall",
+    "profile_lineitem_approx_audit",
+    "stream_ivf_index_upsert",
+    "stream_ivf_cell_migration",
+    "crossmodal_dedup_agreement",
 ]
 
 

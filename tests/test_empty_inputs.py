@@ -96,9 +96,13 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("corpus", "corpus_dataset_card"),
         ("similarity", "emb_dim_variance_rank"),
         # round-11: the oracle-bearing audit twins (BRP recall flags;
-        # HLL-profile tolerance + decision-stability flags)
+        # HLL-profile tolerance + decision-stability flags), the
+        # cross-modal agreement audit, and the adaptive-block rewrite
         ("similarity", "ann_mllib_brp_recall"),
         ("profiling", "profile_lineitem_approx_audit"),
+        ("multimodal", "crossmodal_dedup_agreement"),
+        ("similarity", "dedup_embedding_cosine"),
+        ("clustering", "dedup_clusters"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

@@ -1213,8 +1213,9 @@ def test_logstar_round_is_two_keyed_aggregates_no_cartesian(spark):
 
     plan = _plan(dedup_clusters_logstar(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    # the only window is the final cluster_size count over cluster_id
-    assert plan.count("Window") == 1
+    # r11: cluster_size is now an aggregate + hash join back (no
+    # corpus-sorting window anywhere in the components plan)
+    assert plan.count("Window") == 0
 
 
 def test_cheapest_supplier_argmin_is_aggregate_not_window(spark):
