@@ -335,6 +335,9 @@ _UNPROVEN_PRIORITY = [
     # round-11 cross-modal audit: text-fingerprint vs image-phash
     # dedup agreement over a planted-twin corpus (pair-free masses)
     "crossmodal_dedup_agreement",
+    # round-11: the fourth real stdlib codec (GIF87a variable-width
+    # LZW) driven through the encode→decode→identity→features pipeline
+    "multimodal_gif_roundtrip",
 ]
 
 

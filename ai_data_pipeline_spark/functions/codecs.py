@@ -1,12 +1,13 @@
 """Real media codecs, stdlib-only: PNG (zlib DEFLATE + chunk CRCs),
-BMP (BITMAPINFOHEADER indexed-8 DIB), and WAV (RIFF PCM). These close
-the "decode is a stub" boundary documented in operators/multimodal.py
-for the formats whose full spec is implementable with the standard
-library alone — PNG's DEFLATE layer IS zlib (RFC 2083 §5), BMP BI_RGB
-is raw padded scanlines under a fixed header, and WAV is a plain RIFF
-container over raw PCM. JPEG/MP3/H.264 etc. still raise
-NotImplementedError in the dispatch stubs (their codecs are genuinely
-not in this container).
+BMP (BITMAPINFOHEADER indexed-8 DIB), GIF87a (variable-width LZW),
+and WAV (RIFF PCM). These close the "decode is a stub" boundary
+documented in operators/multimodal.py for the formats whose full spec
+is implementable with the standard library alone — PNG's DEFLATE layer
+IS zlib (RFC 2083 §5), BMP BI_RGB is raw padded scanlines under a
+fixed header, GIF's LZW is ~80 lines of pure integer bit-twiddling,
+and WAV is a plain RIFF container over raw PCM. JPEG/MP3/H.264 etc.
+still raise NotImplementedError in the dispatch stubs (their codecs
+are genuinely not in this container).
 
 Design notes:
 - Decoders VERIFY chunk CRCs (PNG) and container invariants (WAV) and
@@ -279,3 +280,212 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     if rate is None or samples is None:
         raise ValueError("WAV: missing fmt or data chunk")
     return samples, rate
+
+
+# --- GIF87a (8-bit grayscale, LZW) -----------------------------------------
+#
+# GIF87a is the fourth fully-stdlib-implementable format: a fixed
+# header + identity grayscale color table over LZW-compressed pixel
+# indices (variable-width codes, LSB-first bit packing, 255-byte
+# sub-blocks). The encoder emits a CLEAR up front and on dictionary
+# overflow (the standard reset-at-4096 strategy every decoder must
+# support); the decoder implements full variable-width LZW including
+# the code==next_code self-referential case and validates header,
+# palette identity, sub-block framing, and the decoded pixel count.
+
+_GIF_MIN_CODE = 8  # 8-bit pixel indices
+_GIF_CLEAR = 1 << _GIF_MIN_CODE  # 256
+_GIF_EOI = _GIF_CLEAR + 1  # 257
+_GIF_MAX_CODE = 4096
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF's LZW bit order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: bytes) -> bytes:
+    bw = _BitWriter()
+    width = _GIF_MIN_CODE + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = _GIF_EOI + 1
+    bw.write(_GIF_CLEAR, width)
+    prev = -1
+    for k in indices:
+        if prev < 0:
+            prev = k
+            continue
+        found = table.get((prev, k))
+        if found is not None:
+            prev = found
+            continue
+        bw.write(prev, width)
+        table[(prev, k)] = next_code
+        next_code += 1
+        # widen AFTER assigning: the decoder widens when its next_code
+        # reaches 2^width, one step behind the encoder's table add
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= _GIF_MAX_CODE:
+            bw.write(_GIF_CLEAR, width)
+            table.clear()
+            next_code = _GIF_EOI + 1
+            width = _GIF_MIN_CODE + 1
+        prev = k
+    if prev >= 0:
+        bw.write(prev, width)
+    bw.write(_GIF_EOI, width)
+    return bw.flush()
+
+
+def gif_encode_gray(img: np.ndarray) -> bytes:
+    """Encode an 8-bit grayscale image as a canonical GIF87a: global
+    identity-grayscale color table, single non-interlaced image, LZW
+    min code size 8."""
+    if img.ndim != 2 or img.size == 0:
+        raise ValueError("GIF: expected a non-empty 2-D grayscale array")
+    if img.dtype != np.uint8:
+        raise ValueError("GIF: expected uint8 pixels")
+    h, w = img.shape
+    if w > 0xFFFF or h > 0xFFFF:
+        raise ValueError("GIF: dimensions exceed u16")
+    out = bytearray()
+    out += b"GIF87a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    pal = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(_GIF_MIN_CODE)
+    data = _gif_lzw_encode(img.tobytes())
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a GIF87a produced by gif_encode_gray (or any conforming
+    single-image, non-interlaced, global-identity-palette grayscale
+    GIF). Validates signature, palette identity, sub-block framing,
+    LZW code stream, and the decoded pixel count; raises ValueError
+    on corruption or unsupported variants (interlace, local palettes,
+    extension blocks)."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature or truncated header")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    if not packed & 0x80:
+        raise ValueError("GIF: missing global color table")
+    gct_size = 2 << (packed & 0x07)
+    if gct_size != 256:
+        raise ValueError(f"GIF: expected 256-entry palette, got {gct_size}")
+    pos = 13
+    pal = np.frombuffer(data[pos : pos + 768], dtype=np.uint8)
+    if len(pal) != 768:
+        raise ValueError("GIF: truncated color table")
+    pal = pal.reshape(256, 3)
+    idx = np.arange(256, dtype=np.uint8)
+    if not all(np.array_equal(pal[:, c], idx) for c in range(3)):
+        raise ValueError("GIF: palette is not the identity grayscale ramp")
+    pos += 768
+    if pos >= len(data) or data[pos] != 0x2C:
+        raise ValueError("GIF: expected image descriptor (extensions unsupported)")
+    left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+    if (left, top) != (0, 0) or (iw, ih) != (w, h):
+        raise ValueError("GIF: sub-rectangle images unsupported")
+    if ipacked & 0x80:
+        raise ValueError("GIF: local color tables unsupported")
+    if ipacked & 0x40:
+        raise ValueError("GIF: interlaced images unsupported")
+    pos += 10
+    if pos >= len(data):
+        raise ValueError("GIF: truncated before LZW min code size")
+    min_code = data[pos]
+    if min_code != _GIF_MIN_CODE:
+        raise ValueError(f"GIF: expected LZW min code size 8, got {min_code}")
+    pos += 1
+    # concatenate sub-blocks
+    stream = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF: truncated sub-block chain")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        block = data[pos : pos + n]
+        if len(block) != n:
+            raise ValueError("GIF: truncated sub-block")
+        stream += block
+        pos += n
+    if pos >= len(data) or data[pos] != 0x3B:
+        raise ValueError("GIF: missing trailer")
+
+    # LZW decode (LSB-first variable-width codes)
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = _GIF_MIN_CODE + 1
+    acc = nbits = si = 0
+    prev_entry: bytes | None = None
+    n_expected = w * h
+    while True:
+        while nbits < width:
+            if si >= len(stream):
+                raise ValueError("GIF: LZW stream ended before EOI")
+            acc |= stream[si] << nbits
+            si += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == _GIF_CLEAR:
+            table = table[: _GIF_EOI + 1]
+            width = _GIF_MIN_CODE + 1
+            prev_entry = None
+            continue
+        if code == _GIF_EOI:
+            break
+        if prev_entry is None:
+            if code >= len(table):
+                raise ValueError("GIF: first code after clear out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev_entry + entry[:1])
+        elif code == len(table):
+            entry = prev_entry + prev_entry[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF: LZW code {code} beyond table")
+        out += entry
+        prev_entry = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) > n_expected:
+            raise ValueError("GIF: LZW emitted more pixels than w*h")
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF: decoded {len(out)} pixels, expected {n_expected}"
+        )
+    img = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
+    return img, {"width": int(w), "height": int(h), "bit_depth": 8}

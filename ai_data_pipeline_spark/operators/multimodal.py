@@ -31,15 +31,17 @@ FEATURE_SCHEMA = "doc_id long, source string, n_bytes long, first_byte int, last
 
 def decode_image(payload: bytes, target_size: tuple[int, int] | None = None):
     """Decode an image payload by magic-number dispatch. PNG (8-bit
-    grayscale) and BMP (indexed-8 grayscale DIB) decode FOR REAL via
-    the stdlib-only codecs in functions/codecs.py — see
-    multimodal_png_roundtrip / multimodal_bmp_roundtrip below, which
+    grayscale), BMP (indexed-8 grayscale DIB), and GIF87a (grayscale
+    LZW) decode FOR REAL via the stdlib-only codecs in
+    functions/codecs.py — see multimodal_png_roundtrip /
+    multimodal_bmp_roundtrip / multimodal_gif_roundtrip below, which
     drive the full encode→decode→feature pipeline through mapInPandas
     under an oracle. Other formats (JPEG/WebP/...) still raise: their
     codecs are genuinely not in this container, and a silent fake
     would poison features."""
     from ai_data_pipeline_spark.functions.codecs import (
         bmp_decode,
+        gif_decode,
         png_decode,
         resize_nearest,
     )
@@ -50,10 +52,13 @@ def decode_image(payload: bytes, target_size: tuple[int, int] | None = None):
     if payload[:2] == b"BM":
         img, _meta = bmp_decode(payload)
         return resize_nearest(img, target_size) if target_size else img
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        img, _meta = gif_decode(payload)
+        return resize_nearest(img, target_size) if target_size else img
     raise NotImplementedError(
-        "only PNG and BMP decode are available in this environment "
-        "(stdlib-only codecs); JPEG/WebP need codec libraries this "
-        "container does not ship"
+        "only PNG, BMP, and GIF decode are available in this "
+        "environment (stdlib-only codecs); JPEG/WebP need codec "
+        "libraries this container does not ship"
     )
 
 
@@ -1070,6 +1075,87 @@ FROM px GROUP BY doc_id
 """
 
 
+GIF_W, GIF_H = 21, 13
+GIF_RT_SCHEMA = (
+    "doc_id long, width int, height int, px_sum long, px_min int,"
+    " px_max int, top_row_sum long"
+)
+
+
+def _gif_roundtrip_batches(it):
+    import numpy as np
+
+    from ai_data_pipeline_spark.functions.codecs import (
+        gif_decode,
+        gif_encode_gray,
+    )
+
+    idx = np.arange(GIF_W * GIF_H, dtype=np.int64)
+    for pdf in it:
+        out = {
+            "doc_id": [], "width": [], "height": [], "px_sum": [],
+            "px_min": [], "px_max": [], "top_row_sum": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            img = ((doc_id * 29 + idx * 7) % 256).astype(np.uint8).reshape(
+                GIF_H, GIF_W
+            )
+            decoded, meta = gif_decode(gif_encode_gray(img))
+            if not np.array_equal(decoded, img):
+                raise ValueError(f"GIF roundtrip broke identity for doc {doc_id}")
+            d64 = decoded.astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["width"].append(meta["width"])
+            out["height"].append(meta["height"])
+            out["px_sum"].append(int(d64.sum()))
+            out["px_min"].append(int(decoded.min()))
+            out["px_max"].append(int(decoded.max()))
+            out["top_row_sum"].append(int(d64[0].sum()))
+        yield pd.DataFrame(out)
+
+
+def gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-GIF decode path: synthesize per-doc grayscale pixels,
+    LZW-compress them into a GIF87a (identity palette, variable-width
+    codes, sub-block framing), parse it back (signature/palette/
+    framing validation, full LZW decode incl. the self-referential
+    code case), assert bit-identity, then feature-extract the DECODED
+    pixels. Unlike PNG/BMP, the payload here went through a REAL
+    entropy coder round-trip — a single corrupted code widens or
+    shifts every later code, so the identity assert covers the whole
+    bit stream. top_row_sum pins scanline order (GIF is top-down —
+    the opposite of BMP's bottom-up, so a decoder confusing the two
+    conventions fails exactly one of the twin queries).
+
+    Same 100 TB shape as the PNG/BMP twins: one Arrow-batched Python
+    stage; only fixed-width features shuffle. Unlike those twins, the
+    kernel is genuinely sequential per image (LZW), so the CPU-bound
+    stage is repartitioned first — the profiler discipline for
+    single-row-group test parquet that would otherwise scan (and
+    LZW-encode 50k images) in one task; no-ops at cluster scale where
+    the scan already has thousands of splits."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    parallelism = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < parallelism:
+        d = d.repartition(parallelism)
+    return d.mapInPandas(_gif_roundtrip_batches, schema=GIF_RT_SCHEMA)
+
+
+GIF_ROUNDTRIP_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, i, (doc_id * 29 + i * 7) % 256 AS p
+  FROM documents, (SELECT unnest(range(0, {GIF_W * GIF_H})) AS i)
+)
+SELECT doc_id, CAST({GIF_W} AS INT) AS width, CAST({GIF_H} AS INT) AS height,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(min(p) AS INT) AS px_min, CAST(max(p) AS INT) AS px_max,
+       CAST(sum(CASE WHEN i < {GIF_W} THEN p ELSE 0 END) AS BIGINT)
+         AS top_row_sum
+FROM px GROUP BY doc_id
+"""
+
+
 WAV_RT_SCHEMA = (
     "doc_id long, n_samples long, sample_rate int, amp_sum long,"
     " energy long, s_min int, s_max int"
@@ -1134,6 +1220,7 @@ QUERY_DEFS = [
     QueryDef("multimodal_byte_features", byte_features, BYTE_FEATURES_ORACLE),
     QueryDef("multimodal_png_roundtrip", png_roundtrip, PNG_ROUNDTRIP_ORACLE),
     QueryDef("multimodal_bmp_roundtrip", bmp_roundtrip, BMP_ROUNDTRIP_ORACLE),
+    QueryDef("multimodal_gif_roundtrip", gif_roundtrip, GIF_ROUNDTRIP_ORACLE),
     QueryDef("multimodal_wav_roundtrip", wav_roundtrip, WAV_ROUNDTRIP_ORACLE),
     QueryDef("multimodal_shot_boundaries", shot_boundaries, SHOT_BOUNDARIES_ORACLE),
     QueryDef("multimodal_header_meta", header_meta, HEADER_META_ORACLE),

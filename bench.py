@@ -196,6 +196,7 @@ HEADLINE = [
     "stream_ivf_index_upsert",
     "stream_ivf_cell_migration",
     "crossmodal_dedup_agreement",
+    "multimodal_gif_roundtrip",
 ]
 
 

@@ -287,3 +287,84 @@ def test_bmp_decode_rejects_offset_into_header():
     struct.pack_into("<I", data, 2, len(data))
     with pytest.raises(ValueError, match="overlaps"):
         bmp_decode(bytes(data))
+
+
+# --- GIF87a (LZW) -----------------------------------------------------------
+
+from ai_data_pipeline_spark.functions.codecs import (  # noqa: E402
+    gif_decode,
+    gif_encode_gray,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 17),
+    w=st.integers(1, 23),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_identity_property(h, w, seed):
+    img = _rng_img(h, w, seed)
+    back, meta = gif_decode(gif_encode_gray(img))
+    assert np.array_equal(back, img)
+    assert (meta["width"], meta["height"]) == (w, h)
+
+
+def test_gif_roundtrip_survives_dictionary_overflow():
+    """A 300x300 structured image drives the LZW dictionary past 4096
+    codes, forcing the encoder's mid-stream CLEAR + table reset — the
+    code path a small test image never reaches."""
+    big = (np.arange(300 * 300) % 251).astype(np.uint8).reshape(300, 300)
+    back, _ = gif_decode(gif_encode_gray(big))
+    assert np.array_equal(back, big)
+
+
+def test_gif_constant_image_exercises_self_referential_code():
+    """An all-constant image makes the very first table addition be
+    immediately re-used (code == next_code — the LZW case where the
+    entry is prev + prev[0] and does not exist in the table yet)."""
+    const = np.full((16, 16), 7, dtype=np.uint8)
+    back, _ = gif_decode(gif_encode_gray(const))
+    assert np.array_equal(back, const)
+
+
+def test_gif_layout_matches_spec():
+    """Pin the container layout by hand: signature, logical screen
+    descriptor, 256-entry identity palette, image descriptor, LZW min
+    code size, sub-block framing, terminator + trailer."""
+    img = _rng_img(5, 9, 3)
+    data = gif_encode_gray(img)
+    assert data[:6] == b"GIF87a"
+    w, h, packed, bg, aspect = struct.unpack("<HHBBB", data[6:13])
+    assert (w, h, packed, bg, aspect) == (9, 5, 0xF7, 0, 0)
+    pal = np.frombuffer(data[13 : 13 + 768], np.uint8).reshape(256, 3)
+    assert all(np.array_equal(pal[:, c], np.arange(256)) for c in range(3))
+    pos = 13 + 768
+    left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+    assert data[pos] == 0x2C and (left, top, iw, ih, ipacked) == (0, 0, 9, 5, 0)
+    assert data[pos + 10] == 8  # LZW min code size
+    assert data[-1] == 0x3B and data[-2] == 0x00  # trailer after terminator
+
+
+def test_gif_decode_rejects_corruption():
+    img = _rng_img(6, 6, 4)
+    data = bytearray(gif_encode_gray(img))
+    with pytest.raises(ValueError, match="signature"):
+        gif_decode(b"NOTAGIF" + bytes(data))
+    # non-identity palette
+    bad_pal = bytearray(data)
+    bad_pal[13 + 30] ^= 0xFF
+    with pytest.raises(ValueError, match="palette"):
+        gif_decode(bytes(bad_pal))
+    # truncated sub-block chain
+    with pytest.raises(ValueError, match="truncated|LZW|trailer"):
+        gif_decode(bytes(data[:-6]))
+    # corrupt a byte inside the LZW stream: either an invalid code or a
+    # wrong pixel count must be detected (identity is checked upstream)
+    corrupt = bytearray(data)
+    corrupt[13 + 768 + 12] ^= 0x55
+    try:
+        back, _ = gif_decode(bytes(corrupt))
+        assert not np.array_equal(back, img)
+    except ValueError:
+        pass

@@ -101,6 +101,7 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("similarity", "ann_mllib_brp_recall"),
         ("profiling", "profile_lineitem_approx_audit"),
         ("multimodal", "crossmodal_dedup_agreement"),
+        ("multimodal", "multimodal_gif_roundtrip"),
         ("similarity", "dedup_embedding_cosine"),
         ("clustering", "dedup_clusters"),
     ],

@@ -118,8 +118,35 @@ def replicate(spark, src: str, dst: str, factor: int) -> None:
             from functools import reduce
 
             out = reduce(lambda a, b: a.unionByName(b), parts)
+        # match the driver testdata's physical timestamp encoding
+        # (TIMESTAMP MICROS adjustedToUTC=false == Spark NTZ): Spark's
+        # default TimestampType write is INT96, which the streaming
+        # schema probes (and load_table's normalization table) do not
+        # handle — they expect exactly the testdata encodings
+        for f_name, kind in TABLES.get(table, []):
+            if kind == "timestamp":
+                out = out.withColumn(
+                    f_name, F.col(f_name).cast("timestamp_ntz")
+                )
+        # single FILE per table (not a directory), matching the driver
+        # testdata layout — the streaming fixture writers and schema
+        # probes read {table}.parquet as a plain file
+        tmp_dir = f"{dst}/_tmp_{table}"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = next(
+            f for f in os.listdir(tmp_dir) if f.endswith(".parquet")
+        )
         path = f"{dst}/{table}.parquet"
-        out.write.mode("overwrite").parquet(path)
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        os.replace(f"{tmp_dir}/{part}", path)
+        import shutil
+
+        shutil.rmtree(tmp_dir)
         print(f"{table}: wrote {path}", flush=True)
 
 
