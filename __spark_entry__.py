@@ -338,6 +338,9 @@ _UNPROVEN_PRIORITY = [
     # round-11: the fourth real stdlib codec (GIF87a variable-width
     # LZW) driven through the encode→decode→identity→features pipeline
     "multimodal_gif_roundtrip",
+    # round-11: KMV bottom-K sketch — the set-operation tier HLL lacks
+    # (distinct + Jaccard estimates, exactly oracle-checked)
+    "sketch_kmv_users", "sketch_kmv_jaccard", "sketch_kmv_merge_days",
 ]
 
 

@@ -463,8 +463,335 @@ WHERE n > 0
 """
 
 
+# --- KMV (k-minimum-values) distinct sketch --------------------------------
+#
+# The third exactly-oracle-checkable sketch (after count-min and
+# Bloom), and the one that closes the SET-OPERATION gap in the distinct
+# tier: HLL (the engine-native approx_count_distinct) merges by UNION
+# only — it cannot estimate intersections or Jaccard between two huge
+# sets. KMV can: keep the K smallest values of a uniform hash of each
+# set; the K-th smallest h_K estimates the distinct count as
+# (K−1)·SPACE/h_K, and because a KMV sketch of A ∪ B is just the
+# bottom-K of the two sketches' union, the fraction of those survivors
+# that belong to BOTH sketches estimates Jaccard(A, B) directly
+# (Bar-Yossef et al. 2002; the Theta-sketch family's core idea).
+# Everything is deterministic md5 bottom-K — bit-identical in DuckDB,
+# so the driver hash checks the sketch CONTENTS and the estimates
+# exactly, no tolerance flag needed.
+#
+# Scale: per set, one distinct-hash shuffle then the two-level
+# tournament bottom-K (topk_per_key — no single-reducer window); the
+# sketches themselves are K-row relations, so every set operation
+# downstream is driver-free arithmetic on tiny relations. 12-hex
+# (48-bit) hashes keep (K−1)·SPACE inside int64 for the oracle; the
+# production variant carries the full 128-bit md5 in DECIMAL(38,0)
+# (48-bit birthday collisions start to bite near 2²⁴ distincts).
+
+KMV_K = 256  # σ ≈ 1/√K ≈ 6.2%; (K−1)·SPACE ≈ 7.2e16 stays inside int64
+KMV_HEX = 12
+KMV_SPACE = 16**KMV_HEX
+_KMV_NUM = (KMV_K - 1) * KMV_SPACE  # precomputed: DuckDB literals are INT32
+
+
+def _kmv_hash_expr(col: str) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, KMV_HEX), 16, 10
+    ).cast("long")
+
+
+def _kmv_hash_sql(col: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, {KMV_HEX}))"
+        " AS BIGINT)"
+    )
+
+
+def sketch_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV distinct-user sketch next to the exact count:
+    (event_type, n_exact, kmv_est, err_pct). The estimate is exact
+    when the set is smaller than K (the sketch IS the set) and
+    (K−1)·SPACE/h_K otherwise — all integer arithmetic, oracle-exact."""
+    from ai_data_pipeline_spark.functions import topk_per_key
+
+    e = load_table(spark, sf_dir, "events")
+    hashes = e.select(
+        "event_type", _kmv_hash_expr("user_id").alias("h")
+    ).distinct()
+    bottom = topk_per_key(hashes, ["event_type"], [F.asc("h")], KMV_K)
+    sk = bottom.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_in"), F.max("h").alias("h_k")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.when(F.col("n_in") < KMV_K, F.col("n_in")).otherwise(
+        F.expr(f"{_KMV_NUM} div h_k")
+    )
+    return (
+        exact.join(sk, "event_type")
+        .withColumn("kmv_est", est)
+        .select(
+            "event_type",
+            "n_exact",
+            "kmv_est",
+            F.expr(
+                "abs(kmv_est - n_exact) * 100 div n_exact"
+            ).alias("err_pct"),
+        )
+    )
+
+
+def _kmv_users_oracle() -> str:
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_kmv_hash_sql("user_id")} AS h FROM events
+), b AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM h
+), sk AS (
+  SELECT event_type, count(*) AS n_in, max(h) AS h_k
+  FROM b WHERE rk <= {KMV_K} GROUP BY 1
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT ex.event_type, n_exact,
+       CASE WHEN n_in < {KMV_K} THEN n_in
+            ELSE {_KMV_NUM} // h_k END AS kmv_est,
+       abs(CASE WHEN n_in < {KMV_K} THEN n_in
+                ELSE {_KMV_NUM} // h_k END - n_exact) * 100 // n_exact
+         AS err_pct
+FROM ex JOIN sk ON ex.event_type = sk.event_type
+"""
+
+
+KMV_PURCHASE_MIN_VALUE = 50.0  # set A: users with a purchase above this
+
+
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimate — the query HLL cannot answer:
+    Jaccard between two user sets (A = users with a purchase of
+    value > 50, B = users with any error event), estimated purely
+    from the two K-row sketches: survivors of the UNION sketch
+    (bottom-K of kmvA ∪ kmvB) that appear in BOTH sketches, over the
+    survivor count. Emits the exact Jaccard beside it — both integer
+    ppm, both oracle-exact, so the estimate's quality is a checked
+    measurement, not a claim. At 100 TB the exact column is the one
+    you drop; the sketches merge across shards/days by construction."""
+    from ai_data_pipeline_spark.functions import topk_per_key
+
+    e = load_table(spark, sf_dir, "events")
+    a = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > KMV_PURCHASE_MIN_VALUE)
+        )
+        .select(_kmv_hash_expr("user_id").alias("h"))
+        .distinct()
+    )
+    b = (
+        e.filter(F.col("event_type") == "error")
+        .select(_kmv_hash_expr("user_id").alias("h"))
+        .distinct()
+    )
+
+    def bottom_k(df: DataFrame, flag: str) -> DataFrame:
+        return (
+            topk_per_key(
+                df.withColumn("_g", F.lit(0)), ["_g"], [F.asc("h")], KMV_K
+            )
+            .select("h", F.lit(1).alias(flag))
+        )
+
+    ka = bottom_k(a, "in_a")
+    kb = bottom_k(b, "in_b")
+    merged = ka.join(kb, "h", "full_outer").select(
+        "h",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    union_sk = topk_per_key(
+        merged.withColumn("_g", F.lit(0)), ["_g"], [F.asc("h")], KMV_K
+    )
+    est = union_sk.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    exact = (
+        e.filter(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > KMV_PURCHASE_MIN_VALUE)
+            )
+            | (F.col("event_type") == "error")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > KMV_PURCHASE_MIN_VALUE)
+                ).cast("int")
+            ).alias("a"),
+            F.max((F.col("event_type") == "error").cast("int")).alias("b"),
+        )
+        .agg(
+            F.sum(F.expr("a * b")).cast("long").alias("n_inter"),
+            F.count(F.lit(1)).cast("long").alias("n_union"),
+        )
+    )
+    return (
+        est.crossJoin(exact)  # two 1-row relations
+        .select(
+            "k_used",
+            F.expr("n_both * 1000000 div k_used").alias("j_est_ppm"),
+            F.expr("n_inter * 1000000 div n_union").alias("j_exact_ppm"),
+            "n_inter",
+            "n_union",
+        )
+    )
+
+
+def _kmv_jaccard_oracle() -> str:
+    return f"""
+WITH a AS (
+  SELECT DISTINCT {_kmv_hash_sql("user_id")} AS h FROM events
+  WHERE event_type = 'purchase' AND value > {KMV_PURCHASE_MIN_VALUE}
+), b AS (
+  SELECT DISTINCT {_kmv_hash_sql("user_id")} AS h FROM events
+  WHERE event_type = 'error'
+), ka AS (
+  SELECT h FROM a ORDER BY h LIMIT {KMV_K}
+), kb AS (
+  SELECT h FROM b ORDER BY h LIMIT {KMV_K}
+), merged AS (
+  SELECT coalesce(ka.h, kb.h) AS h,
+         CASE WHEN ka.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN kb.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM ka FULL OUTER JOIN kb ON ka.h = kb.h
+), union_sk AS (
+  SELECT * FROM merged ORDER BY h LIMIT {KMV_K}
+), est AS (
+  SELECT count(*) AS k_used,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM union_sk
+), flags AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase'
+                   AND value > {KMV_PURCHASE_MIN_VALUE}
+                  THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+  FROM events
+  WHERE (event_type = 'purchase' AND value > {KMV_PURCHASE_MIN_VALUE})
+     OR event_type = 'error'
+  GROUP BY user_id
+), exact AS (
+  SELECT CAST(sum(a * b) AS BIGINT) AS n_inter,
+         CAST(count(*) AS BIGINT) AS n_union
+  FROM flags
+)
+SELECT k_used,
+       n_both * 1000000 // k_used AS j_est_ppm,
+       n_inter * 1000000 // n_union AS j_exact_ppm,
+       n_inter, n_union
+FROM est CROSS JOIN exact
+"""
+
+
+def sketch_kmv_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability PROOF for the KMV tier, as an oracle-checked
+    identity rather than a docstring claim: per-day bottom-K sketches
+    of the distinct-user stream, merged by taking the bottom-K of
+    their union, must equal the direct whole-corpus sketch EXACTLY —
+    any global bottom-K member is necessarily in its own day's
+    bottom-K, so merge-of-parts loses nothing. This is the property
+    that lets a year's distinct estimate come from 365 K-row
+    relations instead of a rescan. Emits (n_days, n_exact, kmv_est,
+    merged_equals_direct); the oracle asserts the flag by computing
+    both sides itself."""
+    from ai_data_pipeline_spark.functions import topk_per_key
+
+    e = load_table(spark, sf_dir, "events")
+    hashes = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        _kmv_hash_expr("user_id").alias("h"),
+    )
+    daily = topk_per_key(hashes.distinct(), ["day"], [F.asc("h")], KMV_K)
+    merged = topk_per_key(
+        daily.select("h").distinct().withColumn("_g", F.lit(0)),
+        ["_g"],
+        [F.asc("h")],
+        KMV_K,
+    ).select("h")
+    direct = topk_per_key(
+        hashes.select("h").distinct().withColumn("_g", F.lit(0)),
+        ["_g"],
+        [F.asc("h")],
+        KMV_K,
+    ).select("h")
+    sides = merged.withColumn("m", F.lit(1)).join(
+        direct.withColumn("d", F.lit(1)), "h", "full_outer"
+    )
+    cmp = sides.agg(
+        (F.sum(F.when(F.col("m").isNull() | F.col("d").isNull(), 1).otherwise(0)) == 0)
+        .cast("int")
+        .alias("merged_equals_direct"),
+        F.count(F.lit(1)).alias("n_in"),
+        F.max("h").alias("h_k"),
+    )
+    totals = e.agg(
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_days"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    est = F.when(F.col("n_in") < KMV_K, F.col("n_in")).otherwise(
+        F.expr(f"{_KMV_NUM} div h_k")
+    )
+    return (
+        totals.crossJoin(cmp)  # two 1-row relations
+        .select(
+            "n_days", "n_exact", est.alias("kmv_est"), "merged_equals_direct"
+        )
+    )
+
+
+def _kmv_merge_oracle() -> str:
+    return f"""
+WITH h AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         {_kmv_hash_sql("user_id")} AS h
+  FROM events
+), daily AS (
+  SELECT day, h,
+         row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+  FROM h
+), merged AS (
+  SELECT DISTINCT h FROM daily WHERE rk <= {KMV_K} ORDER BY h LIMIT {KMV_K}
+), direct AS (
+  SELECT DISTINCT h FROM h ORDER BY h LIMIT {KMV_K}
+), cmp AS (
+  SELECT CASE WHEN count(*) FILTER (WHERE m.h IS NULL OR d.h IS NULL) = 0
+              THEN 1 ELSE 0 END AS merged_equals_direct,
+         count(*) AS n_in, max(coalesce(m.h, d.h)) AS h_k
+  FROM merged m FULL OUTER JOIN direct d ON m.h = d.h
+), tot AS (
+  SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+         count(DISTINCT user_id) AS n_exact
+  FROM events
+)
+SELECT n_days, n_exact,
+       CASE WHEN n_in < {KMV_K} THEN n_in ELSE {_KMV_NUM} // h_k END
+         AS kmv_est,
+       merged_equals_direct
+FROM tot CROSS JOIN cmp
+"""
+
+
 QUERY_DEFS = [
     QueryDef("sketch_countmin_users", sketch_countmin_users, _countmin_oracle()),
+    QueryDef("sketch_kmv_users", sketch_kmv_users, _kmv_users_oracle()),
+    QueryDef("sketch_kmv_jaccard", sketch_kmv_jaccard, _kmv_jaccard_oracle()),
+    QueryDef("sketch_kmv_merge_days", sketch_kmv_merge_days, _kmv_merge_oracle()),
     QueryDef("sketch_bloom_filter_join", sketch_bloom_filter_join, _bloom_oracle()),
     QueryDef("sketch_quantile_hist", sketch_quantile_hist, _quantile_hist_oracle()),
     QueryDef(

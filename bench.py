@@ -197,6 +197,9 @@ HEADLINE = [
     "stream_ivf_cell_migration",
     "crossmodal_dedup_agreement",
     "multimodal_gif_roundtrip",
+    "sketch_kmv_users",
+    "sketch_kmv_jaccard",
+    "sketch_kmv_merge_days",
 ]
 
 

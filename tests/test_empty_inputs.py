@@ -102,6 +102,9 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("profiling", "profile_lineitem_approx_audit"),
         ("multimodal", "crossmodal_dedup_agreement"),
         ("multimodal", "multimodal_gif_roundtrip"),
+        ("sketches", "sketch_kmv_users"),
+        ("sketches", "sketch_kmv_jaccard"),
+        ("sketches", "sketch_kmv_merge_days"),
         ("similarity", "dedup_embedding_cosine"),
         ("clustering", "dedup_clusters"),
     ],

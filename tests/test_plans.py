@@ -1268,3 +1268,23 @@ def test_stream_ivf_assign_is_aggregate_not_window(spark):
     plan = _plan(_assign_cells(batch, cents))
     assert "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_kmv_sketch_is_two_level_tournament(spark):
+    """The KMV bottom-K must run the two-level tournament (local heat
+    per partition before the final K-selection): the raw distinct-hash
+    relation is corpus-scaled, so a single global window would funnel
+    it through one reducer. The final windows run only over the
+    <= K x partitions survivors."""
+    from ai_data_pipeline_spark.operators.sketches import (
+        sketch_kmv_jaccard,
+        sketch_kmv_users,
+    )
+
+    for q in (sketch_kmv_users, sketch_kmv_jaccard):
+        plan = _plan(q(spark, SF_DIR))
+        # two ranking levels per bottom-K (the wide Project lines can
+        # display-truncate the spark_partition_id expression, so assert
+        # the tournament by its two Window levels)
+        assert plan.count("Window") >= 2
+        assert "CartesianProduct" not in plan
