@@ -15,6 +15,7 @@ from ai_data_pipeline_spark.catalog import TABLES, load_table
 from ai_data_pipeline_spark.operators import (
     analytic,
     analytic2,
+    aqp,
     clustering,
     corpus,
     curation,
@@ -42,6 +43,7 @@ from ai_data_pipeline_spark.sources import advanced as sources_advanced
 from ai_data_pipeline_spark.sources import readers
 from ai_data_pipeline_spark.streaming import advanced as streaming_advanced
 from ai_data_pipeline_spark.streaming import ivf as streaming_ivf
+from ai_data_pipeline_spark.streaming import sketch as streaming_sketch
 from ai_data_pipeline_spark.streaming import windows as streaming_windows
 from ai_data_pipeline_spark.profiling.profiler import profile_summary, profile_table
 from ai_data_pipeline_spark.profiling.oracle import (
@@ -59,6 +61,7 @@ QUERY_DEF_MODULES = [
     streaming_windows,
     streaming_advanced,
     streaming_ivf,
+    streaming_sketch,
     vault,
     readers,
     sources_advanced,
@@ -82,6 +85,7 @@ QUERY_DEF_MODULES = [
     dedup,
     linkage,
     retrieval,
+    aqp,
 ]
 
 PROFILED_TABLES = [
@@ -341,6 +345,20 @@ _UNPROVEN_PRIORITY = [
     # round-11: KMV bottom-K sketch — the set-operation tier HLL lacks
     # (distinct + Jaccard estimates, exactly oracle-checked)
     "sketch_kmv_users", "sketch_kmv_jaccard", "sketch_kmv_merge_days",
+    # round-11: Misra-Gries / SpaceSaving heavy hitters — the frequency
+    # sketch q_heavy_hitter_users' docstring promises for 100 TB, in
+    # deterministic canonical-offset form (both MG theorems + the
+    # merge-across-days budget addition as oracle-checked predicates)
+    "sketch_mg_topk", "sketch_mg_merge_days",
+    # round-11 frontier family: approximate query processing over a
+    # deterministic hash sample (HT estimates + checked 3-sigma CIs,
+    # nested-rate staircase, Neyman budget allocation)
+    "aqp_sample_estimate", "aqp_sample_staircase",
+    "aqp_stratified_allocation", "aqp_group_estimate",
+    "aqp_universe_join",
+    # round-11: streaming Misra-Gries maintenance (per-batch K-row
+    # summaries + budget log, merged with checked guarantees)
+    "stream_mg_heavy_hitters",
 ]
 
 

@@ -1,0 +1,524 @@
+"""Approximate query processing (AQP): answer aggregate queries from a
+deterministic hash sample with a CHECKED error bar, instead of scanning
+everything.
+
+At 100 TB this is the difference between a dashboard query that reads
+1.5 TB and one that reads all 100: a 1/64 hash sample answers SUM/AVG
+questions within a fraction of a percent, and — unlike row-order
+dependent `TABLESAMPLE` — the md5(key)-mod membership used here is a
+pure function of each row's business key, so the sample is (a) stable
+across runs/partitionings, (b) co-sampling-consistent across tables
+sharing the key (join two 1/64 samples and you get the 1/64 sample of
+the join), and (c) reproducible by the DuckDB oracle, which makes the
+ESTIMATES exactly checkable, not just plausible.
+
+Error bars are Horvitz–Thompson: with inclusion probability p = 1/d,
+the total estimate is (sample sum)/p and its variance estimate is
+Σ_sample x²·(1−p)/p² — all from exact integer aggregates, with the
+single sqrt applied to an exact integer product, so the emitted CI is
+IEEE-identical in both engines. Flags assert |est − exact| ≤ z·se with
+z = 3; the sample is a deterministic function of the dataset, so the
+flag is a fixed property of each fixture (verified at all three SFs),
+not a per-run coin flip — the q_daily_users_hll precedent.
+
+The allocation query is the planning side of the same story: Neyman
+allocation n_h ∝ N_h·s_h tells a 100 TB pipeline how to split a fixed
+sampling budget across strata BEFORE paying for the big scan, computed
+here from exact per-stratum moments (one groupBy) so the oracle checks
+the arithmetic end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.registry import QueryDef
+
+AQP_HEX = 12  # 48-bit hash: uniform mod small denominators, int64-safe
+AQP_DENOM = 64  # headline sampling rate 1/64
+AQP_Z = 3  # CI half-width in standard errors
+AQP_BUDGET = 10_000  # rows of sampling budget the allocation splits
+
+
+def _row_hash_expr() -> F.Column:
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return F.conv(F.substring(F.md5(key), 1, AQP_HEX), 16, 10).cast("long")
+
+
+def _row_hash_sql() -> str:
+    return (
+        "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || "
+        f"CAST(l_linenumber AS VARCHAR)), 1, {AQP_HEX})) AS BIGINT)"
+    )
+
+
+# Revenue in exact integer cents: the double product is IEEE-identical
+# in both engines (same literal association), and round() of a positive
+# double is half-away-from-zero in both.
+def _rev_cents_expr() -> F.Column:
+    return F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+    ).cast("long")
+
+
+_REV_CENTS_SQL = (
+    "CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)"
+)
+
+
+def _ci_cents(ssq_dollars: F.Column, denom: int) -> F.Column:
+    """z·se of the HT total estimate, in cents: se² = ssq·d·(d−1) in
+    dollars² (exact integers); the product is taken in DOUBLE so large
+    SFs can't overflow int64 — one multiply chain and one sqrt, both
+    IEEE-identical across engines."""
+    v = ssq_dollars.cast("double") * F.lit(float(denom)) * F.lit(float(denom - 1))
+    return F.floor(F.lit(float(AQP_Z)) * F.sqrt(v) * F.lit(100.0)).cast("long")
+
+
+def _ci_cents_sql(ssq: str, denom: int) -> str:
+    return (
+        f"CAST(floor({float(AQP_Z)} * "
+        f"sqrt(CAST({ssq} AS DOUBLE) * {float(denom)} * {float(denom - 1)}) "
+        "* 100.0) AS BIGINT)"
+    )
+
+
+def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline AQP row: total discounted revenue from a 1/64
+    deterministic hash sample of lineitem, next to the exact total,
+    with the Horvitz–Thompson 3σ CI and its coverage flag. One scan
+    computes both sides here so the CHECK is airtight; the production
+    form computes only the sample side and reads 1/64 of the bytes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.select(
+            _row_hash_expr().alias("h"),
+            _rev_cents_expr().alias("cents"),
+        )
+        .withColumn("member", (F.col("h") % AQP_DENOM == 0).cast("long"))
+        .withColumn("dollars", F.expr("cents div 100"))
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("member").alias("n_sample"),
+        F.sum("cents").alias("exact_cents"),
+        F.sum(F.col("member") * F.col("cents")).alias("s_cents"),
+        F.sum(F.col("member") * F.col("dollars") * F.col("dollars")).alias("ssq"),
+    )
+    est = F.col("s_cents") * AQP_DENOM
+    ci = _ci_cents(F.col("ssq"), AQP_DENOM)
+    return agg.select(
+        "n_total",
+        "n_sample",
+        "exact_cents",
+        est.alias("est_cents"),
+        F.expr(
+            f"abs(s_cents * {AQP_DENOM} - exact_cents) * 1000000 div exact_cents"
+        ).alias("err_ppm"),
+        ci.alias("ci_cents"),
+        (F.abs(est - F.col("exact_cents")) <= ci).cast("int").alias("within_ci"),
+    )
+
+
+def _sample_estimate_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT {_row_hash_sql()} AS h, {_REV_CENTS_SQL} AS cents
+  FROM lineitem
+), agg AS (
+  SELECT count(*) AS n_total,
+         CAST(count(*) FILTER (WHERE h % {AQP_DENOM} = 0) AS BIGINT)
+           AS n_sample,
+         CAST(sum(cents) AS BIGINT) AS exact_cents,
+         CAST(coalesce(sum(cents) FILTER (WHERE h % {AQP_DENOM} = 0), 0)
+              AS BIGINT) AS s_cents,
+         CAST(coalesce(sum((cents // 100) * (cents // 100))
+                       FILTER (WHERE h % {AQP_DENOM} = 0), 0) AS BIGINT)
+           AS ssq
+  FROM base
+)
+SELECT n_total, n_sample, exact_cents,
+       s_cents * {AQP_DENOM} AS est_cents,
+       abs(s_cents * {AQP_DENOM} - exact_cents) * 1000000 // exact_cents
+         AS err_ppm,
+       {_ci_cents_sql("ssq", AQP_DENOM)} AS ci_cents,
+       CAST(abs(s_cents * {AQP_DENOM} - exact_cents)
+            <= {_ci_cents_sql("ssq", AQP_DENOM)} AS INT) AS within_ci
+FROM agg
+"""
+
+
+AQP_DENOMS = [16, 64, 256]
+
+
+def aqp_sample_staircase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accuracy/cost staircase: the SAME scan evaluated at nested
+    sampling rates 1/16 ⊃ 1/64 ⊃ 1/256 (multiples of 256 are multiples
+    of 64 are multiples of 16, so each sample contains the next — the
+    property that lets a 100 TB pipeline keep ONE stored sample column
+    and dial the rate per query). One row per rate with the HT
+    estimate, realized error, and checked 3σ coverage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        _row_hash_expr().alias("h"), _rev_cents_expr().alias("cents")
+    ).withColumn("dollars", F.expr("cents div 100"))
+    aggs = [F.sum("cents").alias("exact_cents")]
+    for d in AQP_DENOMS:
+        m = (F.col("h") % d == 0).cast("long")
+        aggs += [
+            F.sum(m).alias(f"n_{d}"),
+            F.sum(m * F.col("cents")).alias(f"s_{d}"),
+            F.sum(m * F.col("dollars") * F.col("dollars")).alias(f"q_{d}"),
+        ]
+    wide = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"{d}, n_{d}, s_{d} * {d}, "
+        f"abs(s_{d} * {d} - exact_cents) * 1000000 div exact_cents, q_{d}"
+        for d in AQP_DENOMS
+    )
+    tall = wide.select(
+        "exact_cents",
+        F.expr(
+            f"stack({len(AQP_DENOMS)}, {stack_args}) "
+            "AS (denom, n_sample, est_cents, err_ppm, ssq)"
+        ),
+    )
+    ci = F.floor(
+        F.lit(float(AQP_Z))
+        * F.sqrt(
+            F.col("ssq").cast("double")
+            * F.col("denom").cast("double")
+            * (F.col("denom").cast("double") - F.lit(1.0))
+        )
+        * F.lit(100.0)
+    ).cast("long")
+    return tall.select(
+        "denom",
+        "n_sample",
+        "est_cents",
+        "err_ppm",
+        ci.alias("ci_cents"),
+        (F.abs(F.col("est_cents") - F.col("exact_cents")) <= ci)
+        .cast("int")
+        .alias("within_ci"),
+    )
+
+
+def _staircase_oracle() -> str:
+    per_denom = []
+    for d in AQP_DENOMS:
+        per_denom.append(
+            f"""
+  SELECT {d} AS denom,
+         CAST(count(*) FILTER (WHERE h % {d} = 0) AS BIGINT) AS n_sample,
+         CAST(coalesce(sum(cents) FILTER (WHERE h % {d} = 0), 0) AS BIGINT)
+           * {d} AS est_cents,
+         abs(CAST(coalesce(sum(cents) FILTER (WHERE h % {d} = 0), 0)
+                  AS BIGINT) * {d} - CAST(sum(cents) AS BIGINT)) * 1000000
+           // CAST(sum(cents) AS BIGINT) AS err_ppm,
+         CAST(coalesce(sum(dollars * dollars) FILTER (WHERE h % {d} = 0), 0)
+              AS BIGINT) AS ssq,
+         CAST(sum(cents) AS BIGINT) AS exact_cents
+  FROM base"""
+        )
+    union = "\n  UNION ALL\n".join(per_denom)
+    return f"""
+WITH base AS (
+  SELECT {_row_hash_sql()} AS h, {_REV_CENTS_SQL} AS cents,
+         {_REV_CENTS_SQL} // 100 AS dollars
+  FROM lineitem
+), tall AS (
+{union}
+)
+SELECT denom, n_sample, est_cents, err_ppm,
+       CAST(floor({float(AQP_Z)} * sqrt(CAST(ssq AS DOUBLE) *
+            CAST(denom AS DOUBLE) * (CAST(denom AS DOUBLE) - 1.0)) * 100.0)
+            AS BIGINT) AS ci_cents,
+       CAST(abs(est_cents - exact_cents) <=
+            CAST(floor({float(AQP_Z)} * sqrt(CAST(ssq AS DOUBLE) *
+                 CAST(denom AS DOUBLE) * (CAST(denom AS DOUBLE) - 1.0))
+                 * 100.0) AS BIGINT) AS INT) AS within_ci
+FROM tall
+"""
+
+
+def aqp_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation of a fixed sampling budget across the six
+    (l_returnflag, l_linestatus) strata: n_h ∝ N_h·s_h — strata that
+    are big AND volatile get the rows. Per-stratum moments come from
+    one exact integer groupBy (the 100 TB plan: moments from the
+    stats-collection pass or a prior sample, never a second full
+    scan); the std/allocation arithmetic is a fixed IEEE expression
+    over those exact integers, so every output digit is
+    oracle-checked. Emits per stratum: size, mean revenue, std,
+    permille share, and the row budget slice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        _rev_cents_expr().alias("cents"),
+    ).withColumn("dollars", F.expr("cents div 100"))
+    per = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("dollars").alias("sum_d"),
+        F.sum(F.col("dollars") * F.col("dollars")).alias("ssq_d"),
+    )
+    # Unbiased per-stratum variance in dollars², from exact integers:
+    # (ssq − sum²/n) / (n−1); each CAST point mirrored in the oracle.
+    s2 = (
+        F.col("ssq_d").cast("double")
+        - F.col("sum_d").cast("double")
+        * F.col("sum_d").cast("double")
+        / F.col("n_rows").cast("double")
+    ) / (F.col("n_rows").cast("double") - F.lit(1.0))
+    w = per.withColumn("sd_d", F.sqrt(s2)).withColumn(
+        "weight", F.col("n_rows").cast("double") * F.col("sd_d")
+    )
+    total = w.agg(F.sum("weight").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(total))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            F.expr("sum_cents div n_rows").alias("mean_cents"),
+            F.floor(F.col("sd_d") * F.lit(100.0)).cast("long").alias("sd_cents"),
+            F.floor(F.lit(1000.0) * F.col("weight") / F.col("w_total"))
+            .cast("long")
+            .alias("share_permille"),
+            F.floor(
+                F.lit(float(AQP_BUDGET)) * F.col("weight") / F.col("w_total")
+            )
+            .cast("long")
+            .alias("n_alloc"),
+        )
+    )
+
+
+def _stratified_oracle() -> str:
+    s2 = (
+        "(CAST(ssq_d AS DOUBLE) - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE)"
+        " / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0)"
+    )
+    return f"""
+WITH base AS (
+  SELECT l_returnflag, l_linestatus, {_REV_CENTS_SQL} AS cents,
+         {_REV_CENTS_SQL} // 100 AS dollars
+  FROM lineitem
+), per AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS sum_cents,
+         CAST(sum(dollars) AS BIGINT) AS sum_d,
+         CAST(sum(dollars * dollars) AS BIGINT) AS ssq_d
+  FROM base GROUP BY 1, 2
+), w AS (
+  SELECT *, CAST(n_rows AS DOUBLE) * sqrt({s2}) AS weight,
+         sqrt({s2}) AS sd_d
+  FROM per
+), tot AS (
+  SELECT sum(weight) AS w_total FROM w
+)
+SELECT l_returnflag, l_linestatus, n_rows,
+       sum_cents // n_rows AS mean_cents,
+       CAST(floor(sd_d * 100.0) AS BIGINT) AS sd_cents,
+       CAST(floor(1000.0 * weight / w_total) AS BIGINT) AS share_permille,
+       CAST(floor({float(AQP_BUDGET)} * weight / w_total) AS BIGINT)
+         AS n_alloc
+FROM w CROSS JOIN tot
+"""
+
+
+def aqp_group_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP AQP — the dashboard case: revenue per l_returnflag
+    from the same 1/64 sample, one row per group with its own HT
+    estimate, CI, and coverage flag. The point the single-total query
+    can't make: per-group error widths differ (small groups get wide
+    CIs), and the flag checks each group independently."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.select(
+            "l_returnflag",
+            _row_hash_expr().alias("h"),
+            _rev_cents_expr().alias("cents"),
+        )
+        .withColumn("member", (F.col("h") % AQP_DENOM == 0).cast("long"))
+        .withColumn("dollars", F.expr("cents div 100"))
+    )
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("member").alias("n_sample"),
+        F.sum("cents").alias("exact_cents"),
+        F.sum(F.col("member") * F.col("cents")).alias("s_cents"),
+        F.sum(F.col("member") * F.col("dollars") * F.col("dollars")).alias("ssq"),
+    )
+    est = F.col("s_cents") * AQP_DENOM
+    ci = _ci_cents(F.col("ssq"), AQP_DENOM)
+    return agg.select(
+        "l_returnflag",
+        "n_total",
+        "n_sample",
+        "exact_cents",
+        est.alias("est_cents"),
+        F.expr(
+            f"abs(s_cents * {AQP_DENOM} - exact_cents) * 1000000 div exact_cents"
+        ).alias("err_ppm"),
+        ci.alias("ci_cents"),
+        (F.abs(est - F.col("exact_cents")) <= ci).cast("int").alias("within_ci"),
+    )
+
+
+def _group_estimate_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT l_returnflag, {_row_hash_sql()} AS h, {_REV_CENTS_SQL} AS cents
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag,
+         count(*) AS n_total,
+         CAST(count(*) FILTER (WHERE h % {AQP_DENOM} = 0) AS BIGINT)
+           AS n_sample,
+         CAST(sum(cents) AS BIGINT) AS exact_cents,
+         CAST(coalesce(sum(cents) FILTER (WHERE h % {AQP_DENOM} = 0), 0)
+              AS BIGINT) AS s_cents,
+         CAST(coalesce(sum((cents // 100) * (cents // 100))
+                       FILTER (WHERE h % {AQP_DENOM} = 0), 0) AS BIGINT)
+           AS ssq
+  FROM base GROUP BY 1
+)
+SELECT l_returnflag, n_total, n_sample, exact_cents,
+       s_cents * {AQP_DENOM} AS est_cents,
+       abs(s_cents * {AQP_DENOM} - exact_cents) * 1000000 // exact_cents
+         AS err_ppm,
+       {_ci_cents_sql("ssq", AQP_DENOM)} AS ci_cents,
+       CAST(abs(s_cents * {AQP_DENOM} - exact_cents)
+            <= {_ci_cents_sql("ssq", AQP_DENOM)} AS INT) AS within_ci
+FROM agg
+"""
+
+
+def _okey_hash_expr(col: str) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, AQP_HEX), 16, 10
+    ).cast("long")
+
+
+def _okey_hash_sql(col: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, {AQP_HEX}))"
+        " AS BIGINT)"
+    )
+
+
+def aqp_universe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP across a JOIN — the case row-independent sampling gets
+    wrong: Bernoulli-sample both sides at 1/64 and the join of the
+    samples keeps only ~1/4096 of join rows (quadratically biased).
+    UNIVERSE sampling (Quickr / BlinkDB lineage) samples both tables
+    by the SAME hash of the JOIN KEY, so membership is perfectly
+    correlated: the join of the two samples IS the 1/64 key-sample of
+    the join, and the estimate scales by 1/p once, not twice.
+
+    Emits the identity as a checked flag — joined-samples mass ==
+    key-sampled-join mass (count and sum both) — plus the scaled
+    revenue estimate for high-priority orders against the exact
+    total. At 100 TB both sample scans prune to 1/64 of each table
+    BEFORE the shuffle; the exact side here is the audit."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", _okey_hash_expr("o_orderkey").alias("ho")
+    )
+    l = li.select(
+        "l_orderkey",
+        _okey_hash_expr("l_orderkey").alias("hl"),
+        _rev_cents_expr().alias("cents"),
+    )
+    # side A: join of the two key-samples
+    sampled_join = (
+        o.filter(F.col("ho") % AQP_DENOM == 0)
+        .join(
+            l.filter(F.col("hl") % AQP_DENOM == 0),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_a"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("s_a"),
+        )
+    )
+    # side B: key-sample of the full join (same key, same hash)
+    full = o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+    keyed_sample = full.filter(F.col("ho") % AQP_DENOM == 0).agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("s_b"),
+    )
+    exact = full.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("exact_cents"),
+    )
+    return (
+        sampled_join.crossJoin(keyed_sample)
+        .crossJoin(exact)  # three 1-row relations
+        .select(
+            "n_a",
+            (F.col("s_a") * AQP_DENOM).alias("est_cents"),
+            "exact_cents",
+            F.expr(
+                f"abs(s_a * {AQP_DENOM} - exact_cents) * 1000000"
+                " div nullif(exact_cents, 0)"
+            ).alias("err_ppm"),
+            ((F.col("n_a") == F.col("n_b")) & (F.col("s_a") == F.col("s_b")))
+            .cast("int")
+            .alias("universe_identity_ok"),
+        )
+    )
+
+
+def _universe_join_oracle() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, {_okey_hash_sql("o_orderkey")} AS ho
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), l AS (
+  SELECT l_orderkey, {_okey_hash_sql("l_orderkey")} AS hl,
+         {_REV_CENTS_SQL} AS cents
+  FROM lineitem
+), a AS (
+  SELECT count(*) AS n_a,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS s_a
+  FROM o JOIN l ON o_orderkey = l_orderkey
+  WHERE ho % {AQP_DENOM} = 0 AND hl % {AQP_DENOM} = 0
+), b AS (
+  SELECT count(*) AS n_b,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS s_b
+  FROM o JOIN l ON o_orderkey = l_orderkey
+  WHERE ho % {AQP_DENOM} = 0
+), ex AS (
+  SELECT count(*) AS n_exact,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS exact_cents
+  FROM o JOIN l ON o_orderkey = l_orderkey
+)
+SELECT n_a, s_a * {AQP_DENOM} AS est_cents, exact_cents,
+       abs(s_a * {AQP_DENOM} - exact_cents) * 1000000
+         // nullif(exact_cents, 0) AS err_ppm,
+       CAST(n_a = n_b AND s_a = s_b AS INT) AS universe_identity_ok
+FROM a CROSS JOIN b CROSS JOIN ex
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("aqp_sample_estimate", aqp_sample_estimate, _sample_estimate_oracle()),
+    QueryDef("aqp_group_estimate", aqp_group_estimate, _group_estimate_oracle()),
+    QueryDef("aqp_universe_join", aqp_universe_join, _universe_join_oracle()),
+    QueryDef("aqp_sample_staircase", aqp_sample_staircase, _staircase_oracle()),
+    QueryDef(
+        "aqp_stratified_allocation",
+        aqp_stratified_allocation,
+        _stratified_oracle(),
+    ),
+]

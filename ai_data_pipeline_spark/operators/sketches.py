@@ -787,6 +787,263 @@ FROM tot CROSS JOIN cmp
 """
 
 
+# --- Misra–Gries / SpaceSaving heavy-hitter summaries -----------------
+#
+# The frequency sketch the exact tier promises: q_heavy_hitter_users
+# (analytic2.py) documents "at 100 TB the first pass becomes a
+# space-saving/count-min sketch" — count-min is above; this is the
+# space-saving side, as a DETERMINISTIC K-row relation per group.
+#
+# Construction (order-free canonical form): with exact per-item counts
+# c_i inside one summary scope (one event_type, or one day), the
+# summary is {(i, c_i − t) : c_i > t} where t is the (K+1)-th largest
+# count (0 if ≤ K items). This is the fixed point every Misra–Gries
+# execution order can be reduced to, so unlike the streaming form it
+# is oracle-exact, and it keeps the two MG theorems:
+#   lower bound:  ĉ_i ≤ c_i            (we only subtract)
+#   error bound:  c_i − ĉ_i ≤ t ≤ n/(K+1)
+# Summaries MERGE by summing guaranteed counts and re-truncating with
+# the merged (K+1)-th value; error budgets ADD (Agarwal et al.,
+# "Mergeable Summaries", PODS'12) — a year's heavy hitters from 365
+# K-row relations, no rescan. Both queries emit the theorems as
+# integer predicate columns the oracle re-derives and asserts.
+#
+# Scale: per-scope counts are one keyed shuffle with map-side
+# combines; the (K+1)-th order statistic rides topk_per_key's
+# two-level tournament (no single-reducer funnel); everything after
+# operates on ≤ (K+1)×scopes rows.
+
+MG_K = 8
+
+
+def _mg_threshold(counts: DataFrame, keys: list[str], item: str) -> DataFrame:
+    """Per-key (K+1)-th largest count ``t`` (0 when a key has ≤ K
+    items) — tie-insensitive: the ordinal VALUE doesn't depend on how
+    equal counts order among themselves."""
+    from ai_data_pipeline_spark.functions import topk_per_key
+
+    top = topk_per_key(
+        counts, keys, [F.desc("c"), F.asc(item)], MG_K + 1
+    )
+    return top.groupBy(*keys).agg(
+        F.when(F.count(F.lit(1)) == MG_K + 1, F.min("c"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("t")
+    )
+
+
+def _mg_counts_plan(
+    spark: SparkSession, sf_dir: str, keys: list
+) -> DataFrame:
+    """The RAW per-(keys, user) count plan — the only corpus-scaled
+    stage of the MG tier (one keyed shuffle, map-side combines; the
+    plan test pins partial aggregation on THIS builder, because the
+    public queries materialize it once behind a localCheckpoint and
+    the checkpoint hides the subtree as Scan ExistingRDD)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(*keys, "user_id").agg(F.count(F.lit(1)).alias("c"))
+
+
+def sketch_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Misra–Gries summary of user frequencies: the ≤ K
+    users per type with guaranteed count ĉ = c − t, the exact count
+    beside it, and the error-budget theorem t·(K+1) ≤ n_type as a
+    checked flag (t is the (K+1)-th largest of counts summing to
+    n_type, so (K+1)·t can't exceed the total).
+
+    The counts relation feeds three consumers (threshold, survivors,
+    per-type totals); it is materialized ONCE (localCheckpoint — it is
+    the small mergeable summary, |users|x|types| rows), so the corpus
+    is scanned and shuffled exactly once however many views read it."""
+    counts = _mg_counts_plan(spark, sf_dir, ["event_type"]).localCheckpoint()
+    t_tbl = _mg_threshold(counts, ["event_type"], "user_id")
+    n_tbl = counts.groupBy("event_type").agg(F.sum("c").alias("n_type"))
+    return (
+        counts.join(t_tbl, "event_type")
+        .filter(F.col("c") > F.col("t"))
+        .join(n_tbl, "event_type")
+        .select(
+            "event_type",
+            "user_id",
+            F.col("c").alias("c_exact"),
+            (F.col("c") - F.col("t")).alias("mg_count"),
+            F.col("t").alias("err_budget"),
+            (F.col("t") * (MG_K + 1) <= F.col("n_type"))
+            .cast("int")
+            .alias("bound_ok"),
+        )
+    )
+
+
+def _mg_topk_oracle() -> str:
+    return f"""
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, user_id, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, user_id) AS rk
+  FROM counts
+), t_tbl AS (
+  SELECT event_type,
+         CASE WHEN count(*) FILTER (WHERE rk = {MG_K + 1}) = 1
+              THEN min(c) FILTER (WHERE rk = {MG_K + 1}) ELSE 0 END AS t
+  FROM ranked GROUP BY 1
+), n_tbl AS (
+  SELECT event_type, sum(c) AS n_type FROM counts GROUP BY 1
+)
+SELECT c.event_type, c.user_id, c.c AS c_exact, c.c - t.t AS mg_count,
+       t.t AS err_budget,
+       CAST(t.t * {MG_K + 1} <= n.n_type AS INT) AS bound_ok
+FROM counts c
+JOIN t_tbl t ON c.event_type = t.event_type
+JOIN n_tbl n ON c.event_type = n.event_type
+WHERE c.c > t.t
+"""
+
+
+def sketch_mg_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE theorem for the Misra–Gries tier, oracle-checked the
+    way sketch_kmv_merge_days checks KMV's: build an independent K-row
+    summary per DAY of the event stream, merge them by summing
+    guaranteed counts and re-truncating with the merged (K+1)-th
+    value, and prove against the exact whole-corpus counts that
+      (a) lower_ok:    merged ĉ ≤ c_exact,
+      (b) bound_ok:    c_exact − ĉ ≤ Σ_d t_d + t_final (budgets ADD),
+      (c) completeness_ok (scalar): every user with
+          c_exact > total budget is IN the merged summary —
+          the property that makes the day-shard plan safe: a true
+          heavy hitter cannot be lost by summarizing per day.
+    At 100 TB each day's summary is K rows built from that day's
+    partition alone; the merge touches K×days rows. The per-day counts
+    relation feeds every downstream view (thresholds, summaries,
+    budgets, exact) — materialized ONCE via localCheckpoint so the
+    corpus is scanned and shuffled exactly once."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    t_d = _mg_threshold(daily, ["day"], "user_id")
+    summaries = (
+        daily.join(t_d, "day")
+        .filter(F.col("c") > F.col("t"))
+        .select("user_id", (F.col("c") - F.col("t")).alias("g"))
+    )
+    pre = summaries.groupBy("user_id").agg(F.sum("g").alias("c"))
+    t_f = (
+        _mg_threshold(pre.withColumn("_g", F.lit(0)), ["_g"], "user_id")
+        .select(F.col("t").alias("t_f"))
+    )
+    budget = t_d.agg(F.sum("t").alias("e_days")).crossJoin(t_f).select(
+        (F.col("e_days") + F.col("t_f")).alias("err_budget"),
+        "t_f",
+    )  # two 1-row relations
+    merged = (
+        pre.crossJoin(F.broadcast(budget))
+        .filter(F.col("c") > F.col("t_f"))
+        .select(
+            "user_id", (F.col("c") - F.col("t_f")).alias("mg_count"),
+            "err_budget",
+        )
+    )
+    # Exact side from the SAME daily-counts subtree (not a fresh
+    # events groupBy): byte-identical child plans let ReuseExchange
+    # serve all consumers from one shuffle of the corpus.
+    exact = daily.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("c_exact")
+    )
+    joined = exact.join(merged, "user_id", "left").crossJoin(
+        F.broadcast(budget.select(F.col("err_budget").alias("_eb")))
+    )
+    missed = joined.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("mg_count").isNull()
+                    & (F.col("c_exact") > F.col("_eb")),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        )
+        .cast("int")
+        .alias("completeness_ok")
+    )
+    return (
+        joined.filter(F.col("mg_count").isNotNull())
+        .crossJoin(F.broadcast(missed))
+        .select(
+            "user_id",
+            "c_exact",
+            "mg_count",
+            "err_budget",
+            (F.col("mg_count") <= F.col("c_exact")).cast("int").alias("lower_ok"),
+            (F.col("c_exact") - F.col("mg_count") <= F.col("err_budget"))
+            .cast("int")
+            .alias("bound_ok"),
+            "completeness_ok",
+        )
+    )
+
+
+def _mg_merge_oracle() -> str:
+    return f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT day, user_id, c,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY c DESC, user_id) AS rk
+  FROM daily
+), t_d AS (
+  SELECT day,
+         CASE WHEN count(*) FILTER (WHERE rk = {MG_K + 1}) = 1
+              THEN min(c) FILTER (WHERE rk = {MG_K + 1}) ELSE 0 END AS t
+  FROM ranked GROUP BY 1
+), pre AS (
+  SELECT d.user_id, CAST(sum(d.c - t.t) AS BIGINT) AS c
+  FROM daily d JOIN t_d t ON d.day = t.day
+  WHERE d.c > t.t GROUP BY 1
+), pre_ranked AS (
+  SELECT user_id, c,
+         row_number() OVER (ORDER BY c DESC, user_id) AS rk
+  FROM pre
+), budget AS (
+  SELECT CAST((SELECT sum(t) FROM t_d) AS BIGINT) +
+         (SELECT CASE WHEN count(*) FILTER (WHERE rk = {MG_K + 1}) = 1
+                      THEN min(c) FILTER (WHERE rk = {MG_K + 1})
+                      ELSE 0 END
+          FROM pre_ranked) AS err_budget,
+         (SELECT CASE WHEN count(*) FILTER (WHERE rk = {MG_K + 1}) = 1
+                      THEN min(c) FILTER (WHERE rk = {MG_K + 1})
+                      ELSE 0 END
+          FROM pre_ranked) AS t_f
+), exact AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS c_exact FROM daily GROUP BY 1
+), merged AS (
+  SELECT p.user_id, p.c - b.t_f AS mg_count, b.err_budget
+  FROM pre p CROSS JOIN budget b
+  WHERE p.c > b.t_f
+), missed AS (
+  SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS completeness_ok
+  FROM exact e CROSS JOIN budget b
+  LEFT JOIN merged m ON e.user_id = m.user_id
+  WHERE m.user_id IS NULL AND e.c_exact > b.err_budget
+)
+SELECT e.user_id, e.c_exact, m.mg_count, m.err_budget,
+       CAST(m.mg_count <= e.c_exact AS INT) AS lower_ok,
+       CAST(e.c_exact - m.mg_count <= m.err_budget AS INT) AS bound_ok,
+       x.completeness_ok
+FROM exact e JOIN merged m ON e.user_id = m.user_id
+CROSS JOIN missed x
+"""
+
+
 QUERY_DEFS = [
     QueryDef("sketch_countmin_users", sketch_countmin_users, _countmin_oracle()),
     QueryDef("sketch_kmv_users", sketch_kmv_users, _kmv_users_oracle()),
@@ -804,4 +1061,6 @@ QUERY_DEFS = [
         sketch_quantile_tolerance,
         QT_TOLERANCE_ORACLE,
     ),
+    QueryDef("sketch_mg_topk", sketch_mg_topk, _mg_topk_oracle()),
+    QueryDef("sketch_mg_merge_days", sketch_mg_merge_days, _mg_merge_oracle()),
 ]

@@ -200,6 +200,14 @@ HEADLINE = [
     "sketch_kmv_users",
     "sketch_kmv_jaccard",
     "sketch_kmv_merge_days",
+    "sketch_mg_topk",
+    "sketch_mg_merge_days",
+    "aqp_sample_estimate",
+    "aqp_sample_staircase",
+    "aqp_stratified_allocation",
+    "aqp_group_estimate",
+    "aqp_universe_join",
+    "stream_mg_heavy_hitters",
 ]
 
 

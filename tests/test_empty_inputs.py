@@ -105,6 +105,13 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("sketches", "sketch_kmv_users"),
         ("sketches", "sketch_kmv_jaccard"),
         ("sketches", "sketch_kmv_merge_days"),
+        ("sketches", "sketch_mg_topk"),
+        ("sketches", "sketch_mg_merge_days"),
+        ("aqp", "aqp_sample_estimate"),
+        ("aqp", "aqp_sample_staircase"),
+        ("aqp", "aqp_stratified_allocation"),
+        ("aqp", "aqp_group_estimate"),
+        ("aqp", "aqp_universe_join"),
         ("similarity", "dedup_embedding_cosine"),
         ("clustering", "dedup_clusters"),
     ],

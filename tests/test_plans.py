@@ -1288,3 +1288,60 @@ def test_kmv_sketch_is_two_level_tournament(spark):
         # the tournament by its two Window levels)
         assert plan.count("Window") >= 2
         assert "CartesianProduct" not in plan
+
+
+def test_aqp_estimate_is_single_pruned_scan(spark):
+    """The AQP estimate computes exact + sample + variance in ONE
+    conditional-aggregation pass: exactly one lineitem scan, reading
+    only the four columns the hash and the revenue need, with map-side
+    partial aggregation — the shape whose production sibling reads
+    1/64 of the bytes."""
+    from ai_data_pipeline_spark.operators.aqp import (
+        aqp_sample_estimate,
+        aqp_sample_staircase,
+    )
+
+    for q in (aqp_sample_estimate, aqp_sample_staircase):
+        df = q(spark, SF_DIR)
+        plan = _plan(df)
+        assert plan.count("Scan parquet") == 1
+        assert "partial_" in plan  # map-side combine before the 1-row agg
+        fmt = _formatted(df)
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", fmt)
+        assert m is not None
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+        }
+
+
+def test_mg_summary_counts_are_partial_aggregates(spark):
+    """The Misra-Gries tier's only corpus-scaled stage is the per-scope
+    count groupBy — it must partial-aggregate (map-side combines) in
+    the RAW builder, and the public queries must materialize that
+    relation ONCE (localCheckpoint): zero parquet scans downstream, so
+    the corpus is scanned/shuffled exactly once however many views
+    (threshold, survivors, budgets, exact) read the counts. The
+    (K+1)-th-order-statistic selection rides the two-level tournament,
+    never a global sort of a corpus-scaled relation."""
+    from ai_data_pipeline_spark.operators.sketches import (
+        _mg_counts_plan,
+        sketch_mg_merge_days,
+        sketch_mg_topk,
+    )
+
+    raw = _plan(_mg_counts_plan(spark, SF_DIR, ["event_type"]))
+    assert "partial_count" in raw  # map-side combine on raw events
+
+    for q in (sketch_mg_topk, sketch_mg_merge_days):
+        plan = _plan(q(spark, SF_DIR))
+        assert plan.count("Scan parquet") == 0  # counts materialized once
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("Window") >= 2  # tournament threshold select
+        assert "CartesianProduct" not in plan
+        assert "GlobalSort" not in plan and "\nSort " not in plan

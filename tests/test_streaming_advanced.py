@@ -173,3 +173,46 @@ def test_stream_ivf_migration_consistent_with_upsert(spark):
     )
     assert sum(r.n_moved for r in rows) == n_updated
     assert sum(r.n_moved for r in rows if r.old_cell != r.new_cell) > 0
+
+
+def test_stream_mg_summary_equals_direct_bucket_merge(spark):
+    """The streamed Misra-Gries log must be a pure function of the
+    data: merging the logged per-batch summaries has to equal the same
+    canonical construction computed directly (per-decade counts ->
+    offset summaries -> merge), and every guarantee flag must hold."""
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.sketches import _mg_threshold
+    from ai_data_pipeline_spark.streaming.sketch import (
+        _BUCKET_EXPR,
+        stream_mg_heavy_hitters,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = stream_mg_heavy_hitters(spark, SF_DIR).collect()
+    assert rows  # the fixture has distinguishable heavy users
+    assert all(
+        r.lower_ok == 1 and r.bound_ok == 1 and r.completeness_ok == 1
+        for r in rows
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    counts = e.groupBy(
+        F.expr(_BUCKET_EXPR).alias("bucket"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t_b = _mg_threshold(counts, ["bucket"], "user_id")
+    pre = (
+        counts.join(t_b, "bucket")
+        .filter(F.col("c") > F.col("t"))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") - F.col("t")).alias("c"))
+    )
+    t_f = (
+        _mg_threshold(pre.withColumn("_g", F.lit(0)), ["_g"], "user_id")
+        .collect()[0]["t"]
+    )
+    want = {
+        (r.user_id, r.c - t_f) for r in pre.collect() if r.c > t_f
+    }
+    assert {(r.user_id, r.mg_count) for r in rows} == want
