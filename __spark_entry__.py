@@ -359,6 +359,9 @@ _UNPROVEN_PRIORITY = [
     # round-11: streaming Misra-Gries maintenance (per-batch K-row
     # summaries + budget log, merged with checked guarantees)
     "stream_mg_heavy_hitters",
+    # round-11: recency-weighted heavy hitters (exact power-of-two
+    # step decay, oracle-exact integer scores)
+    "q_decayed_heavy_hitters",
 ]
 
 

@@ -205,6 +205,74 @@ HAVING count(*) > (SELECT count(*) * {HEAVY_HITTER_FRACTION} FROM events)
 """
 
 
+# Exponential time decay with a 7-day half-life, STEP-quantized per
+# half-life so weights are exact powers of two: a row aged a days
+# weighs DECAY_SCALE >> (a div 7). Integer throughout — both engines
+# compute the same shift, so the decayed scores are oracle-exact
+# (the usual e^{-lambda*age} form is a float fold whose partial-sum
+# order Spark does not fix).
+DECAY_SCALE = 1 << 20
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_TOP_K = 10
+
+
+def q_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted heavy hitters — the ranking q_heavy_hitter_users
+    cannot express: a user's mass halves every 7 days of age, so a
+    burst last week outranks steady history from a month ago. Exact
+    integer decayed scores (see DECAY_SCALE note), one keyed aggregate
+    with map-side combines over (user, weight) partials, then the
+    two-level tournament for the top K — no corpus-wide window. At
+    100 TB the per-(user, half-life-bucket) partial counts are the
+    mergeable state: yesterday's scores re-weight by one shift instead
+    of rescanning history."""
+    from ai_data_pipeline_spark.functions import topk_per_key
+
+    e = load_table(spark, sf_dir, "events")
+    maxd = e.agg(F.max(F.to_date("ts")).alias("d_max"))
+    scored = (
+        e.crossJoin(F.broadcast(maxd))  # 1-row scalar
+        .select(
+            "user_id",
+            F.expr(
+                f"{DECAY_SCALE} div shiftleft(1, "
+                f"datediff(d_max, to_date(ts)) div {DECAY_HALF_LIFE_DAYS})"
+            ).alias("w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w").alias("decayed_score"),
+        )
+    )
+    return topk_per_key(
+        scored.withColumn("_g", F.lit(0)),
+        ["_g"],
+        [F.desc("decayed_score"), F.asc("user_id")],
+        DECAY_TOP_K,
+    ).select("user_id", "n_events", "decayed_score", F.col("rk").cast("int").alias("rk"))
+
+
+Q_DECAYED_HH_ORACLE = f"""
+WITH maxd AS (
+  SELECT max(CAST(ts AS DATE)) AS d_max FROM events
+), scored AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum({DECAY_SCALE} // (1 << (date_diff('day', CAST(ts AS DATE), d_max)
+                                     // {DECAY_HALF_LIFE_DAYS})))
+              AS BIGINT) AS decayed_score
+  FROM events CROSS JOIN maxd
+  GROUP BY user_id
+)
+SELECT user_id, n_events, decayed_score,
+       CAST(row_number() OVER (ORDER BY decayed_score DESC, user_id)
+            AS INT) AS rk
+FROM scored
+ORDER BY decayed_score DESC, user_id
+LIMIT {DECAY_TOP_K}
+"""
+
+
 def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill with LOCF (last-observation-carried-forward,
     the hypertable `locf(...)` idiom): the dense calendar comes from
@@ -330,4 +398,7 @@ QUERY_DEFS = [
     QueryDef("q_outliers_iqr", q_outliers_iqr, Q_OUTLIERS_IQR_ORACLE),
     QueryDef("q_zscore_outliers", q_zscore_outliers, Q_ZSCORE_ORACLE),
     QueryDef("q_heavy_hitter_users", q_heavy_hitter_users, Q_HEAVY_HITTER_ORACLE),
+    QueryDef(
+        "q_decayed_heavy_hitters", q_decayed_heavy_hitters, Q_DECAYED_HH_ORACLE
+    ),
 ]

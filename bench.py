@@ -208,6 +208,7 @@ HEADLINE = [
     "aqp_group_estimate",
     "aqp_universe_join",
     "stream_mg_heavy_hitters",
+    "q_decayed_heavy_hitters",
 ]
 
 

@@ -112,6 +112,7 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("aqp", "aqp_stratified_allocation"),
         ("aqp", "aqp_group_estimate"),
         ("aqp", "aqp_universe_join"),
+        ("analytic2", "q_decayed_heavy_hitters"),
         ("similarity", "dedup_embedding_cosine"),
         ("clustering", "dedup_clusters"),
     ],

@@ -3545,3 +3545,76 @@ def test_dim_variance_rank_matches_numpy(spark):
         assert int(r.var_num) == var_num[r.dim], r.dim
         assert r.rk == want_rank[r.dim]
         assert r.flag_dead == int(var_num[r.dim] == 0)
+
+
+def test_mg_summary_theorems_against_python_model(spark):
+    """The canonical Misra-Gries summary must satisfy, against an
+    independent driver-side model of the exact counts: (a) at most K
+    survivors per scope, (b) lower bound mg_count <= c_exact with gap
+    <= err_budget, (c) err_budget * (K+1) <= scope mass, and
+    (d) completeness - every item with c_exact > err_budget survives.
+    Checked per event_type on the real fixture, with the model counts
+    computed by collecting the raw table (independent of the query's
+    own aggregation path)."""
+    from collections import Counter
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.sketches import MG_K, sketch_mg_topk
+    from tests.conftest import SF_DIR
+
+    model: dict[str, Counter] = {}
+    for r in load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id"
+    ).collect():
+        model.setdefault(r.event_type, Counter())[r.user_id] += 1
+
+    rows = sketch_mg_topk(spark, SF_DIR).collect()
+    assert rows
+    by_scope: dict[str, list] = {}
+    for r in rows:
+        by_scope.setdefault(r.event_type, []).append(r)
+    for et, scope_rows in by_scope.items():
+        counts = model[et]
+        n = sum(counts.values())
+        assert len(scope_rows) <= MG_K
+        budgets = {r.err_budget for r in scope_rows}
+        assert len(budgets) == 1  # one threshold per scope
+        t = budgets.pop()
+        assert t * (MG_K + 1) <= n
+        survivors = set()
+        for r in scope_rows:
+            assert r.c_exact == counts[r.user_id]
+            assert r.mg_count == r.c_exact - t
+            assert 0 < r.mg_count <= r.c_exact
+            assert r.bound_ok == 1
+            survivors.add(r.user_id)
+        for uid, c in counts.items():
+            if c > t:
+                assert uid in survivors, (et, uid, c, t)
+
+
+def test_mg_summary_is_partitioning_invariant(spark):
+    """The MG threshold rides the topk tournament, so the summary must
+    be identical at any physical partitioning of the input counts -
+    pinned directly on the threshold helper across 1/3/17 partitions
+    with deliberate count ties."""
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.operators.sketches import _mg_threshold
+
+    base = spark.range(0, 300).select(
+        (F.col("id") % 5).alias("scope"),
+        F.col("id").alias("user_id"),
+        (F.col("id") % 11 + 1).alias("c"),  # ties within every scope
+    )
+    want = None
+    for n_parts in (1, 3, 17):
+        got = sorted(
+            tuple(r)
+            for r in _mg_threshold(
+                base.repartition(n_parts), ["scope"], "user_id"
+            ).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, n_parts

@@ -1290,6 +1290,21 @@ def test_kmv_sketch_is_two_level_tournament(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_decayed_heavy_hitters_aggregates_then_tournament(spark):
+    """Decayed scoring must partial-aggregate (map-side combines of
+    (user, weight) partials) and select the top K via the two-level
+    tournament — no corpus-wide single-partition window; the only
+    nested-loop join is the broadcast 1-row max-date scalar."""
+    from ai_data_pipeline_spark.operators.analytic2 import (
+        q_decayed_heavy_hitters,
+    )
+
+    plan = _plan(q_decayed_heavy_hitters(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Window") >= 2  # tournament levels
+    assert "CartesianProduct" not in plan
+
+
 def test_aqp_estimate_is_single_pruned_scan(spark):
     """The AQP estimate computes exact + sample + variance in ONE
     conditional-aggregation pass: exactly one lineitem scan, reading
