@@ -362,6 +362,8 @@ _UNPROVEN_PRIORITY = [
     # round-11: recency-weighted heavy hitters (exact power-of-two
     # step decay, oracle-exact integer scores)
     "q_decayed_heavy_hitters",
+    # round-11: model-governance fairness audit + jackknife SE audit
+    "cls_fairness_audit", "aqp_jackknife",
 ]
 
 

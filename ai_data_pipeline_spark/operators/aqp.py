@@ -511,6 +511,119 @@ FROM a CROSS JOIN b CROSS JOIN ex
 """
 
 
+AQP_JACK_G = 8  # disjoint subsample groups inside the 1/64 sample
+
+
+def aqp_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the analytic error bar tell the truth? The delete-one-group
+    JACKKNIFE re-derives the standard error EMPIRICALLY: the 1/64
+    sample splits into 8 disjoint subsamples on the hash's next bits,
+    each delete-one estimate rescales the remaining 7/8, and the
+    jackknife SE comes from their spread — a model-free check that
+    needs no variance formula. The audit flag asserts the two SEs
+    agree within 3× either way; a broken variance formula (or a
+    non-uniform hash) trips it.
+
+    Determinism: group sums are exact integer cents; the spread uses
+    the identity Σ(x−x̄)² = (g·Σx² − (Σx)²)/g with x in kilodollar
+    units so g·Σx² stays far inside int64 (to ~10⁴× this SF), and the
+    single sqrt of that exact integer is IEEE-identical in both
+    engines. One pruned scan, one 8-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        _row_hash_expr().alias("h"), _rev_cents_expr().alias("cents")
+    ).filter(F.col("h") % AQP_DENOM == 0)
+    # ONE sample pass: per-subsample sum plus the pooled second moment
+    # (dollars²) the analytic SE needs.
+    groups = base.groupBy(
+        ((F.col("h") / AQP_DENOM).cast("long") % AQP_JACK_G).alias("g")
+    ).agg(
+        F.sum("cents").alias("s_g"),
+        F.sum(F.expr("(cents div 100) * (cents div 100)")).alias("ssq_g"),
+    )
+    tot = groups.agg(
+        F.sum("s_g").alias("s_all"), F.sum("ssq_g").alias("ssq")
+    )
+    # Delete-one estimates as a projection over the 8-row relation
+    # (window-free: totals ride a broadcast 1-row crossJoin).
+    ests = groups.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            f"((s_all - s_g) * {AQP_DENOM} * {AQP_JACK_G}"
+            f" div {AQP_JACK_G - 1}) div 100000"
+        ).alias("x_kd")
+    )
+    stats = (
+        ests.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("x_kd").alias("sx"),
+            F.sum(F.col("x_kd") * F.col("x_kd")).alias("sxx"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("ci", _ci_cents(F.col("ssq"), AQP_DENOM))
+    )
+    # jackknife: V = (g−1)/g · Σ(x−x̄)²; with D = g·Σx²−(Σx)² exact,
+    # se = sqrt((g−1)·D)/g, back to cents via ×10⁵.
+    d = F.col("n_groups") * F.col("sxx") - F.col("sx") * F.col("sx")
+    se_jack = F.floor(
+        F.sqrt((d * (AQP_JACK_G - 1)).cast("double"))
+        / F.lit(float(AQP_JACK_G))
+        * F.lit(100000.0)
+    ).cast("long")
+    se_ht = F.expr(f"ci div {AQP_Z}")  # same floor-div as the oracle
+    return stats.select(
+        "n_groups",
+        (F.col("s_all") * AQP_DENOM).alias("est_cents"),
+        se_jack.alias("se_jack_cents"),
+        se_ht.alias("se_ht_cents"),
+        ((se_jack * 3 >= se_ht) & (se_jack <= se_ht * 3))
+        .cast("int")
+        .alias("se_consistent"),
+    )
+
+
+def _jackknife_oracle() -> str:
+    se_ht = f"{_ci_cents_sql('ssq', AQP_DENOM)} // {AQP_Z}"
+    return f"""
+WITH base AS (
+  SELECT {_row_hash_sql()} AS h, {_REV_CENTS_SQL} AS cents
+  FROM lineitem
+), samp AS (
+  SELECT h, cents FROM base WHERE h % {AQP_DENOM} = 0
+), grp AS (
+  SELECT (h // {AQP_DENOM}) % {AQP_JACK_G} AS g,
+         CAST(sum(cents) AS BIGINT) AS s_g
+  FROM samp GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(s_g) AS BIGINT) AS s_all FROM grp
+), ests AS (
+  SELECT (((t.s_all - g.s_g) * {AQP_DENOM} * {AQP_JACK_G}
+           // {AQP_JACK_G - 1}) // 100000) AS x_kd
+  FROM grp g CROSS JOIN tot t
+), st AS (
+  SELECT count(*) AS n_groups,
+         CAST(sum(x_kd) AS BIGINT) AS sx,
+         CAST(sum(x_kd * x_kd) AS BIGINT) AS sxx
+  FROM ests
+), ht AS (
+  SELECT CAST(sum((cents // 100) * (cents // 100)) AS BIGINT) AS ssq
+  FROM samp
+), calc AS (
+  SELECT n_groups,
+         (SELECT s_all FROM tot) * {AQP_DENOM} AS est_cents,
+         CAST(floor(sqrt(CAST((n_groups * sxx - sx * sx)
+                              * {AQP_JACK_G - 1} AS DOUBLE))
+                    / {float(AQP_JACK_G)} * 100000.0) AS BIGINT)
+           AS se_jack_cents,
+         CAST({se_ht} AS BIGINT) AS se_ht_cents
+  FROM st CROSS JOIN ht
+)
+SELECT n_groups, est_cents, se_jack_cents, se_ht_cents,
+       CAST(se_jack_cents * 3 >= se_ht_cents
+            AND se_jack_cents <= se_ht_cents * 3 AS INT) AS se_consistent
+FROM calc
+"""
+
+
 QUERY_DEFS = [
     QueryDef("aqp_sample_estimate", aqp_sample_estimate, _sample_estimate_oracle()),
     QueryDef("aqp_group_estimate", aqp_group_estimate, _group_estimate_oracle()),
@@ -521,4 +634,5 @@ QUERY_DEFS = [
         aqp_stratified_allocation,
         _stratified_oracle(),
     ),
+    QueryDef("aqp_jackknife", aqp_jackknife, _jackknife_oracle()),
 ]

@@ -1215,6 +1215,92 @@ FROM rated
 """
 
 
+def cls_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-governance audit of the binary quality classifier: per
+    document LANGUAGE, the selection rate (share of docs the model's
+    sign decision keeps) and the true-positive rate, each with its
+    absolute gap to the corpus-wide rate — the demographic-parity and
+    equal-opportunity readings a curation run must publish before a
+    filter model is allowed to gate a multilingual corpus (a filter
+    that silently keeps 60% of English but 20% of German reshapes the
+    language mix; this is the table that catches it). All fixed-point
+    ppm over exact counts, so every gap digit is oracle-checked.
+
+    Scale: reads the memoized scored relation (one broadcast-model
+    join, see cls_linear_score), joins the lang column on doc_id, and
+    reduces to |langs| rows in one keyed aggregate with map-side
+    partials; corpus-wide rates come from re-aggregating those |langs|
+    rows (never a second corpus pass)."""
+    scored = cls_linear_score(spark, sf_dir).select(
+        "doc_id", "label", "predicted"
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per = (
+        scored.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum("predicted").cast("long").alias("n_sel"),
+            F.sum(F.col("label") * F.col("predicted"))
+            .cast("long")
+            .alias("tp"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("t_docs"),
+        F.sum("n_pos").alias("t_pos"),
+        F.sum("n_sel").alias("t_sel"),
+        F.sum("tp").alias("t_tp"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))  # 1-row corpus rates
+        .select(
+            "lang",
+            "n_docs",
+            "n_pos",
+            "n_sel",
+            F.expr("n_sel * 1000000 div n_docs").alias("sel_ppm"),
+            F.expr("tp * 1000000 div nullif(n_pos, 0)").alias("tpr_ppm"),
+            F.expr(
+                "abs(n_sel * 1000000 div n_docs"
+                " - t_sel * 1000000 div t_docs)"
+            ).alias("parity_gap_ppm"),
+            F.expr(
+                "abs(tp * 1000000 div nullif(n_pos, 0)"
+                " - t_tp * 1000000 div nullif(t_pos, 0))"
+            ).alias("eo_gap_ppm"),
+        )
+    )
+
+
+CLS_FAIRNESS_ORACLE = f"""
+WITH scored AS ({CLS_SCORE_ORACLE}),
+per AS (
+  SELECT d.lang, count(*) AS n_docs,
+         CAST(sum(s.label) AS BIGINT) AS n_pos,
+         CAST(sum(s.predicted) AS BIGINT) AS n_sel,
+         CAST(sum(s.label * s.predicted) AS BIGINT) AS tp
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+         CAST(sum(n_pos) AS BIGINT) AS t_pos,
+         CAST(sum(n_sel) AS BIGINT) AS t_sel,
+         CAST(sum(tp) AS BIGINT) AS t_tp
+  FROM per
+)
+SELECT lang, n_docs, n_pos, n_sel,
+       n_sel * 1000000 // n_docs AS sel_ppm,
+       tp * 1000000 // nullif(n_pos, 0) AS tpr_ppm,
+       abs(n_sel * 1000000 // n_docs - t_sel * 1000000 // t_docs)
+         AS parity_gap_ppm,
+       abs(tp * 1000000 // nullif(n_pos, 0)
+           - t_tp * 1000000 // nullif(t_pos, 0)) AS eo_gap_ppm
+FROM per CROSS JOIN tot
+"""
+
+
 QUERY_DEFS = [
     QueryDef("q_corr_matrix", q_corr_matrix, _corr_oracle()),
     QueryDef("quality_kendall_tau", quality_kendall_tau, _kendall_oracle()),
@@ -1229,4 +1315,5 @@ QUERY_DEFS = [
     QueryDef("cls_confusion_matrix", cls_confusion_matrix, CLS_CONFUSION_ORACLE),
     QueryDef("cls_score_percentile", cls_score_percentile, CLS_PCT_ORACLE),
     QueryDef("cls_reliability_bins", cls_reliability_bins, CLS_RELIABILITY_ORACLE),
+    QueryDef("cls_fairness_audit", cls_fairness_audit, CLS_FAIRNESS_ORACLE),
 ]

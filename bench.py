@@ -209,6 +209,8 @@ HEADLINE = [
     "aqp_universe_join",
     "stream_mg_heavy_hitters",
     "q_decayed_heavy_hitters",
+    "cls_fairness_audit",
+    "aqp_jackknife",
 ]
 
 

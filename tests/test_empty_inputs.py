@@ -113,6 +113,8 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("aqp", "aqp_group_estimate"),
         ("aqp", "aqp_universe_join"),
         ("analytic2", "q_decayed_heavy_hitters"),
+        ("stats", "cls_fairness_audit"),
+        ("aqp", "aqp_jackknife"),
         ("similarity", "dedup_embedding_cosine"),
         ("clustering", "dedup_clusters"),
     ],
