@@ -234,9 +234,17 @@ def q_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(maxd))  # 1-row scalar
         .select(
             "user_id",
+            # Shift CLAMPED at 20 half-lives (weight has decayed to 1
+            # there; beyond it the weight is 0 outright). Unclamped,
+            # the engines diverge on old rows: Spark's shiftleft masks
+            # the shift mod 32 (an age of 224d would wrap to weight
+            # 2^20), while DuckDB raises on a shift >= 31.
             F.expr(
-                f"{DECAY_SCALE} div shiftleft(1, "
+                f"CASE WHEN datediff(d_max, to_date(ts))"
+                f" div {DECAY_HALF_LIFE_DAYS} > 20 THEN 0"
+                f" ELSE {DECAY_SCALE} div shiftleft(1, "
                 f"datediff(d_max, to_date(ts)) div {DECAY_HALF_LIFE_DAYS})"
+                f" END"
             ).alias("w"),
         )
         .groupBy("user_id")
@@ -258,8 +266,11 @@ WITH maxd AS (
   SELECT max(CAST(ts AS DATE)) AS d_max FROM events
 ), scored AS (
   SELECT user_id, count(*) AS n_events,
-         CAST(sum({DECAY_SCALE} // (1 << (date_diff('day', CAST(ts AS DATE), d_max)
-                                     // {DECAY_HALF_LIFE_DAYS})))
+         CAST(sum(CASE WHEN date_diff('day', CAST(ts AS DATE), d_max)
+                            // {DECAY_HALF_LIFE_DAYS} > 20 THEN 0
+                       ELSE {DECAY_SCALE} //
+                            (1 << (date_diff('day', CAST(ts AS DATE), d_max)
+                                   // {DECAY_HALF_LIFE_DAYS})) END)
               AS BIGINT) AS decayed_score
   FROM events CROSS JOIN maxd
   GROUP BY user_id

@@ -276,10 +276,15 @@ def aqp_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("sum_d").cast("double")
         / F.col("n_rows").cast("double")
     ) / (F.col("n_rows").cast("double") - F.lit(1.0))
-    w = per.withColumn("sd_d", F.sqrt(s2)).withColumn(
-        "weight", F.col("n_rows").cast("double") * F.col("sd_d")
-    )
-    total = w.agg(F.sum("weight").alias("w_total"))
+    # Weights are quantized to INTEGER (n_h · sd-in-cents) BEFORE the
+    # cross-stratum sum: summing the raw double weights would hang the
+    # output on Spark's unfixed partial-sum fold order (a last-ulp
+    # difference vs the oracle flips a floor at a ratio boundary) —
+    # the same float-fold class the decayed-weight query documents.
+    w = per.withColumn(
+        "sd_cents", F.floor(F.sqrt(s2) * F.lit(100.0)).cast("long")
+    ).withColumn("w_int", F.col("n_rows") * F.col("sd_cents"))
+    total = w.agg(F.sum("w_int").alias("w_total"))
     return (
         w.crossJoin(F.broadcast(total))
         .select(
@@ -287,12 +292,16 @@ def aqp_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linestatus",
             "n_rows",
             F.expr("sum_cents div n_rows").alias("mean_cents"),
-            F.floor(F.col("sd_d") * F.lit(100.0)).cast("long").alias("sd_cents"),
-            F.floor(F.lit(1000.0) * F.col("weight") / F.col("w_total"))
+            "sd_cents",
+            F.floor(
+                F.lit(1000.0) * F.col("w_int").cast("double")
+                / F.col("w_total").cast("double")
+            )
             .cast("long")
             .alias("share_permille"),
             F.floor(
-                F.lit(float(AQP_BUDGET)) * F.col("weight") / F.col("w_total")
+                F.lit(float(AQP_BUDGET)) * F.col("w_int").cast("double")
+                / F.col("w_total").cast("double")
             )
             .cast("long")
             .alias("n_alloc"),
@@ -318,19 +327,21 @@ WITH base AS (
          CAST(sum(dollars * dollars) AS BIGINT) AS ssq_d
   FROM base GROUP BY 1, 2
 ), w AS (
-  SELECT *, CAST(n_rows AS DOUBLE) * sqrt({s2}) AS weight,
-         sqrt({s2}) AS sd_d
+  SELECT *, CAST(floor(sqrt({s2}) * 100.0) AS BIGINT) AS sd_cents
   FROM per
+), wi AS (
+  SELECT *, n_rows * sd_cents AS w_int FROM w
 ), tot AS (
-  SELECT sum(weight) AS w_total FROM w
+  SELECT CAST(sum(w_int) AS BIGINT) AS w_total FROM wi
 )
 SELECT l_returnflag, l_linestatus, n_rows,
        sum_cents // n_rows AS mean_cents,
-       CAST(floor(sd_d * 100.0) AS BIGINT) AS sd_cents,
-       CAST(floor(1000.0 * weight / w_total) AS BIGINT) AS share_permille,
-       CAST(floor({float(AQP_BUDGET)} * weight / w_total) AS BIGINT)
-         AS n_alloc
-FROM w CROSS JOIN tot
+       sd_cents,
+       CAST(floor(1000.0 * CAST(w_int AS DOUBLE) / CAST(w_total AS DOUBLE))
+            AS BIGINT) AS share_permille,
+       CAST(floor({float(AQP_BUDGET)} * CAST(w_int AS DOUBLE)
+                  / CAST(w_total AS DOUBLE)) AS BIGINT) AS n_alloc
+FROM wi CROSS JOIN tot
 """
 
 
@@ -402,17 +413,16 @@ FROM agg
 """
 
 
-def _okey_hash_expr(col: str) -> F.Column:
-    return F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, AQP_HEX), 16, 10
-    ).cast("long")
+# Single-key hashing reuses the KMV tier's helpers (sketches.py) —
+# ONE copy of the cross-engine md5-prefix contract; KMV_HEX == AQP_HEX
+# is asserted at import so the two tiers cannot silently diverge.
+from ai_data_pipeline_spark.operators.sketches import (  # noqa: E402
+    KMV_HEX as _SKETCH_HEX,
+    _kmv_hash_expr as _okey_hash_expr,
+    _kmv_hash_sql as _okey_hash_sql,
+)
 
-
-def _okey_hash_sql(col: str) -> str:
-    return (
-        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, {AQP_HEX}))"
-        " AS BIGINT)"
-    )
+assert _SKETCH_HEX == AQP_HEX
 
 
 def aqp_universe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,6 +522,7 @@ FROM a CROSS JOIN b CROSS JOIN ex
 
 
 AQP_JACK_G = 8  # disjoint subsample groups inside the 1/64 sample
+JACK_UNIT = 10_000_000  # estimate units for the spread: 1e7 cents ($100k)
 
 
 def aqp_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,10 +536,13 @@ def aqp_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-uniform hash) trips it.
 
     Determinism: group sums are exact integer cents; the spread uses
-    the identity Σ(x−x̄)² = (g·Σx² − (Σx)²)/g with x in kilodollar
-    units so g·Σx² stays far inside int64 (to ~10⁴× this SF), and the
-    single sqrt of that exact integer is IEEE-identical in both
-    engines. One pruned scan, one 8-row aggregate."""
+    the identity Σ(x−x̄)² = (g·Σx² − (Σx)²)/g with x in $100k units
+    (JACK_UNIT) so g·Σx² stays inside int64 to ~10³× this SF (x grows
+    linearly with corpus revenue; overflow at x ≈ 3.8e8 ≈ sf100-tier
+    totals — switch units before that), and the single sqrt of that
+    exact integer is IEEE-identical in both engines. The unit
+    quantization costs ≲0.3% of the SE at this SF — far inside the 3×
+    audit band. One pruned scan, one 8-row aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         _row_hash_expr().alias("h"), _rev_cents_expr().alias("cents")
@@ -549,7 +563,7 @@ def aqp_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     ests = groups.crossJoin(F.broadcast(tot)).select(
         F.expr(
             f"((s_all - s_g) * {AQP_DENOM} * {AQP_JACK_G}"
-            f" div {AQP_JACK_G - 1}) div 100000"
+            f" div {AQP_JACK_G - 1}) div {JACK_UNIT}"
         ).alias("x_kd")
     )
     stats = (
@@ -567,7 +581,7 @@ def aqp_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     se_jack = F.floor(
         F.sqrt((d * (AQP_JACK_G - 1)).cast("double"))
         / F.lit(float(AQP_JACK_G))
-        * F.lit(100000.0)
+        * F.lit(float(JACK_UNIT))
     ).cast("long")
     se_ht = F.expr(f"ci div {AQP_Z}")  # same floor-div as the oracle
     return stats.select(
@@ -597,7 +611,7 @@ WITH base AS (
   SELECT CAST(sum(s_g) AS BIGINT) AS s_all FROM grp
 ), ests AS (
   SELECT (((t.s_all - g.s_g) * {AQP_DENOM} * {AQP_JACK_G}
-           // {AQP_JACK_G - 1}) // 100000) AS x_kd
+           // {AQP_JACK_G - 1}) // {JACK_UNIT}) AS x_kd
   FROM grp g CROSS JOIN tot t
 ), st AS (
   SELECT count(*) AS n_groups,
@@ -612,7 +626,7 @@ WITH base AS (
          (SELECT s_all FROM tot) * {AQP_DENOM} AS est_cents,
          CAST(floor(sqrt(CAST((n_groups * sxx - sx * sx)
                               * {AQP_JACK_G - 1} AS DOUBLE))
-                    / {float(AQP_JACK_G)} * 100000.0) AS BIGINT)
+                    / {float(AQP_JACK_G)} * {float(JACK_UNIT)}) AS BIGINT)
            AS se_jack_cents,
          CAST({se_ht} AS BIGINT) AS se_ht_cents
   FROM st CROSS JOIN ht

@@ -904,6 +904,75 @@ WHERE c.c > t.t
 """
 
 
+def merge_mg_summaries(
+    summaries: DataFrame, budgets: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """The MG MERGE rule with its checked guarantees, shared by the
+    batch proof (sketch_mg_merge_days) and the streaming maintenance
+    view (streaming/sketch.py) so the two can never drift: sum the
+    per-scope guaranteed counts, re-truncate with the merged (K+1)-th
+    value, budgets ADD, and emit per surviving item — against the
+    caller's exact counts — lower_ok / bound_ok / completeness_ok.
+
+    Inputs: summaries (user_id, g), budgets (t — one row per scope),
+    exact (user_id, c_exact). All downstream relations here are
+    summary-sized (≤ (K+1)·scopes rows) except the exact join."""
+    pre = summaries.groupBy("user_id").agg(F.sum("g").alias("c"))
+    t_f = _mg_threshold(
+        pre.withColumn("_g", F.lit(0)), ["_g"], "user_id"
+    ).select(F.col("t").alias("t_f"))
+    budget = (
+        budgets.agg(F.sum("t").alias("e_scopes"))
+        .crossJoin(t_f)
+        .select(
+            (F.col("e_scopes") + F.col("t_f")).alias("err_budget"), "t_f"
+        )
+    )  # two 1-row relations
+    merged = (
+        pre.crossJoin(F.broadcast(budget))
+        .filter(F.col("c") > F.col("t_f"))
+        .select(
+            "user_id",
+            (F.col("c") - F.col("t_f")).alias("mg_count"),
+            "err_budget",
+        )
+    )
+    joined = exact.join(merged, "user_id", "left").crossJoin(
+        F.broadcast(budget.select(F.col("err_budget").alias("_eb")))
+    )
+    missed = joined.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("mg_count").isNull()
+                    & (F.col("c_exact") > F.col("_eb")),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        )
+        .cast("int")
+        .alias("completeness_ok")
+    )
+    return (
+        joined.filter(F.col("mg_count").isNotNull())
+        .crossJoin(F.broadcast(missed))
+        .select(
+            "user_id",
+            "c_exact",
+            "mg_count",
+            "err_budget",
+            (F.col("mg_count") <= F.col("c_exact"))
+            .cast("int")
+            .alias("lower_ok"),
+            (F.col("c_exact") - F.col("mg_count") <= F.col("err_budget"))
+            .cast("int")
+            .alias("bound_ok"),
+            "completeness_ok",
+        )
+    )
+
+
 def sketch_mg_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MERGE theorem for the Misra–Gries tier, oracle-checked the
     way sketch_kmv_merge_days checks KMV's: build an independent K-row
@@ -933,61 +1002,13 @@ def sketch_mg_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") > F.col("t"))
         .select("user_id", (F.col("c") - F.col("t")).alias("g"))
     )
-    pre = summaries.groupBy("user_id").agg(F.sum("g").alias("c"))
-    t_f = (
-        _mg_threshold(pre.withColumn("_g", F.lit(0)), ["_g"], "user_id")
-        .select(F.col("t").alias("t_f"))
-    )
-    budget = t_d.agg(F.sum("t").alias("e_days")).crossJoin(t_f).select(
-        (F.col("e_days") + F.col("t_f")).alias("err_budget"),
-        "t_f",
-    )  # two 1-row relations
-    merged = (
-        pre.crossJoin(F.broadcast(budget))
-        .filter(F.col("c") > F.col("t_f"))
-        .select(
-            "user_id", (F.col("c") - F.col("t_f")).alias("mg_count"),
-            "err_budget",
-        )
-    )
-    # Exact side from the SAME daily-counts subtree (not a fresh
-    # events groupBy): byte-identical child plans let ReuseExchange
-    # serve all consumers from one shuffle of the corpus.
+    # Exact side from the SAME checkpointed daily-counts relation (not
+    # a fresh events groupBy): one scan+shuffle of the corpus serves
+    # every consumer.
     exact = daily.groupBy("user_id").agg(
         F.sum("c").cast("long").alias("c_exact")
     )
-    joined = exact.join(merged, "user_id", "left").crossJoin(
-        F.broadcast(budget.select(F.col("err_budget").alias("_eb")))
-    )
-    missed = joined.agg(
-        (
-            F.sum(
-                F.when(
-                    F.col("mg_count").isNull()
-                    & (F.col("c_exact") > F.col("_eb")),
-                    1,
-                ).otherwise(0)
-            )
-            == 0
-        )
-        .cast("int")
-        .alias("completeness_ok")
-    )
-    return (
-        joined.filter(F.col("mg_count").isNotNull())
-        .crossJoin(F.broadcast(missed))
-        .select(
-            "user_id",
-            "c_exact",
-            "mg_count",
-            "err_budget",
-            (F.col("mg_count") <= F.col("c_exact")).cast("int").alias("lower_ok"),
-            (F.col("c_exact") - F.col("mg_count") <= F.col("err_budget"))
-            .cast("int")
-            .alias("bound_ok"),
-            "completeness_ok",
-        )
-    )
+    return merge_mg_summaries(summaries, t_d.select("t"), exact)
 
 
 def _mg_merge_oracle() -> str:

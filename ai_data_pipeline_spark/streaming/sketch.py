@@ -42,10 +42,17 @@ from ai_data_pipeline_spark.catalog import load_table
 from ai_data_pipeline_spark.registry import QueryDef
 from ai_data_pipeline_spark.session import session_scoped_cache
 from ai_data_pipeline_spark.sources.readers import scratch_dir
-from ai_data_pipeline_spark.operators.sketches import MG_K, _mg_threshold
+from ai_data_pipeline_spark.operators.sketches import (
+    MG_K,
+    _mg_threshold,
+    merge_mg_summaries,
+)
 
-_BUCKET_EXPR = "(dayofmonth(ts) - 1) div 10"  # decade-of-month: 0,1,2
-_BUCKET_SQL = "(EXTRACT(day FROM ts) - 1) // 10"
+# Decade-of-month buckets 0,1,2 with day 31 CLAMPED into bucket 2 —
+# without the clamp a 31st-day event maps to bucket 3, which the
+# 3-file writer below would silently drop while the oracle keeps it.
+_BUCKET_EXPR = "least((dayofmonth(ts) - 1) div 10, 2)"
+_BUCKET_SQL = "least((EXTRACT(day FROM ts) - 1) // 10, 2)"
 
 
 def _mg_summary_log(spark: SparkSession, sf_dir: str):
@@ -120,70 +127,18 @@ def _mg_summary_log(spark: SparkSession, sf_dir: str):
 
 
 def stream_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The merged heavy-hitter view over the streamed summary log, with
-    every guarantee checked against the exact corpus counts (columns
-    and flags exactly as sketch_mg_merge_days, whose docstring states
-    the theorems)."""
+    """The merged heavy-hitter view over the streamed summary log —
+    the merge rule and every guarantee flag come from the SHARED
+    merge_mg_summaries helper (operators/sketches.py), so the
+    streaming view and the batch proof sketch_mg_merge_days are the
+    same construction by definition, fed different summary logs."""
     summaries, budgets = _mg_summary_log(spark, sf_dir)
-    pre = summaries.groupBy("user_id").agg(F.sum("g").alias("c"))
-    t_f = _mg_threshold(
-        pre.withColumn("_g", F.lit(0)), ["_g"], "user_id"
-    ).select(F.col("t").alias("t_f"))
-    budget = (
-        budgets.agg(F.sum("t").alias("e_batches"))
-        .crossJoin(t_f)
-        .select(
-            (F.col("e_batches") + F.col("t_f")).alias("err_budget"), "t_f"
-        )
-    )  # two 1-row relations
-    merged = (
-        pre.crossJoin(F.broadcast(budget))
-        .filter(F.col("c") > F.col("t_f"))
-        .select(
-            "user_id",
-            (F.col("c") - F.col("t_f")).alias("mg_count"),
-            "err_budget",
-        )
-    )
     exact = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("c_exact"))
     )
-    joined = exact.join(merged, "user_id", "left").crossJoin(
-        F.broadcast(budget.select(F.col("err_budget").alias("_eb")))
-    )
-    missed = joined.agg(
-        (
-            F.sum(
-                F.when(
-                    F.col("mg_count").isNull()
-                    & (F.col("c_exact") > F.col("_eb")),
-                    1,
-                ).otherwise(0)
-            )
-            == 0
-        )
-        .cast("int")
-        .alias("completeness_ok")
-    )
-    return (
-        joined.filter(F.col("mg_count").isNotNull())
-        .crossJoin(F.broadcast(missed))
-        .select(
-            "user_id",
-            "c_exact",
-            "mg_count",
-            "err_budget",
-            (F.col("mg_count") <= F.col("c_exact"))
-            .cast("int")
-            .alias("lower_ok"),
-            (F.col("c_exact") - F.col("mg_count") <= F.col("err_budget"))
-            .cast("int")
-            .alias("bound_ok"),
-            "completeness_ok",
-        )
-    )
+    return merge_mg_summaries(summaries, budgets, exact)
 
 
 STREAM_MG_ORACLE = f"""
