@@ -14,12 +14,16 @@ ESTIMATES exactly checkable, not just plausible.
 
 Error bars are Horvitz–Thompson: with inclusion probability p = 1/d,
 the total estimate is (sample sum)/p and its variance estimate is
-Σ_sample x²·(1−p)/p² — all from exact integer aggregates, with the
-single sqrt applied to an exact integer product, so the emitted CI is
-IEEE-identical in both engines. Flags assert |est − exact| ≤ z·se with
-z = 3; the sample is a deterministic function of the dataset, so the
-flag is a fixed property of each fixture (verified at all three SFs),
-not a per-run coin flip — the q_daily_users_hll precedent.
+Σ_sample x²·(1−p)/p². The inputs (ssq, d) are exact integers; the
+product ssq·d·(d−1) can exceed 2^53 already near sf0.1–sf1, so the CI
+is NOT claimed exact — it is the SAME double product with identical
+literal association in both engines, followed by one sqrt, which is
+what makes it hash-identical cross-engine. Flags assert
+|est − exact| ≤ z·se with z = 5 (the house 5σ convention for
+oracle-bearing tolerance flags); the sample is a deterministic
+function of the dataset, so the flag is a fixed property of each
+fixture (verified at all three SFs), not a per-run coin flip — the
+q_daily_users_hll precedent.
 
 The allocation query is the planning side of the same story: Neyman
 allocation n_h ∝ N_h·s_h tells a 100 TB pipeline how to split a fixed
@@ -38,7 +42,7 @@ from ai_data_pipeline_spark.registry import QueryDef
 
 AQP_HEX = 12  # 48-bit hash: uniform mod small denominators, int64-safe
 AQP_DENOM = 64  # headline sampling rate 1/64
-AQP_Z = 3  # CI half-width in standard errors
+AQP_Z = 5  # CI half-width in standard errors (house 5σ flag convention)
 AQP_BUDGET = 10_000  # rows of sampling budget the allocation splits
 
 
@@ -90,7 +94,7 @@ def _ci_cents_sql(ssq: str, denom: int) -> str:
 def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline AQP row: total discounted revenue from a 1/64
     deterministic hash sample of lineitem, next to the exact total,
-    with the Horvitz–Thompson 3σ CI and its coverage flag. One scan
+    with the Horvitz–Thompson 5σ CI and its coverage flag. One scan
     computes both sides here so the CHECK is airtight; the production
     form computes only the sample side and reads 1/64 of the bytes."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -102,12 +106,19 @@ def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("member", (F.col("h") % AQP_DENOM == 0).cast("long"))
         .withColumn("dollars", F.expr("cents div 100"))
     )
+    # The sample-side sums are coalesced to 0 so a zero-row input agrees
+    # with the oracle's `coalesce(sum(...) FILTER ..., 0)` (Spark's sum
+    # over no rows is NULL; the oracle's filtered-count is 0).
     agg = base.agg(
         F.count(F.lit(1)).alias("n_total"),
-        F.sum("member").alias("n_sample"),
+        F.coalesce(F.sum("member"), F.lit(0)).alias("n_sample"),
         F.sum("cents").alias("exact_cents"),
-        F.sum(F.col("member") * F.col("cents")).alias("s_cents"),
-        F.sum(F.col("member") * F.col("dollars") * F.col("dollars")).alias("ssq"),
+        F.coalesce(F.sum(F.col("member") * F.col("cents")), F.lit(0)).alias(
+            "s_cents"
+        ),
+        F.coalesce(
+            F.sum(F.col("member") * F.col("dollars") * F.col("dollars")), F.lit(0)
+        ).alias("ssq"),
     )
     est = F.col("s_cents") * AQP_DENOM
     ci = _ci_cents(F.col("ssq"), AQP_DENOM)
@@ -161,18 +172,22 @@ def aqp_sample_staircase(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 64 are multiples of 16, so each sample contains the next — the
     property that lets a 100 TB pipeline keep ONE stored sample column
     and dial the rate per query). One row per rate with the HT
-    estimate, realized error, and checked 3σ coverage."""
+    estimate, realized error, and checked 5σ coverage."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         _row_hash_expr().alias("h"), _rev_cents_expr().alias("cents")
     ).withColumn("dollars", F.expr("cents div 100"))
+    # Sample-side sums coalesce to 0 (empty-input agreement with the
+    # oracle's `coalesce(... FILTER ..., 0)` — see aqp_sample_estimate).
     aggs = [F.sum("cents").alias("exact_cents")]
     for d in AQP_DENOMS:
         m = (F.col("h") % d == 0).cast("long")
         aggs += [
-            F.sum(m).alias(f"n_{d}"),
-            F.sum(m * F.col("cents")).alias(f"s_{d}"),
-            F.sum(m * F.col("dollars") * F.col("dollars")).alias(f"q_{d}"),
+            F.coalesce(F.sum(m), F.lit(0)).alias(f"n_{d}"),
+            F.coalesce(F.sum(m * F.col("cents")), F.lit(0)).alias(f"s_{d}"),
+            F.coalesce(
+                F.sum(m * F.col("dollars") * F.col("dollars")), F.lit(0)
+            ).alias(f"q_{d}"),
         ]
     wide = base.agg(*aggs)
     stack_args = ", ".join(
@@ -247,8 +262,10 @@ FROM tall
 
 
 def aqp_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Neyman allocation of a fixed sampling budget across the six
-    (l_returnflag, l_linestatus) strata: n_h ∝ N_h·s_h — strata that
+    """Neyman allocation of a fixed sampling budget across the
+    (l_returnflag, l_linestatus) strata of lineitem (classic TPC-H has
+    four — A/F, N/F, N/O, R/F — the synthetic fixture yields six):
+    n_h ∝ N_h·s_h — strata that
     are big AND volatile get the rows. Per-stratum moments come from
     one exact integer groupBy (the 100 TB plan: moments from the
     stats-collection pass or a prior sample, never a second full
@@ -281,8 +298,12 @@ def aqp_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output on Spark's unfixed partial-sum fold order (a last-ulp
     # difference vs the oracle flips a floor at a ratio boundary) —
     # the same float-fold class the decayed-weight query documents.
+    # greatest(s2, 0): a (near-)zero-variance stratum with sums past
+    # 2^53 can round s2 slightly negative — Spark sqrt(neg) is NULL but
+    # DuckDB sqrt(neg) RAISES, so both engines clamp before the root.
     w = per.withColumn(
-        "sd_cents", F.floor(F.sqrt(s2) * F.lit(100.0)).cast("long")
+        "sd_cents",
+        F.floor(F.sqrt(F.greatest(s2, F.lit(0.0))) * F.lit(100.0)).cast("long"),
     ).withColumn("w_int", F.col("n_rows") * F.col("sd_cents"))
     total = w.agg(F.sum("w_int").alias("w_total"))
     return (
@@ -327,7 +348,7 @@ WITH base AS (
          CAST(sum(dollars * dollars) AS BIGINT) AS ssq_d
   FROM base GROUP BY 1, 2
 ), w AS (
-  SELECT *, CAST(floor(sqrt({s2}) * 100.0) AS BIGINT) AS sd_cents
+  SELECT *, CAST(floor(sqrt(greatest({s2}, 0.0)) * 100.0) AS BIGINT) AS sd_cents
   FROM per
 ), wi AS (
   SELECT *, n_rows * sd_cents AS w_int FROM w
@@ -472,8 +493,8 @@ def aqp_universe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cents"), F.lit(0)).alias("exact_cents"),
     )
     return (
-        sampled_join.crossJoin(keyed_sample)
-        .crossJoin(exact)  # three 1-row relations
+        sampled_join.crossJoin(F.broadcast(keyed_sample))
+        .crossJoin(F.broadcast(exact))  # three 1-row relations, broadcast
         .select(
             "n_a",
             (F.col("s_a") * AQP_DENOM).alias("est_cents"),
@@ -533,7 +554,11 @@ def aqp_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     jackknife SE comes from their spread — a model-free check that
     needs no variance formula. The audit flag asserts the two SEs
     agree within 3× either way; a broken variance formula (or a
-    non-uniform hash) trips it.
+    non-uniform hash) trips it. (The 3× here is a RATIO-consistency
+    band between two SE estimators — deliberately not the 5σ additive
+    tolerance convention, which applies to |est−exact| flags; with
+    g=8 groups the jackknife SE itself has ~25% relative noise, and a
+    3× band is ~4 of those, verified stable at all three SFs.)
 
     Determinism: group sums are exact integer cents; the spread uses
     the identity Σ(x−x̄)² = (g·Σx² − (Σx)²)/g with x in $100k units
