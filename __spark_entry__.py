@@ -37,6 +37,7 @@ from ai_data_pipeline_spark.operators import (
     tpch_extra,
     tpch_extra2,
     udf_surface,
+    unigram,
     vault,
 )
 from ai_data_pipeline_spark.sources import advanced as sources_advanced
@@ -44,6 +45,7 @@ from ai_data_pipeline_spark.sources import readers
 from ai_data_pipeline_spark.streaming import advanced as streaming_advanced
 from ai_data_pipeline_spark.streaming import ivf as streaming_ivf
 from ai_data_pipeline_spark.streaming import sketch as streaming_sketch
+from ai_data_pipeline_spark.streaming import watermark as streaming_watermark
 from ai_data_pipeline_spark.streaming import windows as streaming_windows
 from ai_data_pipeline_spark.profiling.profiler import profile_summary, profile_table
 from ai_data_pipeline_spark.profiling.oracle import (
@@ -62,6 +64,7 @@ QUERY_DEF_MODULES = [
     streaming_advanced,
     streaming_ivf,
     streaming_sketch,
+    streaming_watermark,
     vault,
     readers,
     sources_advanced,
@@ -86,6 +89,7 @@ QUERY_DEF_MODULES = [
     linkage,
     retrieval,
     aqp,
+    unigram,
 ]
 
 PROFILED_TABLES = [
@@ -231,15 +235,21 @@ def _profile_catalog_oracle() -> str:
 # burned half the round-4 budget on re-proof).
 
 
-def _driver_evidence(base_dir: str | None = None) -> tuple[dict[str, int], set[str]]:
+def _driver_evidence(
+    base_dir: str | None = None,
+) -> tuple[dict[str, int], dict[str, int]]:
     """(green, seen): green maps query name -> LAST round it was
     driver-green in — the round number orders the proven tier
     oldest-evidence-first (VERDICT r7 task #2), so spare driver slots
     refresh the longest-unchecked greens instead of re-proving last
-    round's a second time. seen is every name that has EVER received a
-    driver row (green or not) — rows-only queries missing from it have
-    zero driver evidence and rank ahead of the proven tier for their
-    first row (VERDICT r9 task #3)."""
+    round's a second time. seen maps every name that has EVER received
+    a driver row (green or not) to the LAST round it got one:
+    rows-only queries absent from it have zero driver evidence and
+    rank ahead of the proven tier for their first row (VERDICT r9
+    task #3); rows-only queries present in it rank INSIDE the proven
+    tier by that last-seen round, so their execution evidence
+    refreshes periodically instead of staling forever at the tail
+    (VERDICT r11 task #7)."""
     import glob
     import json
     import os
@@ -247,7 +257,7 @@ def _driver_evidence(base_dir: str | None = None) -> tuple[dict[str, int], set[s
 
     here = base_dir or os.path.dirname(os.path.abspath(__file__))
     green: dict[str, int] = {}
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     # r* (not r0*): round 10+ records are CORRECTNESS_r10.json etc. —
     # the old r0* glob would silently drop all post-r9 evidence and
     # freeze the rotation (round-10 review finding)
@@ -259,7 +269,7 @@ def _driver_evidence(base_dir: str | None = None) -> tuple[dict[str, int], set[s
         except (OSError, ValueError):
             continue
         for name, r in record.items():
-            seen.add(name)
+            seen[name] = max(seen.get(name, 0), rnd)
             if (
                 r.get("hash_match")
                 and r.get("rows_match")
@@ -295,13 +305,26 @@ def _driver_evidence(base_dir: str | None = None) -> tuple[dict[str, int], set[s
 # (d) multimodal_image_phash — tile pass extracted into
 # _phash_relation so the cross-modal agreement audit can phash an
 # augmented corpus; identical plan, shared helper.
+# [r11 cohort all re-proved green in CORRECTNESS_r11.json — cleared.]
+# r12 rewrites: the whole AQP family — the five ADVICE r11 findings
+# (z raised 3σ→5σ to match the house flag convention, which changes
+# every emitted ci_cents/within_ci/se_ht value; sqrt clamped with
+# greatest(...,0) in both engines; empty-input coalesce on the
+# sample-side sums; universe-join 1-row relations broadcast; docstring
+# CI-exactness claim corrected). All six re-verified green vs oracle
+# at sf0.001/0.01/0.1 via tools/drive_subset.py on the new code.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    "q_daily_users_hll",
-    "q_cheapest_supplier",
-    "dedup_clusters",
-    "dedup_clusters_logstar",
-    "dedup_embedding_cosine",
-    "multimodal_image_phash",
+    "aqp_sample_estimate",
+    "aqp_sample_staircase",
+    "aqp_stratified_allocation",
+    "aqp_group_estimate",
+    "aqp_universe_join",
+    "aqp_jackknife",
+    # r12: ann_ivf's serving plan extracted into the shared _ivf_search
+    # helper so the MLlib-trained variant reuses it byte-for-byte —
+    # identical plan shape, re-proven per convention (the
+    # multimodal_image_phash (d) precedent).
+    "ann_ivf",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver
@@ -328,42 +351,23 @@ _REFIXED_FIRST: list[str] = []
 # CURRENT never-green names belong here, flagship-first; names that
 # have gone green just rank in the proven tier (the rank() lookup
 # ignores stale entries).
-_UNPROVEN_PRIORITY = [
-    # round-11: the last two rows-only queries made oracle-bearing via
-    # audit twins (BRP recall/subset flags; HLL-profile 5-sigma +
-    # decision-stability flags) — VERDICT r10 tasks #1/#2
-    "ann_mllib_brp_recall", "profile_lineitem_approx_audit",
-    # round-11 frontier family: incremental ANN index maintenance
-    # (streaming upsert of IVF cell assignments + churn audit)
-    "stream_ivf_index_upsert", "stream_ivf_cell_migration",
-    # round-11 cross-modal audit: text-fingerprint vs image-phash
-    # dedup agreement over a planted-twin corpus (pair-free masses)
-    "crossmodal_dedup_agreement",
-    # round-11: the fourth real stdlib codec (GIF87a variable-width
-    # LZW) driven through the encode→decode→identity→features pipeline
-    "multimodal_gif_roundtrip",
-    # round-11: KMV bottom-K sketch — the set-operation tier HLL lacks
-    # (distinct + Jaccard estimates, exactly oracle-checked)
-    "sketch_kmv_users", "sketch_kmv_jaccard", "sketch_kmv_merge_days",
-    # round-11: Misra-Gries / SpaceSaving heavy hitters — the frequency
-    # sketch q_heavy_hitter_users' docstring promises for 100 TB, in
-    # deterministic canonical-offset form (both MG theorems + the
-    # merge-across-days budget addition as oracle-checked predicates)
-    "sketch_mg_topk", "sketch_mg_merge_days",
-    # round-11 frontier family: approximate query processing over a
-    # deterministic hash sample (HT estimates + checked 3-sigma CIs,
-    # nested-rate staircase, Neyman budget allocation)
-    "aqp_sample_estimate", "aqp_sample_staircase",
-    "aqp_stratified_allocation", "aqp_group_estimate",
-    "aqp_universe_join",
-    # round-11: streaming Misra-Gries maintenance (per-batch K-row
-    # summaries + budget log, merged with checked guarantees)
-    "stream_mg_heavy_hitters",
-    # round-11: recency-weighted heavy hitters (exact power-of-two
-    # step decay, oracle-exact integer scores)
-    "q_decayed_heavy_hitters",
-    # round-11: model-governance fairness audit + jackknife SE audit
-    "cls_fairness_audit", "aqp_jackknife",
+_UNPROVEN_PRIORITY: list[str] = [
+    # [the full r11 cohort went green in CORRECTNESS_r11.json and now
+    # ranks in the proven tier — cleared.]
+    # round-12: MLlib-KMeans-trained IVF recall audit (VERDICT r11
+    # task #4 — the trained index's guarantees as integer predicates
+    # against the exact top-k relation; the trained path itself is
+    # rows-only and ranks in tier (2,2) automatically)
+    "ann_ivf_trained_recall",
+    # round-12: watermark late-data proof (VERDICT r11 task #5 —
+    # planted late rows, oracle recomputes the aggregation without
+    # exactly the dropped rows)
+    "stream_watermark_late_drop",
+    # round-12 frontier family: unigram-LM (SentencePiece-style)
+    # tokenizer — seed vocab + hard-EM train, post-EM apply,
+    # roundtrip-identity audit (VERDICT r11 task #6)
+    "corpus_unigram_train", "corpus_unigram_apply",
+    "corpus_unigram_roundtrip",
 ]
 
 
@@ -389,10 +393,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in refixed_rank:
             return (0, refixed_rank[name])
         if name not in oracled:
-            # rows-only: a query with NO driver row ever ranks ahead of
-            # the proven tier so it gets its first (weaker, rows-only)
-            # evidence; once any row exists, weakest evidence last
-            return (2, 2) if name not in seen else (4, 0)
+            if name not in seen:
+                # rows-only with NO driver row ever: ahead of the proven
+                # tier so it gets its first (weaker, rows-only) evidence
+                return (2, 2)
+            # rows-only with prior evidence: rides the proven tier's
+            # oldest-first rotation by its LAST-SEEN round, so its
+            # execution evidence refreshes periodically instead of
+            # staling forever at the tail (VERDICT r11 task #7)
+            return (3, seen[name])
         if name in _NEW_DEFERRED:  # late additions: behind re-proofs
             return (2, 1)
         if name in green:

@@ -1,0 +1,536 @@
+"""Unigram-LM (SentencePiece-style) tokenizer: train / apply /
+roundtrip (VERDICT r11 task #6) — the OTHER standard LLM tokenizer
+next to merge-based BPE (``corpus_bpe_pair_stats`` /
+``corpus_bpe_apply``, corpus.py).
+
+Construction (Kudo 2018, "Subword Regularization", arXiv:1804.10959 —
+public method; the reference repo has no tokenizer, this is north-star
+extension surface):
+
+1. SEED vocabulary — substring counts over the DISTINCT-WORD table
+   (the corpus-compression trick BPE training uses): every substring
+   of length 1..UNI_MAX_PIECE of every word, weighted by word
+   frequency; keep the top UNI_TOP_MULTI multi-char pieces by
+   (count DESC, piece ASC) plus ALL single characters
+   (SentencePiece's required-character coverage guarantee — every
+   word is always segmentable).
+2. One HARD-EM (Viterbi-EM) iteration — E-step: segment each distinct
+   word with the seed scores by Viterbi; M-step: re-count piece usage
+   weighted by word frequency. (SentencePiece runs soft-EM to
+   convergence plus pruning; one hard-EM round is the
+   oracle-checkable unit that exercises the full train loop —
+   segment, recount, renormalize — the ``corpus_bpe_pair_stats``
+   "one training step" scoping precedent.)
+3. APPLY vocabulary — pieces with em_count > 0, plus single chars
+   floored at count 1 (Laplace-style floor keeping coverage total);
+   tokenize the corpus per language with the post-EM scores.
+
+DETERMINISM (the emb_kmeans_fixed_point discipline, extended to the
+Viterbi DP): all counts are exact integers; piece probabilities are
+one correctly-rounded double division c/C (identical in Python,
+Spark, DuckDB for c, C < 2^53); the DP recurrence multiplies doubles
+in the SAME association order in both engines (best[i-l] * p, i
+ascending), and uses ONLY +,*,/ — no transcendentals — so every DP
+value is bit-identical cross-engine and the comparisons (p DESC,
+piece-count ASC, piece-length DESC on ties) resolve identically.
+Path reconstruction walks backward longest-piece-first re-checking
+the same (product, count) equalities, which re-picks exactly the
+forward choice. Output columns are integers (plus one round(x, 6)
+ratio of identically-computed doubles).
+
+Both engines cap words at UNI_MAX_WORD chars (the BPE oracle's
+range(1,64) bound made explicit and two-sided, so parity holds on any
+input).
+
+Scale: training runs on the distinct-word relation (orders of
+magnitude smaller than the corpus — the same compression real
+trainers use); the vocabulary is a bounded MODEL artifact
+(UNI_TOP_MULTI + |alphabet| rows) collected once per session and
+broadcast into the Arrow-batched segmentation kernel (collecting the
+model, not data — the _trained_centroids precedent); per-word Viterbi
+is O(len * UNI_MAX_PIECE) inside a pandas UDF; the EM recount and all
+per-language stats are keyed integer aggregates with map-side
+combines. Nothing corpus-scaled is sorted, windowed, or collected.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.registry import QueryDef
+from ai_data_pipeline_spark.session import session_scoped_cache
+
+UNI_MAX_PIECE = 3  # max piece length (chars)
+UNI_TOP_MULTI = 40  # multi-char pieces kept in the seed vocabulary
+UNI_MAX_WORD = 63  # word-length cap, both engines (BPE range(1,64) bound)
+
+
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-word frequency table the whole family trains on."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+
+# Substrings of length 1..UNI_MAX_PIECE as a generated column (guarded:
+# sequence(1, 0) would descend, so short words emit an empty array).
+_PIECES_EXPR = f"""
+explode(flatten(transform(sequence(1, {UNI_MAX_PIECE}), l ->
+  CASE WHEN length(w) >= l
+       THEN transform(sequence(1, length(w) - l + 1), i -> substring(w, i, l))
+       ELSE array() END)))
+"""
+
+
+def _seed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed piece counts: (piece, c) for every kept vocabulary entry —
+    all single chars, plus the top UNI_TOP_MULTI multi-char pieces.
+    The piece domain is bounded by |alphabet|^UNI_MAX_PIECE, so the
+    global rank is a tiny single-partition sort of the piece
+    vocabulary, not the data (the corpus_bpe_pair_stats argument)."""
+    pieces = (
+        _word_freq(spark, sf_dir)
+        .select(F.expr(_PIECES_EXPR).alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("c"))
+    )
+    singles = pieces.filter(F.length("piece") == 1)
+    from pyspark.sql import Window as W
+
+    multi = (
+        pieces.filter(F.length("piece") >= 2)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.desc("c"), F.asc("piece"))
+            ),
+        )
+        .filter(F.col("rnk") <= UNI_TOP_MULTI)
+        .drop("rnk")
+    )
+    return singles.unionByName(multi)
+
+
+def viterbi_segment(w: str, prob: dict[str, float]) -> list[str]:
+    """Viterbi segmentation of one word under unigram piece
+    probabilities. Plain-Python IEEE doubles; op order pinned to the
+    oracle's recursive CTE (see module docstring): forward candidates
+    evaluated l = 1..UNI_MAX_PIECE ascending with replace-on
+    (p >, or p = and pieces <=) so equal-(p, k) ties go to the LONGER
+    piece; backward reconstruction longest-first re-picks exactly the
+    forward choice via the same (product, count) equalities."""
+    L = len(w)
+    best = [0.0] * (L + 1)
+    ks = [0] * (L + 1)
+    best[0] = 1.0
+    for i in range(1, L + 1):
+        bp, bk = -1.0, 0
+        for l in (1, 2, 3):  # ascending: equal (p, k) -> longer l wins
+            if l > i:
+                break
+            pc = prob.get(w[i - l : i])
+            if pc is None:
+                continue
+            cp = best[i - l] * pc
+            ck = ks[i - l] + 1
+            if cp > bp or (cp == bp and ck <= bk) or bp < 0.0:
+                bp, bk = cp, ck
+        best[i], ks[i] = bp, bk
+    pieces: list[str] = []
+    i = L
+    while i > 0:
+        for l in (3, 2, 1):  # longest-first re-picks the forward choice
+            if l <= i:
+                pc = prob.get(w[i - l : i])
+                if (
+                    pc is not None
+                    and best[i - l] * pc == best[i]
+                    and ks[i - l] + 1 == ks[i]
+                ):
+                    pieces.append(w[i - l : i])
+                    i -= l
+                    break
+        else:  # pragma: no cover — singles guarantee a path
+            break
+    pieces.reverse()
+    return pieces
+
+
+def _segment_udf(prob: dict[str, float]):
+    """Arrow-batched wrapper around ``viterbi_segment`` over a broadcast
+    piece->probability dict."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def seg(ws: pd.Series) -> pd.Series:
+        return pd.Series([viterbi_segment(w, prob) for w in ws])
+
+    return seg
+
+
+def _unigram_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, int], int, dict[str, int], int]:
+    """(seed_counts, seed_total, apply_counts, apply_total), memoized
+    per (session, sf_dir) — the bounded MODEL artifact (vocab dicts of
+    at most UNI_TOP_MULTI + |alphabet| entries), collected once; the
+    immutable-sf_dir contract is documented on session_scoped_cache."""
+    cache = session_scoped_cache(spark, "unigram_model")
+    if sf_dir in cache:
+        return cache[sf_dir]
+    seed_rows = _seed_counts(spark, sf_dir).collect()
+    seed = {r["piece"]: r["c"] for r in seed_rows}
+    seed_total = sum(seed.values())
+    prob = {p: c / seed_total for p, c in seed.items()} if seed_total else {}
+    em_rows = (
+        _word_freq(spark, sf_dir)
+        .select(F.explode(_segment_udf(prob)("w")).alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("em"))
+        .collect()
+    )
+    em = {r["piece"]: r["em"] for r in em_rows}
+    # apply vocabulary: EM survivors + single-char coverage floor
+    apply_counts = {
+        p: em.get(p, 0) if em.get(p, 0) > 0 else 1
+        for p in seed
+        if em.get(p, 0) > 0 or len(p) == 1
+    }
+    apply_total = sum(apply_counts.values())
+    cache[sf_dir] = (seed, seed_total, apply_counts, apply_total)
+    return cache[sf_dir]
+
+
+def corpus_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unigram-LM training round: the seed vocabulary next to its
+    hard-EM re-estimated counts, ranked by post-EM usage. A piece with
+    em_count = 0 is what SentencePiece's pruning step would drop — the
+    rank IS the prune order."""
+    seed, seed_total, _, _ = _unigram_model(spark, sf_dir)
+    prob = {p: c / seed_total for p, c in seed.items()} if seed_total else {}
+    vocab = _seed_counts(spark, sf_dir)
+    em = (
+        _word_freq(spark, sf_dir)
+        .select(F.explode(_segment_udf(prob)("w")).alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("em_count"))
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        vocab.join(em, "piece", "left")
+        .select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            F.col("c").alias("seed_count"),
+            F.coalesce("em_count", F.lit(0)).alias("em_count"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.desc("em_count"), F.asc("piece"))
+            ),
+        )
+    )
+
+
+def corpus_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the post-EM vocabulary: per language,
+    word/char/piece accounting and the achieved pieces-per-char — the
+    corpus_bpe_apply output shape, under the unigram objective."""
+    _, _, apply_counts, apply_total = _unigram_model(spark, sf_dir)
+    prob = (
+        {p: c / apply_total for p, c in apply_counts.items()}
+        if apply_total
+        else {}
+    )
+    d = load_table(spark, sf_dir, "documents")
+    lw = (
+        d.select("lang", F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    segged = lw.withColumn("k", F.size(_segment_udf(prob)("w")))
+    return segged.groupBy("lang").agg(
+        F.sum("f").alias("n_words"),
+        F.sum(F.col("f") * F.length("w")).alias("n_chars"),
+        F.sum(F.col("f") * F.col("k")).alias("n_pieces"),
+        F.round(
+            F.sum(F.col("f") * F.col("k")).cast("double")
+            / F.sum(F.col("f") * F.length("w")),
+            6,
+        ).alias("pieces_per_char"),
+    )
+
+
+def corpus_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-soundness audit (1 row): every segmented word must
+    reconstruct exactly (concat of pieces == word), every emitted piece
+    must be a vocabulary member, and the distinct-piece usage count is
+    emitted so the oracle's independent segmentation must agree piece
+    for piece — a wrong DP tie-break shows up here as a value
+    mismatch, not just a flag."""
+    _, _, apply_counts, apply_total = _unigram_model(spark, sf_dir)
+    prob = (
+        {p: c / apply_total for p, c in apply_counts.items()}
+        if apply_total
+        else {}
+    )
+    wf = _word_freq(spark, sf_dir)
+    segged = wf.withColumn("pieces", _segment_udf(prob)("w")).localCheckpoint()
+    # empty-vocab sentinel: array() of zero columns has element type
+    # VOID, which array_except rejects against array<string>; "" can
+    # never be a piece, so the sentinel changes nothing semantically
+    vocab_lits = [F.lit(p) for p in sorted(apply_counts)] or [F.lit("")]
+    vocab_arr = F.array(*vocab_lits)
+    bad = (F.concat_ws("", F.col("pieces")) != F.col("w")).cast("long")
+    oov = F.size(F.array_except(F.array_distinct("pieces"), vocab_arr)).cast(
+        "long"
+    )
+    used = segged.select(F.explode("pieces").alias("piece")).agg(
+        F.count_distinct("piece").cast("long").alias("n_pieces_used")
+    )
+    stats = segged.agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.coalesce(F.sum(bad), F.lit(0)).alias("n_bad_roundtrip"),
+        F.coalesce((F.sum(bad) == 0).cast("int"), F.lit(1)).alias(
+            "roundtrip_ok"
+        ),
+        F.coalesce((F.sum(oov) == 0).cast("int"), F.lit(1)).alias(
+            "all_pieces_in_vocab"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(used))
+
+
+# ---------------------------------------------------------------- oracle
+
+_WF_SQL = rf"""
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+  ) WHERE len(w) >= 1 AND len(w) <= {UNI_MAX_WORD} GROUP BY w
+"""
+
+_PIECES_SQL = f"""
+  SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
+    SELECT w[i:i+l-1] AS piece, f
+    FROM wf CROSS JOIN range(1, {UNI_MAX_PIECE + 1}) tl(l)
+            CROSS JOIN range(1, {UNI_MAX_WORD + 1}) ti(i)
+    WHERE i <= len(w) - l + 1
+  ) GROUP BY piece
+"""
+
+_VOCAB_SQL = f"""
+  SELECT piece, c FROM pieces WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rnk
+    FROM pieces WHERE len(piece) >= 2
+  ) WHERE rnk <= {UNI_TOP_MULTI}
+"""
+
+
+def _viterbi_sql(vp: str, words: str, rec: str, walk: str) -> str:
+    """The recursive Viterbi DP + backward path walk over the word
+    relation ``words`` with the probability relation ``vp(piece, p)``,
+    emitting ``walk`` rows (w, f, i=0, pieces). Mirrors _segment_udf op
+    for op: candidates evaluated l = 1,2,3 with replace-on
+    (p >, or p = and k <=); reconstruction longest-first on the same
+    (product, count) equalities. List indexing: bests[m] holds DP
+    position m-1."""
+    conds = []
+    for l in (2, 3):
+        conds.append(
+            f"v{l}.p IS NOT NULL AND (r.bests[r.j + 2 - {l}] * v{l}.p > {{prev_p}}"
+            f" OR (r.bests[r.j + 2 - {l}] * v{l}.p = {{prev_p}}"
+            f" AND r.ks[r.j + 2 - {l}] + 1 <= {{prev_k}}))"
+        )
+    p1 = "r.bests[r.j + 1] * v1.p"
+    k1 = "r.ks[r.j + 1] + 1"
+    p2 = "r.bests[r.j] * v2.p"
+    k2 = "r.ks[r.j] + 1"
+    p3 = "r.bests[r.j - 1] * v3.p"
+    k3 = "r.ks[r.j - 1] + 1"
+    c2 = conds[0].format(prev_p=p1, prev_k=k1)
+    p12 = f"CASE WHEN {c2} THEN {p2} ELSE {p1} END"
+    k12 = f"CASE WHEN {c2} THEN {k2} ELSE {k1} END"
+    c3 = conds[1].format(prev_p=p12, prev_k=k12)
+    chosen_p = f"CASE WHEN {c3} THEN {p3} ELSE {p12} END"
+    chosen_k = f"CASE WHEN {c3} THEN {k3} ELSE {k12} END"
+
+    def back(l: int) -> str:
+        return (
+            f"k.i >= {l} AND b{l}.p IS NOT NULL"
+            f" AND k.bests[k.i + 1 - {l}] * b{l}.p = k.bests[k.i + 1]"
+            f" AND k.ks[k.i + 1 - {l}] + 1 = k.ks[k.i + 1]"
+        )
+
+    return f"""
+{rec} AS (
+  SELECT w, f, 0 AS j,
+         [1.0]::DOUBLE[] AS bests, [0]::BIGINT[] AS ks
+  FROM {words}
+  UNION ALL
+  SELECT r.w, r.f, r.j + 1,
+         r.bests || [{chosen_p}],
+         r.ks || [{chosen_k}]
+  FROM {rec} r
+  LEFT JOIN {vp} v1 ON v1.piece = r.w[r.j + 1 : r.j + 1]
+  LEFT JOIN {vp} v2 ON r.j + 1 >= 2 AND v2.piece = r.w[r.j : r.j + 1]
+  LEFT JOIN {vp} v3 ON r.j + 1 >= 3 AND v3.piece = r.w[r.j - 1 : r.j + 1]
+  WHERE r.j < len(r.w)
+), {walk} AS (
+  SELECT w, f, len(w) AS i, bests, ks, []::VARCHAR[] AS pieces
+  FROM {rec} WHERE j = len(w)
+  UNION ALL
+  SELECT k.w, k.f,
+         k.i - (CASE WHEN {back(3)} THEN 3
+                     WHEN {back(2)} THEN 2 ELSE 1 END),
+         k.bests, k.ks,
+         list_prepend(
+           k.w[k.i + 1 - (CASE WHEN {back(3)} THEN 3
+                               WHEN {back(2)} THEN 2 ELSE 1 END) : k.i],
+           k.pieces)
+  FROM {walk} k
+  LEFT JOIN {vp} b1 ON k.i >= 1 AND b1.piece = k.w[k.i : k.i]
+  LEFT JOIN {vp} b2 ON k.i >= 2 AND b2.piece = k.w[k.i - 1 : k.i]
+  LEFT JOIN {vp} b3 ON k.i >= 3 AND b3.piece = k.w[k.i - 2 : k.i]
+  WHERE k.i > 0
+)"""
+
+
+def _train_oracle() -> str:
+    return f"""
+WITH RECURSIVE wf AS ({_WF_SQL}),
+pieces AS ({_PIECES_SQL}),
+vocab AS ({_VOCAB_SQL}),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM vocab),
+vp AS (
+  SELECT piece, CAST(c AS DOUBLE) / (SELECT CAST(s AS DOUBLE) FROM tot) AS p
+  FROM vocab
+),
+{_viterbi_sql("vp", "wf", "rec", "walk")},
+em AS (
+  SELECT piece, CAST(sum(f) AS BIGINT) AS em_count FROM (
+    SELECT unnest(pieces) AS piece, f FROM walk WHERE i = 0
+  ) GROUP BY piece
+)
+SELECT v.piece, CAST(len(v.piece) AS INT) AS piece_len,
+       v.c AS seed_count,
+       CAST(coalesce(em.em_count, 0) AS BIGINT) AS em_count,
+       CAST(row_number() OVER (ORDER BY coalesce(em.em_count, 0) DESC,
+                               v.piece) AS INT) AS rnk
+FROM vocab v LEFT JOIN em ON v.piece = em.piece
+"""
+
+
+_APPLY_VOCAB_SQL = """
+  SELECT v.piece,
+         CASE WHEN coalesce(em.em_count, 0) > 0 THEN em.em_count
+              ELSE 1 END AS c
+  FROM vocab v LEFT JOIN em ON v.piece = em.piece
+  WHERE coalesce(em.em_count, 0) > 0 OR len(v.piece) = 1
+"""
+
+
+def _apply_prelude() -> str:
+    """Everything through the post-EM apply-probability relation vp2."""
+    return f"""
+WITH RECURSIVE wf AS ({_WF_SQL}),
+pieces AS ({_PIECES_SQL}),
+vocab AS ({_VOCAB_SQL}),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM vocab),
+vp AS (
+  SELECT piece, CAST(c AS DOUBLE) / (SELECT CAST(s AS DOUBLE) FROM tot) AS p
+  FROM vocab
+),
+{_viterbi_sql("vp", "wf", "rec", "walk")},
+em AS (
+  SELECT piece, CAST(sum(f) AS BIGINT) AS em_count FROM (
+    SELECT unnest(pieces) AS piece, f FROM walk WHERE i = 0
+  ) GROUP BY piece
+),
+vocab2 AS ({_APPLY_VOCAB_SQL}),
+tot2 AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM vocab2),
+vp2 AS (
+  SELECT piece, CAST(c AS DOUBLE) / (SELECT CAST(s AS DOUBLE) FROM tot2) AS p
+  FROM vocab2
+)"""
+
+
+def _apply_oracle() -> str:
+    return rf"""
+{_apply_prelude()},
+{_viterbi_sql("vp2", "wf", "rec2", "walk2").lstrip()},
+lw AS (
+  SELECT lang, w, count(*) AS f FROM (
+    SELECT lang, unnest(string_split_regex(text, '\s+')) AS w FROM documents
+  ) WHERE len(w) >= 1 AND len(w) <= {UNI_MAX_WORD} GROUP BY lang, w
+),
+wdk AS (
+  SELECT w, len(pieces) AS k FROM walk2 WHERE i = 0
+)
+SELECT lang,
+       CAST(sum(f) AS BIGINT) AS n_words,
+       CAST(sum(f * len(w)) AS BIGINT) AS n_chars,
+       CAST(sum(f * k) AS BIGINT) AS n_pieces,
+       round(CAST(sum(f * k) AS DOUBLE) / sum(f * len(w)), 6)
+         AS pieces_per_char
+FROM lw JOIN wdk USING (w)
+GROUP BY lang
+"""
+
+
+def _roundtrip_oracle() -> str:
+    return f"""
+{_apply_prelude()},
+{_viterbi_sql("vp2", "wf", "rec2", "walk2").lstrip()},
+seg AS (SELECT w, f, pieces FROM walk2 WHERE i = 0),
+used AS (
+  SELECT CAST(count(DISTINCT piece) AS BIGINT) AS n_pieces_used FROM (
+    SELECT unnest(pieces) AS piece FROM seg
+  )
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+         CAST(coalesce(sum(CASE WHEN list_aggregate(pieces, 'string_agg', '')
+                                     IS DISTINCT FROM w THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_bad_roundtrip,
+         CAST(coalesce(CAST(sum(CASE WHEN list_aggregate(pieces, 'string_agg', '')
+                                          IS DISTINCT FROM w
+                                     THEN 1 ELSE 0 END) = 0 AS INT), 1)
+              AS INT) AS roundtrip_ok
+  FROM seg
+),
+oovc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_oov
+  FROM (SELECT unnest(pieces) AS piece FROM seg) s
+  LEFT JOIN vocab2 v USING (piece)
+  WHERE v.piece IS NULL
+)
+SELECT n_distinct_words, n_bad_roundtrip, roundtrip_ok,
+       CAST(n_oov = 0 AS INT) AS all_pieces_in_vocab,
+       n_pieces_used
+FROM stats CROSS JOIN oovc CROSS JOIN used
+"""
+
+
+QUERY_DEFS = [
+    QueryDef("corpus_unigram_train", corpus_unigram_train, _train_oracle()),
+    QueryDef("corpus_unigram_apply", corpus_unigram_apply, _apply_oracle()),
+    QueryDef(
+        "corpus_unigram_roundtrip", corpus_unigram_roundtrip, _roundtrip_oracle()
+    ),
+]

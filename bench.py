@@ -211,6 +211,12 @@ HEADLINE = [
     "q_decayed_heavy_hitters",
     "cls_fairness_audit",
     "aqp_jackknife",
+    "ann_ivf_trained",
+    "ann_ivf_trained_recall",
+    "stream_watermark_late_drop",
+    "corpus_unigram_train",
+    "corpus_unigram_apply",
+    "corpus_unigram_roundtrip",
 ]
 
 

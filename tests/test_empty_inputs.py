@@ -117,6 +117,12 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("aqp", "aqp_jackknife"),
         ("similarity", "dedup_embedding_cosine"),
         ("clustering", "dedup_clusters"),
+        ("similarity", "ann_ivf_trained"),
+        ("similarity", "ann_ivf_trained_recall"),
+        ("streaming.watermark", "stream_watermark_late_drop"),
+        ("unigram", "corpus_unigram_train"),
+        ("unigram", "corpus_unigram_apply"),
+        ("unigram", "corpus_unigram_roundtrip"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

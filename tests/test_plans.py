@@ -1335,6 +1335,63 @@ def test_aqp_estimate_is_single_pruned_scan(spark):
         }
 
 
+def test_ivf_trained_recall_broadcasts_and_aggregates(spark):
+    """The trained-IVF audit composes two bounded plans: every small
+    side broadcast, no CartesianProduct, and the reconciliation is a
+    keyed aggregate over k-rows-per-query relations."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        ann_ivf_trained_recall,
+    )
+
+    plan = _plan(ann_ivf_trained_recall(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast query sides
+
+
+def test_watermark_log_reads_checkpoint_once(spark):
+    """The watermark query must read the materialized update log (Scan
+    ExistingRDD), scan events parquet exactly once (the max-ts scalar),
+    and join the 1-row scalar by broadcast, not CartesianProduct."""
+    from ai_data_pipeline_spark.streaming.watermark import (
+        stream_watermark_late_drop,
+    )
+
+    plan = _plan(stream_watermark_late_drop(spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan  # the checkpointed update log
+    assert plan.count("Scan parquet") == 1  # only the max-ts scalar scan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_family_aggregates_and_stays_arrow(spark):
+    """Unigram training/apply must run the segmentation as an
+    Arrow-batched pandas UDF over the DISTINCT-WORD relation with
+    map-side partial aggregation on the recounts — never a
+    row-at-a-time Python UDF, never a corpus-wide window (the only
+    window ranks the bounded piece vocabulary)."""
+    from ai_data_pipeline_spark.operators.unigram import (
+        corpus_unigram_apply,
+        corpus_unigram_train,
+    )
+
+    for q in (corpus_unigram_train, corpus_unigram_apply):
+        plan = _plan(q(spark, SF_DIR))
+        assert "ArrowEvalPython" in plan  # pandas UDF, not BatchEvalPython
+        assert "BatchEvalPython" not in plan
+        assert "partial_" in plan  # map-side combines on the recount
+        assert "CartesianProduct" not in plan
+
+
+def test_aqp_universe_join_broadcasts_scalar_sides(spark):
+    """The three 1-row aggregates in aqp_universe_join combine via
+    broadcast nested-loop joins, never a CartesianProduct — the house
+    crossJoin-only-against-broadcast convention."""
+    from ai_data_pipeline_spark.operators.aqp import aqp_universe_join
+
+    plan = _plan(aqp_universe_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_mg_summary_counts_are_partial_aggregates(spark):
     """The Misra-Gries tier's only corpus-scaled stage is the per-scope
     count groupBy — it must partial-aggregate (map-side combines) in
