@@ -784,7 +784,7 @@ IVF_TRAINED_SEED = 7
 IVF_TRAINED_RECALL_MIN_PCT = 10
 
 
-def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     """Fit MLlib KMeans (k = N_CELLS, seed-pinned) on a seeded sample of
     the corpus and return the trained centroids as a broadcastable
     (cell_id, cv) relation — the real index-TRAINING pass that
@@ -808,16 +808,35 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _vectors(spark, sf_dir)
     corpus = e.filter(F.col("vec_id") >= N_QUERIES)
-    sample = corpus.sample(
-        fraction=IVF_TRAINED_SAMPLE_FRACTION, seed=IVF_TRAINED_SEED
+
+    def _feats(df: DataFrame) -> DataFrame:
+        return df.select(
+            array_to_vector(
+                F.transform("v", lambda x: x.cast("double"))
+            ).alias("features")
+        )
+
+    feats = _feats(
+        corpus.sample(fraction=IVF_TRAINED_SAMPLE_FRACTION, seed=IVF_TRAINED_SEED)
     )
-    feats = sample.select(
-        array_to_vector(
-            F.transform("v", lambda x: x.cast("double"))
-        ).alias("features")
-    )
+    # A tiny corpus can Bernoulli-sample to ZERO rows (the sample is a
+    # cost optimization, not semantics): fall back to the full corpus;
+    # if the corpus itself is empty, KMeans cannot fit — memoize None
+    # and let the caller emit the declared empty result. k clamps to
+    # the training row count so a 1-vector fallback still fits. Both
+    # count actions run only on this memoized cold path.
+    n = feats.count()
+    if n == 0:
+        feats = _feats(corpus)
+        n = feats.count()
+        if n == 0:
+            cache[sf_dir] = None
+            return None
     km = KMeans(
-        k=N_CELLS, seed=IVF_TRAINED_SEED, maxIter=20, featuresCol="features"
+        k=min(N_CELLS, n),
+        seed=IVF_TRAINED_SEED,
+        maxIter=20,
+        featuresCol="features",
     )
     model = km.fit(feats)
     cents = [
@@ -843,13 +862,16 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    if corpus.isEmpty():
-        # KMeans refuses to fit on zero rows; an empty index answers
+    cents = _trained_centroids(spark, sf_dir)
+    if cents is None:
+        # empty corpus: KMeans cannot fit and an empty index answers
         # every query with zero matches — return the declared schema
+        # (emptiness is detected once inside the memoized trainer, so
+        # the serving hot path runs zero extra actions)
         return spark.createDataFrame(
             [], "q_id long, vec_id long, cosine double, rk int"
         )
-    return _ivf_search(corpus, q, _trained_centroids(spark, sf_dir))
+    return _ivf_search(corpus, q, cents)
 
 
 def ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,14 +64,18 @@ def test_evidence_bookkeeping_names_are_fresh():
     green, seen = entry_mod._driver_evidence()
     gone = [n for n in green if n not in declared]
     assert not gone, f"CORRECTNESS greens for queries no longer declared: {gone}"
-    assert set(green) <= seen  # every green row is also driver evidence
+    # every green row is also driver evidence, never FRESHER than it
+    assert set(green) <= set(seen)
+    assert all(green[n] <= seen[n] for n in green)
 
 
 def test_evidence_glob_reads_double_digit_rounds(tmp_path):
     """The evidence reader must pick up CORRECTNESS_r10.json and later —
     the original r0* glob silently dropped every post-r9 record, which
     would freeze the proven-tier rotation (round-10 review finding).
-    Also pins last-green = MAX round across records."""
+    Also pins last-green = MAX round across records, and (r12) that
+    seen carries the LAST-SEEN round per name — the rows-only periodic
+    refresh ranks on it (VERDICT r11 task #7)."""
     import json
 
     row = {"rows_match": True, "schema_match": True, "hash_match": True}
@@ -81,7 +85,7 @@ def test_evidence_glob_reads_double_digit_rounds(tmp_path):
     )
     green, seen = entry_mod._driver_evidence(str(tmp_path))
     assert green == {"a": 10}
-    assert seen == {"a", "b"}
+    assert seen == {"a": 10, "b": 10}
 
 
 def test_coverage_doc_names_every_contract_query():
