@@ -368,6 +368,10 @@ _UNPROVEN_PRIORITY: list[str] = [
     # roundtrip-identity audit (VERDICT r11 task #6)
     "corpus_unigram_train", "corpus_unigram_apply",
     "corpus_unigram_roundtrip",
+    # round-12: IR-evaluation closure — positional ranking metrics
+    # (MRR/DCG/nDCG in exact integer micro-units) of the IVF ranking
+    # against the exact top-k as graded ground truth
+    "retrieval_ranking_metrics",
 ]
 
 

@@ -399,7 +399,133 @@ WITH ev AS (
     )
 
 
+import math as _math
+
+# Position-discount weights for DCG, precomputed in PYTHON as integer
+# micro-units (floor(1e6 / log2(i+1))) and interpolated as LITERALS
+# into both engines — log2 never evaluates at query time, so the
+# transcendental can't introduce cross-engine drift (the unigram-LM
+# "no transcendentals in the plan" discipline applied to IR metrics).
+_DCG_W = {
+    i: _math.floor(1_000_000 / _math.log2(i + 1)) for i in range(1, 6)
+}
+
+
+def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-evaluation closure for the ANN tier: MRR, DCG@k and nDCG@k of
+    the IVF-routed ranking (ann_ivf) against the exact brute-force
+    top-k (ann_cosine_topk) as graded ground truth — the measurement a
+    100 TB index build reads BEFORE trusting cell routing in a RAG
+    serving path, completing the audit set next to the set-overlap
+    recall audits (ann_ivf_recall counts hits; this scores POSITIONS).
+
+    Graded relevance of corpus vector v for query q is
+    rel = k + 1 - exact_rank (5..1, 0 if outside the exact top-k), so
+    the exact list in rank order IS the ideal ordering and
+    IDCG = sum(rel_rk * W_rk) needs no extra sort. All metric
+    arithmetic is exact integers: micro-unit discount weights (table
+    above), mrr_ppm = 1e6 div first-relevant rank, ndcg_ppm =
+    dcg * 1e6 div idcg — both rankings have DuckDB oracles, so every
+    output digit is oracle-checked (no tolerance flags needed).
+
+    Scale: composes two bounded plans; the reconciliation joins two
+    k-rows-per-query relations and aggregates per query — negligible
+    at any corpus size."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_ivf,
+    )
+
+    w_expr = "CASE rk " + " ".join(
+        f"WHEN {i} THEN {w}" for i, w in _DCG_W.items()
+    ) + " ELSE 0 END"
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "q_id",
+        "vec_id",
+        (F.lit(TOP_K + 1) - F.col("rk")).alias("rel"),
+        F.expr(w_expr).alias("w_ideal"),
+    )
+    idcg = exact.groupBy("q_id").agg(
+        F.sum(F.col("rel") * F.col("w_ideal")).alias("idcg_micro")
+    )
+    ivf = ann_ivf(spark, sf_dir).select("q_id", "vec_id", "rk")
+    scored = ivf.join(
+        exact.select("q_id", "vec_id", "rel"), ["q_id", "vec_id"], "left"
+    ).select(
+        "q_id",
+        "rk",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+        F.expr(w_expr).alias("w"),
+    )
+    per_q = scored.groupBy("q_id").agg(
+        F.sum((F.col("rel") > 0).cast("long")).alias("n_rel"),
+        F.sum(F.col("rel") * F.col("w")).alias("dcg_micro"),
+        F.min(F.when(F.col("rel") > 0, F.col("rk"))).alias("first_rel"),
+    )
+    return (
+        per_q.join(idcg, "q_id")
+        .select(
+            "q_id",
+            "n_rel",
+            F.coalesce(
+                F.expr("1000000 div first_rel"), F.lit(0)
+            ).alias("mrr_ppm"),
+            "dcg_micro",
+            "idcg_micro",
+            F.expr(
+                "dcg_micro * 1000000 div nullif(idcg_micro, 0)"
+            ).alias("ndcg_ppm"),
+        )
+    )
+
+
+def _ranking_metrics_oracle() -> str:
+    from ai_data_pipeline_spark.operators.similarity import (
+        ANN_TOPK_ORACLE,
+        TOP_K,
+        _ann_ivf_oracle,
+    )
+
+    w_sql = "CASE rk " + " ".join(
+        f"WHEN {i} THEN {w}" for i, w in _DCG_W.items()
+    ) + " ELSE 0 END"
+    return f"""
+WITH ex AS ({ANN_TOPK_ORACLE}),
+iv AS ({_ann_ivf_oracle()}),
+exr AS (
+  SELECT q_id, vec_id, {TOP_K} + 1 - rk AS rel, {w_sql} AS w_ideal FROM ex
+),
+idcg AS (
+  SELECT q_id, CAST(sum(rel * w_ideal) AS BIGINT) AS idcg_micro
+  FROM exr GROUP BY 1
+),
+scored AS (
+  SELECT iv.q_id, iv.rk, coalesce(exr.rel, 0) AS rel,
+         {w_sql.replace("rk", "iv.rk")} AS w
+  FROM iv LEFT JOIN exr ON iv.q_id = exr.q_id AND iv.vec_id = exr.vec_id
+),
+per_q AS (
+  SELECT q_id,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         CAST(sum(rel * w) AS BIGINT) AS dcg_micro,
+         min(CASE WHEN rel > 0 THEN rk END) AS first_rel
+  FROM scored GROUP BY 1
+)
+SELECT p.q_id, p.n_rel,
+       CAST(coalesce(1000000 // p.first_rel, 0) AS BIGINT) AS mrr_ppm,
+       p.dcg_micro, i.idcg_micro,
+       p.dcg_micro * 1000000 // nullif(i.idcg_micro, 0) AS ndcg_ppm
+FROM per_q p JOIN idcg i ON p.q_id = i.q_id
+"""
+
+
 QUERY_DEFS = [
     QueryDef("retrieval_rrf_fusion", retrieval_rrf_fusion, _rrf_oracle()),
     QueryDef("retrieval_mmr_select", retrieval_mmr_select, _mmr_oracle()),
+    QueryDef(
+        "retrieval_ranking_metrics",
+        retrieval_ranking_metrics,
+        _ranking_metrics_oracle(),
+    ),
 ]

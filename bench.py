@@ -217,6 +217,7 @@ HEADLINE = [
     "corpus_unigram_train",
     "corpus_unigram_apply",
     "corpus_unigram_roundtrip",
+    "retrieval_ranking_metrics",
 ]
 
 

@@ -123,6 +123,7 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("unigram", "corpus_unigram_train"),
         ("unigram", "corpus_unigram_apply"),
         ("unigram", "corpus_unigram_roundtrip"),
+        ("retrieval", "retrieval_ranking_metrics"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

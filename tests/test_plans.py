@@ -1381,6 +1381,20 @@ def test_unigram_family_aggregates_and_stays_arrow(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_ranking_metrics_composes_bounded_plans(spark):
+    """The IR-metrics query reconciles two k-rows-per-query relations:
+    no CartesianProduct, query sides broadcast, metric arithmetic as
+    keyed aggregates."""
+    from ai_data_pipeline_spark.operators.retrieval import (
+        retrieval_ranking_metrics,
+    )
+
+    plan = _plan(retrieval_ranking_metrics(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast query/centroid sides
+    assert "partial_" in plan  # keyed metric aggregates combine map-side
+
+
 def test_aqp_universe_join_broadcasts_scalar_sides(spark):
     """The three 1-row aggregates in aqp_universe_join combine via
     broadcast nested-loop joins, never a CartesianProduct — the house
