@@ -406,9 +406,25 @@ import math as _math
 # into both engines — log2 never evaluates at query time, so the
 # transcendental can't introduce cross-engine drift (the unigram-LM
 # "no transcendentals in the plan" discipline applied to IR metrics).
+# Derived from similarity.TOP_K so a k bump regenerates the table —
+# a hardcoded 1..5 range would zero-weight ranks 6..k IDENTICALLY in
+# both engines, a wrong-metric class the oracle cannot catch.
+from ai_data_pipeline_spark.operators.similarity import TOP_K as _ANN_TOP_K
+
 _DCG_W = {
-    i: _math.floor(1_000_000 / _math.log2(i + 1)) for i in range(1, 6)
+    i: _math.floor(1_000_000 / _math.log2(i + 1))
+    for i in range(1, _ANN_TOP_K + 1)
 }
+
+
+def _w_case(rank_col: str) -> str:
+    """The discount table as one CASE expression over ``rank_col`` —
+    the SINGLE source both engines interpolate (no string surgery)."""
+    return (
+        f"CASE {rank_col} "
+        + " ".join(f"WHEN {i} THEN {w}" for i, w in _DCG_W.items())
+        + " ELSE 0 END"
+    )
 
 
 def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,21 +446,28 @@ def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: composes two bounded plans; the reconciliation joins two
     k-rows-per-query relations and aggregates per query — negligible
-    at any corpus size."""
+    at any corpus size. The exact top-k relation (k·|queries| rows) is
+    materialized once for its two consumers (the IDCG aggregate and
+    the scored join) so the brute-force scoring pass runs exactly
+    once; queries whose IVF list is EMPTY still emit a row with zero
+    metrics via the idcg-side left join — the audit must surface the
+    worst-routed queries, not drop them (live when pointed at a
+    trained index whose cells can be empty)."""
     from ai_data_pipeline_spark.operators.similarity import (
         TOP_K,
         ann_cosine_topk,
         ann_ivf,
     )
 
-    w_expr = "CASE rk " + " ".join(
-        f"WHEN {i} THEN {w}" for i, w in _DCG_W.items()
-    ) + " ELSE 0 END"
-    exact = ann_cosine_topk(spark, sf_dir).select(
-        "q_id",
-        "vec_id",
-        (F.lit(TOP_K + 1) - F.col("rk")).alias("rel"),
-        F.expr(w_expr).alias("w_ideal"),
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .select(
+            "q_id",
+            "vec_id",
+            (F.lit(TOP_K + 1) - F.col("rk")).alias("rel"),
+            F.expr(_w_case("rk")).alias("w_ideal"),
+        )
+        .localCheckpoint()
     )
     idcg = exact.groupBy("q_id").agg(
         F.sum(F.col("rel") * F.col("w_ideal")).alias("idcg_micro")
@@ -456,7 +479,7 @@ def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "rk",
         F.coalesce("rel", F.lit(0)).alias("rel"),
-        F.expr(w_expr).alias("w"),
+        F.expr(_w_case("rk")).alias("w"),
     )
     per_q = scored.groupBy("q_id").agg(
         F.sum((F.col("rel") > 0).cast("long")).alias("n_rel"),
@@ -464,17 +487,18 @@ def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rel") > 0, F.col("rk"))).alias("first_rel"),
     )
     return (
-        per_q.join(idcg, "q_id")
+        idcg.join(per_q, "q_id", "left")
         .select(
             "q_id",
-            "n_rel",
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
             F.coalesce(
                 F.expr("1000000 div first_rel"), F.lit(0)
             ).alias("mrr_ppm"),
-            "dcg_micro",
+            F.coalesce("dcg_micro", F.lit(0)).alias("dcg_micro"),
             "idcg_micro",
-            F.expr(
-                "dcg_micro * 1000000 div nullif(idcg_micro, 0)"
+            F.coalesce(
+                F.expr("dcg_micro * 1000000 div nullif(idcg_micro, 0)"),
+                F.lit(0),
             ).alias("ndcg_ppm"),
         )
     )
@@ -487,14 +511,12 @@ def _ranking_metrics_oracle() -> str:
         _ann_ivf_oracle,
     )
 
-    w_sql = "CASE rk " + " ".join(
-        f"WHEN {i} THEN {w}" for i, w in _DCG_W.items()
-    ) + " ELSE 0 END"
     return f"""
 WITH ex AS ({ANN_TOPK_ORACLE}),
 iv AS ({_ann_ivf_oracle()}),
 exr AS (
-  SELECT q_id, vec_id, {TOP_K} + 1 - rk AS rel, {w_sql} AS w_ideal FROM ex
+  SELECT q_id, vec_id, {TOP_K} + 1 - rk AS rel, {_w_case("rk")} AS w_ideal
+  FROM ex
 ),
 idcg AS (
   SELECT q_id, CAST(sum(rel * w_ideal) AS BIGINT) AS idcg_micro
@@ -502,7 +524,7 @@ idcg AS (
 ),
 scored AS (
   SELECT iv.q_id, iv.rk, coalesce(exr.rel, 0) AS rel,
-         {w_sql.replace("rk", "iv.rk")} AS w
+         {_w_case("iv.rk")} AS w
   FROM iv LEFT JOIN exr ON iv.q_id = exr.q_id AND iv.vec_id = exr.vec_id
 ),
 per_q AS (
@@ -512,11 +534,14 @@ per_q AS (
          min(CASE WHEN rel > 0 THEN rk END) AS first_rel
   FROM scored GROUP BY 1
 )
-SELECT p.q_id, p.n_rel,
+SELECT i.q_id,
+       CAST(coalesce(p.n_rel, 0) AS BIGINT) AS n_rel,
        CAST(coalesce(1000000 // p.first_rel, 0) AS BIGINT) AS mrr_ppm,
-       p.dcg_micro, i.idcg_micro,
-       p.dcg_micro * 1000000 // nullif(i.idcg_micro, 0) AS ndcg_ppm
-FROM per_q p JOIN idcg i ON p.q_id = i.q_id
+       CAST(coalesce(p.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       i.idcg_micro,
+       CAST(coalesce(p.dcg_micro * 1000000 // nullif(i.idcg_micro, 0), 0)
+            AS BIGINT) AS ndcg_ppm
+FROM idcg i LEFT JOIN per_q p ON p.q_id = i.q_id
 """
 
 
