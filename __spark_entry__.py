@@ -306,25 +306,24 @@ def _driver_evidence(
 # _phash_relation so the cross-modal agreement audit can phash an
 # augmented corpus; identical plan, shared helper.
 # [r11 cohort all re-proved green in CORRECTNESS_r11.json — cleared.]
-# r12 rewrites: the whole AQP family — the five ADVICE r11 findings
-# (z raised 3σ→5σ to match the house flag convention, which changes
-# every emitted ci_cents/within_ci/se_ht value; sqrt clamped with
-# greatest(...,0) in both engines; empty-input coalesce on the
-# sample-side sums; universe-join 1-row relations broadcast; docstring
-# CI-exactness claim corrected). All six re-verified green vs oracle
-# at sf0.001/0.01/0.1 via tools/drive_subset.py on the new code.
+# [r12 cohort (the six AQP rewrites + ann_ivf's _ivf_search
+# extraction) all re-proved green in CORRECTNESS_r12.json — cleared.]
+# r13 rewrites: ann_ivf_pq — its serving plan extracted into the
+# shared _ivfpq_search helper (+ _pq_subvectors/_standin_pq_model) so
+# the MLlib-KMeans-trained variant reuses it byte-for-byte — identical
+# plan shape, re-proven per convention (the r12 ann_ivf precedent).
+# Re-verified green vs oracle at sf0.001/0.01/0.1 via
+# tools/drive_subset.py on the new code.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    "aqp_sample_estimate",
-    "aqp_sample_staircase",
-    "aqp_stratified_allocation",
-    "aqp_group_estimate",
-    "aqp_universe_join",
-    "aqp_jackknife",
-    # r12: ann_ivf's serving plan extracted into the shared _ivf_search
-    # helper so the MLlib-trained variant reuses it byte-for-byte —
-    # identical plan shape, re-proven per convention (the
-    # multimodal_image_phash (d) precedent).
-    "ann_ivf",
+    "ann_ivf_pq",
+    # r13: the unigram apply/roundtrip ORACLES gained MATERIALIZED
+    # hints on em/vocab2/seg (DuckDB 1.0 re-inlines CTEs per
+    # reference, dragging the pass-1 recursive DP behind each one) —
+    # identical results, ~40x cheaper gate budget (the r12
+    # observation #2 cost note). Spark side untouched; re-proven per
+    # the oracle-changed convention.
+    "corpus_unigram_apply",
+    "corpus_unigram_roundtrip",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver
@@ -352,26 +351,23 @@ _REFIXED_FIRST: list[str] = []
 # have gone green just rank in the proven tier (the rank() lookup
 # ignores stale entries).
 _UNPROVEN_PRIORITY: list[str] = [
-    # [the full r11 cohort went green in CORRECTNESS_r11.json and now
+    # [the full r12 cohort went green in CORRECTNESS_r12.json and now
     # ranks in the proven tier — cleared.]
-    # round-12: MLlib-KMeans-trained IVF recall audit (VERDICT r11
-    # task #4 — the trained index's guarantees as integer predicates
-    # against the exact top-k relation; the trained path itself is
-    # rows-only and ranks in tier (2,2) automatically)
-    "ann_ivf_trained_recall",
-    # round-12: watermark late-data proof (VERDICT r11 task #5 —
-    # planted late rows, oracle recomputes the aggregation without
-    # exactly the dropped rows)
-    "stream_watermark_late_drop",
-    # round-12 frontier family: unigram-LM (SentencePiece-style)
-    # tokenizer — seed vocab + hard-EM train, post-EM apply,
-    # roundtrip-identity audit (VERDICT r11 task #6)
-    "corpus_unigram_train", "corpus_unigram_apply",
-    "corpus_unigram_roundtrip",
-    # round-12: IR-evaluation closure — positional ranking metrics
-    # (MRR/DCG/nDCG in exact integer micro-units) of the IVF ranking
-    # against the exact top-k as graded ground truth
-    "retrieval_ranking_metrics",
+    # round-13: trained-PQ audit (VERDICT r12 task #1 — the trained
+    # codebook's guarantees as integer predicates: distortion vs the
+    # stand-in codebook, corpus-level ADC recall floor vs the exact
+    # integer-L2 top-k; the trained path itself is rows-only and
+    # ranks in tier (2,2) automatically)
+    "ann_ivf_pq_trained_audit",
+    # round-13: one PRUNING turn of the SentencePiece train loop
+    # (VERDICT r12 task #4 — EM → prune → re-EM, loss/coverage
+    # trajectory as exact integers, same recursive-CTE oracle)
+    "corpus_unigram_prune",
+    # round-13: MinHash banding S-curve audit (VERDICT r12 task #5 —
+    # 1−(1−s^r)^b at pinned grid points in integer ppm, the p=1/2
+    # crossing, and observed band recall above it vs the model's own
+    # prediction)
+    "dedup_lsh_band_tuning",
 ]
 
 

@@ -218,6 +218,10 @@ HEADLINE = [
     "corpus_unigram_apply",
     "corpus_unigram_roundtrip",
     "retrieval_ranking_metrics",
+    "ann_ivf_pq_trained",
+    "ann_ivf_pq_trained_audit",
+    "corpus_unigram_prune",
+    "dedup_lsh_band_tuning",
 ]
 
 

@@ -124,6 +124,10 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("unigram", "corpus_unigram_apply"),
         ("unigram", "corpus_unigram_roundtrip"),
         ("retrieval", "retrieval_ranking_metrics"),
+        ("similarity", "ann_ivf_pq_trained"),
+        ("similarity", "ann_ivf_pq_trained_audit"),
+        ("unigram", "corpus_unigram_prune"),
+        ("dedup", "dedup_lsh_band_tuning"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

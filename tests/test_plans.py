@@ -1348,6 +1348,64 @@ def test_ivf_trained_recall_broadcasts_and_aggregates(spark):
     assert "BroadcastNestedLoopJoin" in plan  # broadcast query sides
 
 
+def test_pq_trained_audit_broadcasts_and_aggregates(spark):
+    """The trained-PQ audit composes bounded plans: model relations and
+    1-row distortion scalars broadcast (never CartesianProduct), PQ
+    encode/distortion as map-side-combined keyed aggregates."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        ann_ivf_pq_trained_audit,
+    )
+
+    plan = _plan(ann_ivf_pq_trained_audit(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast query/model sides
+    assert "partial_" in plan  # map-side combines on encode + distortion
+
+
+def test_pq_trained_serves_through_shared_plan(spark):
+    """ann_ivf_pq and ann_ivf_pq_trained must produce the same plan
+    SHAPE (both call _ivfpq_search): same operator skeleton modulo the
+    model-relation sources, so a serving-plan regression cannot hit one
+    path only."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        ann_ivf_pq,
+        ann_ivf_pq_trained,
+    )
+
+    for q in (ann_ivf_pq, ann_ivf_pq_trained):
+        plan = _plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        # the ADC sum and the min_by encode both combine map-side
+        assert "partial_" in plan
+
+
+def test_unigram_prune_stays_arrow_and_aggregates(spark):
+    """The prune turn segments with the Arrow-batched kernel (never
+    row-at-a-time Python), recounts via map-side-combined aggregates,
+    and glues its 1-row stats with broadcast joins, never a
+    CartesianProduct."""
+    from ai_data_pipeline_spark.operators.unigram import corpus_unigram_prune
+
+    plan = _plan(corpus_unigram_prune(spark, SF_DIR))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_band_tuning_generates_grid_and_broadcasts(spark):
+    """The S-curve side must be a generated Range (no table scan for
+    the math); the observed side reuses the bounded recall plans; the
+    1-row glue is broadcast, never CartesianProduct."""
+    from ai_data_pipeline_spark.operators.dedup import dedup_lsh_band_tuning
+
+    plan = _plan(dedup_lsh_band_tuning(spark, SF_DIR))
+    assert "Range (1, 1000" in plan  # the generated permille grid
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_" in plan
+
+
 def test_watermark_log_reads_checkpoint_once(spark):
     """The watermark query must read the materialized update log (Scan
     ExistingRDD), scan events parquet exactly once (the max-ts scalar),

@@ -58,3 +58,17 @@ def test_contract_constants():
     assert UNI_MAX_PIECE == 3
     assert UNI_MAX_WORD == 63
     assert UNI_TOP_MULTI == 40
+
+
+def test_broken_coverage_raises_loudly():
+    # ADVICE r12: a coverage-broken vocabulary (a char with no piece)
+    # must raise, never silently return a non-reconstructing
+    # segmentation — the invariant is implicit across
+    # _word_freq/_seed_counts/_unigram_model and a future prune/caller
+    # bug would otherwise corrupt data silently.
+    import pytest
+
+    with pytest.raises(ValueError, match="coverage"):
+        viterbi_segment("axb", _prob({"a": 1, "b": 1, "ab": 2}))
+    with pytest.raises(ValueError, match="coverage"):
+        viterbi_segment("x", _prob({"a": 1}))
