@@ -324,6 +324,13 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # the oracle-changed convention.
     "corpus_unigram_apply",
     "corpus_unigram_roundtrip",
+    # r13: _three_batch_source_dir is now memoized per (session,
+    # sf_dir) — the fixture rebuild on every call dominated
+    # stream_first_touch's measured time (VERDICT r12 task #3).
+    # Deterministic fixture, identical results; both consumers
+    # re-verified green vs oracle at sf0.001/0.01/0.1.
+    "stream_first_touch",
+    "stream_late_data_drop",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver

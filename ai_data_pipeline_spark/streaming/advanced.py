@@ -65,8 +65,22 @@ def _three_batch_source_dir(spark: SparkSession, sf_dir: str) -> str:
     - file_2: late rows with odd event_id — dropped by the watermark
       (verified via numRowsDroppedByWatermark = |file_2| in the state
       operator metrics).
+
+    Memoized per (session, sf_dir): the fixture is a deterministic
+    function of the immutable events table, and rebuilding it (a
+    cutoff collect + three coalesce(1) parquet writes, ~2-4 s at
+    sf0.1) on EVERY call was pure setup waste dominating the streaming
+    queries' measured time (VERDICT r12 task #3 — the
+    stream_first_touch 1.65x drift was this fixture cost under host
+    throttle, not the stateful drain). The source dir is read-only to
+    its consumers; each query keeps its own checkpoint/sink scratch.
     """
     from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.session import session_scoped_cache
+
+    cache = session_scoped_cache(spark, "three_batch_source")
+    if sf_dir in cache:
+        return cache[sf_dir]
 
     events = load_table(spark, sf_dir, "events")
     cutoff = events.agg(
@@ -99,6 +113,7 @@ def _three_batch_source_dir(spark: SparkSession, sf_dir: str) -> str:
         dst = f"{src}/file_{i}.parquet"
         os.rename(f"{tmp}/b{i}/{part}", dst)
         os.utime(dst, (now + i * 60, now + i * 60))  # mtime order = batch order
+    cache[sf_dir] = src
     return src
 
 
