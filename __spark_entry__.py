@@ -375,6 +375,12 @@ _UNPROVEN_PRIORITY: list[str] = [
     # crossing, and observed band recall above it vs the model's own
     # prediction)
     "dedup_lsh_band_tuning",
+    # round-13 second batch: residual PQ (the actual FAISS IVFPQ
+    # encoding — PQ over v − c(v), exact-integer residuals) and
+    # asymmetric containment dedup (Broder's second axis — catches
+    # engulfed copies symmetric Jaccard misses)
+    "emb_pq_residual_encode",
+    "dedup_containment",
 ]
 
 

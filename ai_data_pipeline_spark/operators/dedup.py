@@ -678,6 +678,107 @@ FROM joined
 """
 
 
+CONTAIN_NUM, CONTAIN_DEN = 4, 5  # containment threshold 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup detection — the quote/superset
+    pairs symmetric Jaccard misses: a short document fully quoted
+    inside a long one has tiny Jaccard (union is dominated by the long
+    doc) but containment |A∩B| / min(|A|, |B|) ≈ 1. This is the
+    standard second axis of corpus dedup (Broder's containment score):
+    Jaccard catches same-size near-copies, containment catches
+    engulfed copies, boilerplate wrappers, and quote farms.
+
+    Pairs over the df-capped shingle universe (the declared similarity
+    universe of the dedup tier — boilerplate shingles carry no
+    near-dup signal and would otherwise make every doc "contain" the
+    boilerplate) whose smaller side is ≥ CONTAIN_NUM/CONTAIN_DEN
+    contained in the other, with the exact integer evidence columns:
+    shingle counts, intersection, containment in ppm, and the Jaccard
+    in ppm (so the relation shows exactly which pairs containment
+    catches that Jaccard's 0.5 threshold misses — on the synthetic
+    fixture the planted duplicates are same-size copies, so the two
+    sets coincide, measured 0 jaccard-missed rows at all three SFs;
+    on a quoting/engulfing corpus the jaccard_ppm column separates
+    them).
+
+    Scale: the same df-capped self-join shape as ``dedup_ngram_pairs``
+    / ``dedup_lsh_recall`` truth — no shingle contributes more than
+    C(NGRAM_DF_CAP, 2) pair rows, intersection is a keyed count with
+    map-side combines, and sizes join back by doc key. Production
+    banding note: containment candidates at 100 TB come from the SAME
+    MinHash band buckets (a contained doc's minima are a subset-biased
+    sample of the container's), with this exact join as the verify
+    stage."""
+    sh = _doc_shingles(spark, sf_dir)
+    capped = _df_capped_shingles(sh, NGRAM_DF_CAP)
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a0, b0 = capped.alias("a"), capped.alias("b")
+    pair_inter = (
+        a0.join(
+            b0,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pair_inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            CONTAIN_DEN * F.col("inter")
+            >= CONTAIN_NUM * F.least("sz_a", "sz_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            F.expr("(inter * 1000000) div least(sz_a, sz_b)").alias(
+                "containment_ppm"
+            ),
+            F.expr("(inter * 1000000) div (sz_a + sz_b - inter)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+def _containment_oracle() -> str:
+    return rf"""
+WITH sh0 AS (
+  SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM {SHINGLES_DUCK_FROM}
+), capped AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       (CAST(inter AS BIGINT) * 1000000) // least(sa.sz, sb.sz)
+         AS containment_ppm,
+       (CAST(inter AS BIGINT) * 1000000) // (sa.sz + sb.sz - inter)
+         AS jaccard_ppm
+FROM pair_inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {CONTAIN_DEN} * inter >= {CONTAIN_NUM} * least(sa.sz, sb.sz)
+"""
+
+
 # Observed-recall floor for the banding-tuning audit (measured on the
 # fixture: see dedup_lsh_band_tuning docstring) — set after measuring.
 LSH_TUNED_FLOOR_PPM = 500_000
@@ -1241,5 +1342,6 @@ QUERY_DEFS = [
     QueryDef(
         "dedup_lsh_band_tuning", dedup_lsh_band_tuning, _lsh_band_tuning_oracle()
     ),
+    QueryDef("dedup_containment", dedup_containment, _containment_oracle()),
     QueryDef("dedup_simhash", dedup_simhash, _simhash_oracle()),
 ]

@@ -1937,6 +1937,115 @@ FROM census CROSS JOIN dist
 """
 
 
+def emb_pq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL product quantization — the actual FAISS IVFPQ encoding
+    (Jégou et al. 2011 §III: PQ is applied to r = v − c(v), the vector
+    MINUS its coarse centroid, not to v itself): residuals concentrate
+    around the origin, so the PQ_K codewords per subspace spend their
+    resolution where the mass is, typically halving distortion vs
+    direct-vector PQ at the same code budget. ``emb_pq_encode`` is the
+    direct-vector variant; this closes the encode tier to the full
+    production recipe.
+
+    Determinism: centroids and the residual codebook are the
+    deterministic stand-in (centroids = first N_CELLS corpus vectors;
+    codebook = the RESIDUAL subvectors of the first PQ_K corpus
+    vectors), residuals are exact integer differences of ×10⁶
+    fixed-point longs, and all distances are integer L2 — every
+    column hash-exact in both engines (the trained-model tier serves
+    through ``ann_ivf_pq_trained``).
+
+    Scale shape: centroids and the residual codebook broadcast; the
+    corpus streams once through assignment (min_by aggregate, map-side
+    combine) and once through encode; the shuffle carries (vec_id,
+    cell, m, code, dist) tuples, never raw vectors. Output: one row
+    per (vector, subspace) with the assigned cell, chosen code, and
+    residual distortion."""
+    vfp = _vfp(spark, sf_dir)
+    corpus = vfp.filter(F.col("vec_id") >= N_QUERIES)
+    cents, _ = _standin_pq_model(vfp)
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("cdist", F.expr(_int_l2("v_fp", "c_fp")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cell", "c_fp", "v_fp"), F.struct("cdist", "cell")
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.cell").alias("cell"),
+            F.expr("zip_with(best.v_fp, best.c_fp, (x, y) -> x - y)").alias(
+                "v_fp"
+            ),
+        )
+    )
+    rsubs = _pq_subvectors(assigned.select("vec_id", "v_fp")).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+    book = rsubs.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    ).select(
+        "m", (F.col("vec_id") - N_QUERIES).alias("code"), F.col("sub").alias("csub")
+    )
+    return (
+        rsubs.join(F.broadcast(book), "m")
+        .select(
+            "vec_id",
+            "cell",
+            "m",
+            "code",
+            F.expr(_int_l2("sub", "csub")).alias("d_fp"),
+        )
+        .groupBy("vec_id", "cell", "m")
+        .agg(
+            F.min_by("code", F.struct("d_fp", "code")).alias("code"),
+            F.min("d_fp").alias("dist_fp"),
+        )
+    )
+
+
+def _pq_residual_oracle() -> str:
+    return f"""
+WITH vfp AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> {_FP}) AS v_fp
+  FROM embeddings
+), cents AS (
+  SELECT vec_id - {N_QUERIES} AS cell, v_fp AS c_fp FROM vfp
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+), assigned AS (
+  SELECT vec_id, cell,
+         list_transform(range(1, {EMB_DIM} + 1),
+                        i -> v_fp[i] - c_fp[i]) AS r_fp
+  FROM (
+    SELECT v.vec_id, c.cell, v.v_fp, c.c_fp,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_int_l2_duck("v.v_fp", "c.c_fp", EMB_DIM)} ASC,
+                      c.cell ASC) AS crk
+    FROM vfp v CROSS JOIN cents c WHERE v.vec_id >= {N_QUERIES}
+  ) WHERE crk = 1
+), rsubs AS (
+  SELECT vec_id, cell, m,
+         r_fp[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+  FROM assigned CROSS JOIN range(0, {PQ_M}) t(m)
+), book AS (
+  SELECT m, vec_id - {N_QUERIES} AS code, sub AS csub FROM rsubs
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+), dists AS (
+  SELECT s.vec_id, s.cell, s.m, b.code,
+         {_int_l2_duck("s.sub", "b.csub", PQ_SUB)} AS d_fp
+  FROM rsubs s JOIN book b ON s.m = b.m
+)
+SELECT vec_id, cell, m, code, dist_fp FROM (
+  SELECT vec_id, cell, m, code, d_fp AS dist_fp,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY d_fp ASC, code ASC) AS rk
+  FROM dists
+) WHERE rk = 1
+"""
+
+
 PRE_DIM = 16  # prefix dims for the truncation-recall evaluation
 
 
@@ -2733,6 +2842,9 @@ QUERY_DEFS = [
     QueryDef("ann_knn_classify", ann_knn_classify, _knn_classify_oracle()),
     QueryDef("emb_random_projection", emb_random_projection, _rp_oracle()),
     QueryDef("emb_pq_encode", emb_pq_encode, _pq_oracle()),
+    QueryDef(
+        "emb_pq_residual_encode", emb_pq_residual_encode, _pq_residual_oracle()
+    ),
     QueryDef("dedup_semantic", dedup_semantic, _semdedup_oracle()),
     QueryDef("emb_scalar_quantize", emb_scalar_quantize, QUANTIZE_ORACLE),
     QueryDef("emb_kmeans_fixed_point", emb_kmeans_fixed_point, _kmeans_oracle()),

@@ -222,6 +222,8 @@ HEADLINE = [
     "ann_ivf_pq_trained_audit",
     "corpus_unigram_prune",
     "dedup_lsh_band_tuning",
+    "emb_pq_residual_encode",
+    "dedup_containment",
 ]
 
 

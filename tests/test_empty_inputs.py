@@ -128,6 +128,8 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("similarity", "ann_ivf_pq_trained_audit"),
         ("unigram", "corpus_unigram_prune"),
         ("dedup", "dedup_lsh_band_tuning"),
+        ("similarity", "emb_pq_residual_encode"),
+        ("dedup", "dedup_containment"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

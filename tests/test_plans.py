@@ -1406,6 +1406,32 @@ def test_lsh_band_tuning_generates_grid_and_broadcasts(spark):
     assert "partial_" in plan
 
 
+def test_residual_pq_broadcasts_models_and_combines(spark):
+    """Residual PQ: centroid/codebook model relations broadcast, the
+    assignment and encode are map-side-combined aggregates, no
+    CartesianProduct (the broadcast crossJoin against N_CELLS rows
+    compiles to BroadcastNestedLoopJoin)."""
+    from ai_data_pipeline_spark.operators.similarity import (
+        emb_pq_residual_encode,
+    )
+
+    plan = _plan(emb_pq_residual_encode(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_" in plan
+
+
+def test_containment_joins_on_shingle_and_combines(spark):
+    """Containment pairs come from the df-capped shingle equi-join
+    (bounded fan-out), never a CartesianProduct; the intersection is a
+    map-side-combined keyed count."""
+    from ai_data_pipeline_spark.operators.dedup import dedup_containment
+
+    plan = _plan(dedup_containment(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
 def test_watermark_log_reads_checkpoint_once(spark):
     """The watermark query must read the materialized update log (Scan
     ExistingRDD), scan events parquet exactly once (the max-ts scalar),
