@@ -331,6 +331,15 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # re-verified green vs oracle at sf0.001/0.01/0.1.
     "stream_first_touch",
     "stream_late_data_drop",
+    # r13 review cohort: the df-capped pair-intersection and the
+    # MinHash banding sub-plans were extracted into shared helpers
+    # (_capped_pair_relations/_banded_candidates — four verbatim
+    # copies before), and _unigram_model's tuple gained the memoized
+    # EM-1 piece total (consumers' unpack lines changed). Identical
+    # plans/results; re-verified green vs oracle at the three SFs.
+    "dedup_ngram_jaccard",
+    "dedup_lsh_recall",
+    "corpus_unigram_train",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver

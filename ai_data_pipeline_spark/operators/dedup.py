@@ -130,6 +130,93 @@ def _df_capped_shingles(sh: DataFrame, cap: int) -> DataFrame:
     return sh.join(informative, "shingle", "left_semi")
 
 
+def _capped_pair_relations(capped: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(pair_inter, sizes) over a df-capped shingle relation — the
+    skew-bounded exhaustive pair-intersection sub-plan shared by the
+    Jaccard, containment, LSH-recall, and band-tuning queries (review
+    r13: previously four verbatim copies; a change to the cap
+    semantics must hit every consumer at once). No broadcast hints:
+    both relations have corpus cardinality — AQE picks broadcast at
+    test scale, shuffle join at 100 TB."""
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return pair_inter, sizes
+
+
+def _size_sides(sizes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The (doc_a, sz_a) / (doc_b, sz_b) join sides of the size
+    relation."""
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return sa, sb
+
+
+def _banded_candidates(sh: DataFrame) -> DataFrame:
+    """Distinct banded candidate pairs (doc_a < doc_b) from the raw
+    shingle relation — the dedup_minhash_lsh signature/banding
+    construction shared verbatim by the recall and band-tuning audits
+    (review r13): per-doc MinHash signature (MINHASH_K 5-hex-char
+    slot minima over the doubled md5), per-band bucket hash, equi-join
+    on (band, bhash). Signatures are fixed-width; shingle sets never
+    ride the pair join."""
+    hashed = sh.select(
+        "doc_id",
+        F.concat(
+            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
+            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
+        ).alias("hh"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col("hh"), 1 + 5 * j, 5)).alias(f"m{j}")
+            for j in range(MINHASH_K)
+        ]
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"m{b * MINHASH_BAND_R + r}")
+                                    for r in range(MINHASH_BAND_R)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bhash")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    return (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard similarity pairs with jaccard >= 0.3
     (integer-exact: den*inter >= num*union), computed over the
@@ -140,16 +227,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — the plan is skew-bounded at any corpus size. The
     oracle mirrors the same capped definition."""
     sh = _df_capped_shingles(_doc_shingles(spark, sf_dir), NGRAM_DF_CAP)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    inter, sizes = _capped_pair_relations(sh)
+    sa, sb = _size_sides(sizes)
     # No broadcast hints: `sizes` has corpus cardinality (one row per doc),
     # which does NOT fit in a broadcast at 100 TB. Let AQE choose — it
     # picks broadcast at test scale and falls back to shuffle join at
@@ -524,20 +603,10 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (div == //)."""
     sh = _doc_shingles(spark, sf_dir)
     # truth: exhaustive capped-universe Jaccard at the verify threshold
-    capped = _df_capped_shingles(sh, NGRAM_DF_CAP)
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a0, b0 = capped.alias("a"), capped.alias("b")
-    pair_inter = (
-        a0.join(
-            b0,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pair_inter, sizes = _capped_pair_relations(
+        _df_capped_shingles(sh, NGRAM_DF_CAP)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    sa, sb = _size_sides(sizes)
     truth = (
         pair_inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -549,53 +618,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # candidates: the banded pairs, pre-verify (same construction as
     # dedup_minhash_lsh)
-    hashed = sh.select(
-        "doc_id",
-        F.concat(
-            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
-            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
-        ).alias("hh"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(F.col("hh"), 1 + 5 * j, 5)).alias(f"m{j}")
-            for j in range(MINHASH_K)
-        ]
-    )
-    n_bands = MINHASH_K // MINHASH_BAND_R
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"m{b * MINHASH_BAND_R + r}")
-                                    for r in range(MINHASH_BAND_R)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bhash")
-    ba, bb = bands.alias("a"), bands.alias("b")
-    cands = (
-        ba.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cands = _banded_candidates(sh)
     joined = truth.withColumn("t", F.lit(1)).join(
         cands.withColumn("c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )
@@ -711,21 +734,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash band buckets (a contained doc's minima are a subset-biased
     sample of the container's), with this exact join as the verify
     stage."""
-    sh = _doc_shingles(spark, sf_dir)
-    capped = _df_capped_shingles(sh, NGRAM_DF_CAP)
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a0, b0 = capped.alias("a"), capped.alias("b")
-    pair_inter = (
-        a0.join(
-            b0,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pair_inter, sizes = _capped_pair_relations(
+        _df_capped_shingles(_doc_shingles(spark, sf_dir), NGRAM_DF_CAP)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    sa, sb = _size_sides(sizes)
     return (
         pair_inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -818,12 +830,14 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
       ppm via ``_scurve_ppm`` (pinned-double-order arithmetic, exact
       in both engines).
     - ``t_half_permille`` — the similarity where p crosses 1/2,
-      located on a permille grid (the analytic threshold
-      (1/b)^(1/r) ≈ 0.63 for the shipped banding; the VERIFY
-      threshold JACCARD_NUM/JACCARD_DEN = 0.5 sits left of it, so the
-      banding intentionally over-generates candidates near the
+      located on a permille grid: 0.542 for the shipped banding
+      (p(0.542) ≈ 0.5003). Note this is NOT the textbook inflection
+      approximation (1/b)^(1/r) ≈ 0.63 — that point has p ≈ 0.68;
+      the emitted value is the true half-collision crossing. The
+      VERIFY threshold JACCARD_NUM/JACCARD_DEN = 0.5 sits just left
+      of it, so the banding over-generates candidates near the
       threshold and lets the exact verify reject — the standard
-      high-recall LSH posture).
+      high-recall LSH posture.
     - ``n_truth_above`` / ``n_banded_above`` / ``recall_above_ppm`` —
       of the exhaustive truth pairs (the ``dedup_lsh_recall``
       construction) whose capped Jaccard sits AT or ABOVE the p=1/2
@@ -856,20 +870,10 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- observed side: truth pairs with exact similarity (ppm) and
     # whether the bands caught them (the dedup_lsh_recall relations)
     sh = _doc_shingles(spark, sf_dir)
-    capped = _df_capped_shingles(sh, NGRAM_DF_CAP)
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a0, b0 = capped.alias("a"), capped.alias("b")
-    pair_inter = (
-        a0.join(
-            b0,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pair_inter, sizes = _capped_pair_relations(
+        _df_capped_shingles(sh, NGRAM_DF_CAP)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    sa, sb = _size_sides(sizes)
     truth = (
         pair_inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -885,53 +889,7 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_ppm"),
         )
     )
-    hashed = sh.select(
-        "doc_id",
-        F.concat(
-            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
-            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
-        ).alias("hh"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(F.col("hh"), 1 + 5 * j, 5)).alias(f"m{j}")
-            for j in range(MINHASH_K)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"m{b * MINHASH_BAND_R + r}")
-                                    for r in range(MINHASH_BAND_R)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bhash")
-    ba, bb = bands.alias("a"), bands.alias("b")
-    cands = (
-        ba.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .withColumn("c", F.lit(1))
-    )
+    cands = _banded_candidates(sh).withColumn("c", F.lit(1))
     pair_p = "(CAST(exact_ppm AS DOUBLE) / CAST(1000000 AS DOUBLE))"
     above = (
         truth.crossJoin(F.broadcast(t_half))

@@ -1711,12 +1711,17 @@ def _trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     sample = corpus.sample(
         fraction=IVF_TRAINED_SAMPLE_FRACTION, seed=IVF_TRAINED_SEED
     ).localCheckpoint()
-    # Bernoulli can sample a tiny corpus to ZERO rows (the sample is a
-    # cost optimization, not semantics): fall back to the full corpus;
-    # an empty corpus cannot train — memoize None and let callers emit
-    # their declared empty result. k clamps to the training row count.
+    # Bernoulli can sample a tiny corpus BELOW PQ_K rows (or to zero) —
+    # the sample is a cost optimization, not semantics, and a k-clamped
+    # fit on fewer rows than the stand-in book's PQ_K codewords could
+    # legitimately LOSE the audit's distortion comparison (the oracle
+    # pins trained_no_worse = 1). Fall back to the full corpus whenever
+    # the sample is smaller than PQ_K: then k = min(PQ_K, |corpus|)
+    # matches the stand-in book's own size (it too has at most |corpus|
+    # codewords). An empty corpus cannot train — memoize None and let
+    # callers emit their declared empty result.
     n = sample.count()
-    if n == 0:
+    if n < PQ_K:
         sample = corpus.localCheckpoint()
         n = sample.count()
         if n == 0:
@@ -1981,8 +1986,19 @@ def emb_pq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    rsubs = _pq_subvectors(assigned.select("vec_id", "v_fp")).join(
-        assigned.select("vec_id", "cell"), "vec_id"
+    # carry `cell` through the subvector explode (no self-join back to
+    # the shuffle-bearing assignment aggregate — review r13 finding)
+    rsubs = assigned.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"slice(v_fp, {m * PQ_SUB + 1}, {PQ_SUB})")
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
     )
     book = rsubs.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)

@@ -188,10 +188,10 @@ def viterbi_segment(w: str, prob: dict[str, float]) -> list[str]:
                 f"reconstructs position {i} of {w!r}"
             )
     pieces.reverse()
-    if "".join(pieces) != w:
-        raise ValueError(
-            f"viterbi reconstruction mismatch for {w!r}: {pieces!r}"
-        )
+    # (no final join-check: the walk appends contiguous w[i-l:i]
+    # slices down to position 0, so ''.join(pieces) == w holds by
+    # construction whenever the loop completes — non-completion is
+    # exactly the for-else raise above)
     return pieces
 
 
@@ -208,11 +208,16 @@ def _segment_udf(prob: dict[str, float]):
 
 def _unigram_model(
     spark: SparkSession, sf_dir: str
-) -> tuple[dict[str, int], int, dict[str, int], int]:
-    """(seed_counts, seed_total, apply_counts, apply_total), memoized
-    per (session, sf_dir) — the bounded MODEL artifact (vocab dicts of
-    at most UNI_TOP_MULTI + |alphabet| entries), collected once; the
-    immutable-sf_dir contract is documented on session_scoped_cache."""
+) -> tuple[dict[str, int], int, dict[str, int], int, int]:
+    """(seed_counts, seed_total, apply_counts, apply_total, em1_total),
+    memoized per (session, sf_dir) — the bounded MODEL artifact (vocab
+    dicts of at most UNI_TOP_MULTI + |alphabet| entries), collected
+    once; the immutable-sf_dir contract is documented on
+    session_scoped_cache. em1_total = the EM-1 segmentation's total
+    corpus piece count (sum of the EM counts this pass already
+    aggregates) — kept so consumers (`corpus_unigram_prune`) never
+    re-run the EM-1 segmentation just to recover the scalar (review
+    r13 finding, the r12 redundant-corpus-scan class)."""
     cache = session_scoped_cache(spark, "unigram_model")
     if sf_dir in cache:
         return cache[sf_dir]
@@ -228,6 +233,7 @@ def _unigram_model(
         .collect()
     )
     em = {r["piece"]: r["em"] for r in em_rows}
+    em1_total = sum(em.values())
     # apply vocabulary: EM survivors + single-char coverage floor
     apply_counts = {
         p: em.get(p, 0) if em.get(p, 0) > 0 else 1
@@ -235,7 +241,7 @@ def _unigram_model(
         if em.get(p, 0) > 0 or len(p) == 1
     }
     apply_total = sum(apply_counts.values())
-    cache[sf_dir] = (seed, seed_total, apply_counts, apply_total)
+    cache[sf_dir] = (seed, seed_total, apply_counts, apply_total, em1_total)
     return cache[sf_dir]
 
 
@@ -244,7 +250,7 @@ def corpus_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard-EM re-estimated counts, ranked by post-EM usage. A piece with
     em_count = 0 is what SentencePiece's pruning step would drop — the
     rank IS the prune order."""
-    seed, seed_total, _, _ = _unigram_model(spark, sf_dir)
+    seed, seed_total, _, _, _ = _unigram_model(spark, sf_dir)
     prob = {p: c / seed_total for p, c in seed.items()} if seed_total else {}
     vocab = _seed_counts(spark, sf_dir)
     em = (
@@ -276,7 +282,7 @@ def corpus_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the post-EM vocabulary: per language,
     word/char/piece accounting and the achieved pieces-per-char — the
     corpus_bpe_apply output shape, under the unigram objective."""
-    _, _, apply_counts, apply_total = _unigram_model(spark, sf_dir)
+    _, _, apply_counts, apply_total, _ = _unigram_model(spark, sf_dir)
     prob = (
         {p: c / apply_total for p, c in apply_counts.items()}
         if apply_total
@@ -308,8 +314,12 @@ def corpus_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be a vocabulary member, and the distinct-piece usage count is
     emitted so the oracle's independent segmentation must agree piece
     for piece — a wrong DP tie-break shows up here as a value
-    mismatch, not just a flag."""
-    _, _, apply_counts, apply_total = _unigram_model(spark, sf_dir)
+    mismatch, not just a flag. (Since the ADVICE r12 guard, the kernel
+    itself raises on a non-reconstructing segmentation, so the
+    Spark-side flags cannot silently report a failure — their checked
+    content is the cross-engine agreement with the oracle's
+    independently recomputed flags and census.)"""
+    _, _, apply_counts, apply_total, _ = _unigram_model(spark, sf_dir)
     prob = (
         {p: c / apply_total for p, c in apply_counts.items()}
         if apply_total
@@ -375,17 +385,21 @@ def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``n_em2_survivors`` — pieces still used after the re-EM (the
       NEXT turn's prune order census).
     - ``coverage_ok`` — every distinct word still reconstructs under
-      the pruned vocabulary (the coverage guarantee pruning must not
-      break).
+      the pruned vocabulary. Note the kernel RAISES on a
+      coverage-broken vocabulary (ADVICE r12), so a true Spark-side
+      failure crashes loudly rather than emitting 0; the emitted flag's
+      checked content is the ORACLE's independent recomputation
+      agreeing (plus the hash-exact piece totals, where any DP
+      divergence surfaces as a value mismatch).
 
     Scale: the prune itself is driver-side arithmetic on the bounded
-    MODEL artifact (the memoized vocab dicts); both EM passes are the
-    family's standard shape — Arrow-batched Viterbi over the
-    checkpointed distinct-word relation, keyed integer aggregates with
-    map-side combines; the 1-row aggregates glue via broadcast
+    MODEL artifact (the memoized vocab dicts, which also carry the
+    EM-1 piece total — no re-segmentation to recover it); the re-EM
+    pass is the family's standard shape — Arrow-batched Viterbi over
+    the checkpointed distinct-word relation, keyed integer aggregates
+    with map-side combines; the 1-row aggregates glue via broadcast
     crossJoin."""
-    seed, seed_total, apply_counts, apply_total = _unigram_model(spark, sf_dir)
-    seed_prob = {p: c / seed_total for p, c in seed.items()} if seed_total else {}
+    _, _, apply_counts, _, em1_total = _unigram_model(spark, sf_dir)
     # prune: keep all single chars + the top multi-char pieces by the
     # apply-count rank (count DESC, piece ASC) — the train rank order
     multis = sorted(
@@ -398,9 +412,9 @@ def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     prob3 = {p: c / tot3 for p, c in pruned.items()} if tot3 else {}
 
     wf = _word_freq(spark, sf_dir)
-    em1 = wf.select(F.explode(_segment_udf(seed_prob)("w")).alias("piece"), "f").agg(
-        F.coalesce(F.sum("f"), F.lit(0)).cast("long").alias("n_pieces_em1")
-    )
+    # n_pieces_em1 comes from the memoized model artifact (the EM pass
+    # already aggregated it) — re-segmenting the word relation just to
+    # recover this scalar would be a redundant full Arrow pass
     segged = wf.withColumn("pieces", _segment_udf(prob3)("w")).localCheckpoint()
     bad = (F.concat_ws("", F.col("pieces")) != F.col("w")).cast("long")
     em2_stats = segged.agg(
@@ -412,19 +426,17 @@ def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = segged.select(F.explode("pieces").alias("piece")).agg(
         F.count_distinct("piece").cast("long").alias("n_em2_survivors")
     )
-    return (
-        em1.crossJoin(F.broadcast(em2_stats))
-        .crossJoin(F.broadcast(survivors))
-        .select(
-            F.lit(len(apply_counts)).cast("long").alias("n_vocab_before"),
-            F.lit(len(pruned)).cast("long").alias("n_vocab_after"),
-            F.lit(len(apply_counts) - len(pruned)).cast("long").alias("n_pruned"),
-            "n_pieces_em1",
-            "n_pieces_em2",
-            (F.col("n_pieces_em2") - F.col("n_pieces_em1")).alias("pieces_delta"),
-            "n_em2_survivors",
-            "coverage_ok",
-        )
+    return em2_stats.crossJoin(F.broadcast(survivors)).select(
+        F.lit(len(apply_counts)).cast("long").alias("n_vocab_before"),
+        F.lit(len(pruned)).cast("long").alias("n_vocab_after"),
+        F.lit(len(apply_counts) - len(pruned)).cast("long").alias("n_pruned"),
+        F.lit(em1_total).cast("long").alias("n_pieces_em1"),
+        "n_pieces_em2",
+        (F.col("n_pieces_em2") - F.lit(em1_total)).cast("long").alias(
+            "pieces_delta"
+        ),
+        "n_em2_survivors",
+        "coverage_ok",
     )
 
 

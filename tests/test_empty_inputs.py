@@ -138,3 +138,44 @@ def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname)
     qs = entry_mod.queries()
     n = qs[qname](spark, empty_sf_dir).count()
     assert n >= 0  # executes without error; emptiness is the norm here
+
+
+def test_trained_codebook_tiny_corpus_matches_standin_size(spark):
+    """Review r13: a Bernoulli sample smaller than PQ_K must fall back
+    to the full corpus, so the trained codebook never has fewer
+    codewords than the stand-in book (which would let the
+    oracle-pinned trained_no_worse flag flip on a legitimate tiny
+    corpus). With a 15-vector corpus both books carry 15 codewords
+    per subspace and the audit's predicates all hold."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_K,
+        _standin_pq_model,
+        _trained_codebook,
+        _vfp,
+        ann_ivf_pq_trained_audit,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="adp_tiny_")
+    load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < N_QUERIES + 15
+    ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+    book = _trained_codebook(spark, tmp)
+    per_m = (
+        book.groupBy("m").count().agg(F.min("count"), F.max("count")).collect()[0]
+    )
+    _, standin = _standin_pq_model(_vfp(spark, tmp))
+    standin_per_m = (
+        standin.groupBy("m").count().agg(F.max("count")).collect()[0][0]
+    )
+    # 15-vector corpus < PQ_K=16: both books clamp to 15 codewords
+    assert per_m[0] == per_m[1] == min(PQ_K, 15)
+    assert per_m[0] >= standin_per_m
+    row = ann_ivf_pq_trained_audit(spark, tmp).collect()[0]
+    assert row["trained_no_worse"] == 1
+    assert row["k_ok"] == 1

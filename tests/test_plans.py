@@ -1364,30 +1364,54 @@ def test_pq_trained_audit_broadcasts_and_aggregates(spark):
 
 def test_pq_trained_serves_through_shared_plan(spark):
     """ann_ivf_pq and ann_ivf_pq_trained must produce the same plan
-    SHAPE (both call _ivfpq_search): same operator skeleton modulo the
-    model-relation sources, so a serving-plan regression cannot hit one
-    path only."""
+    SKELETON (both call _ivfpq_search): identical counts of every
+    join/aggregate/window operator family, so a serving-plan
+    regression (a dropped broadcast, a lost map-side combine, an extra
+    sort) cannot hit one path only. Only the model-relation SOURCES
+    may differ (parquet-derived stand-in vs createDataFrame model)."""
+    import re
+    from collections import Counter
+
     from ai_data_pipeline_spark.operators.similarity import (
         ann_ivf_pq,
         ann_ivf_pq_trained,
     )
 
-    for q in (ann_ivf_pq, ann_ivf_pq_trained):
+    families = (
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "HashAggregate",
+        "Window",
+        "Sort",
+        "CartesianProduct",
+    )
+
+    def skeleton(q):
         plan = _plan(q(spark, SF_DIR))
+        nodes = re.findall(r"\b(\w+)\b", plan)
+        return Counter(n for n in nodes if n in families), plan
+
+    sk_std, plan_std = skeleton(ann_ivf_pq)
+    sk_tr, plan_tr = skeleton(ann_ivf_pq_trained)
+    assert sk_std == sk_tr, (sk_std, sk_tr)
+    for plan in (plan_std, plan_tr):
         assert "CartesianProduct" not in plan
-        # the ADC sum and the min_by encode both combine map-side
-        assert "partial_" in plan
+        assert "partial_" in plan  # map-side combines on encode + ADC sum
 
 
 def test_unigram_prune_stays_arrow_and_aggregates(spark):
-    """The prune turn segments with the Arrow-batched kernel (never
-    row-at-a-time Python), recounts via map-side-combined aggregates,
-    and glues its 1-row stats with broadcast joins, never a
-    CartesianProduct."""
+    """The prune turn reads its re-EM segmentation from the
+    checkpointed relation (Scan ExistingRDD — the Arrow kernel runs
+    once building it; the kernel's Arrow/never-BatchEval property is
+    pinned on the family by test_unigram_family_aggregates_and_stays_
+    arrow), recounts via map-side-combined aggregates, and glues its
+    1-row stats with broadcast joins, never a CartesianProduct."""
     from ai_data_pipeline_spark.operators.unigram import corpus_unigram_prune
 
     plan = _plan(corpus_unigram_prune(spark, SF_DIR))
-    assert "ArrowEvalPython" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed segmentation
     assert "BatchEvalPython" not in plan
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
