@@ -390,6 +390,11 @@ _UNPROVEN_PRIORITY: list[str] = [
     # engulfed copies symmetric Jaccard misses)
     "emb_pq_residual_encode",
     "dedup_containment",
+    # round-13 late batch (declared after the closing full sweeps;
+    # drive_subset-verified at all three SFs): Poissonized bootstrap
+    # SE — the second model-free check of the analytic HT error bar,
+    # Poisson(1) weights from offline-computed integer CDF literals
+    "aqp_bootstrap",
 ]
 
 

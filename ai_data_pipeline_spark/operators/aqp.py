@@ -663,8 +663,169 @@ FROM calc
 """
 
 
+AQP_BOOT_B = 16  # bootstrap replicates
+# Poisson(1) CDF thresholds in ppm — P(X <= k) for k = 0..7, computed
+# OFFLINE in Python (floor(exp(-1)·Σ 1/i! · 1e6)) and baked as integer
+# literals so no transcendental evaluates in either engine (the
+# retrieval_ranking_metrics log2-discount precedent). A uniform ppm
+# draw mapped through this CASE ladder is a Poisson(1) weight capped
+# at 8 (P(X > 7) ≈ 1e-5 — the cap biases the weight mean by < 1e-4,
+# orders of magnitude inside the 3x SE-consistency band).
+_POIS1_CDF_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
+
+
+def _boot_weight_sql(u: str) -> str:
+    """Poisson(1) bootstrap weight from a uniform ppm draw — shared
+    SQL text, dialect-neutral (pure integer comparisons)."""
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF_PPM)
+    )
+    return f"(CASE {cases} ELSE {len(_POIS1_CDF_PPM)} END)"
+
+
+def aqp_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POISSONIZED BOOTSTRAP error bar (Efron's bootstrap in its
+    streaming/online form: each row enters replicate b with an
+    independent Poisson(1) multiplicity, so no global resample pass is
+    needed) — the second model-free check of the analytic HT standard
+    error next to ``aqp_jackknife``'s delete-one-group spread, and the
+    one that generalizes to arbitrary non-linear estimators at 100 TB
+    (quantiles, ratios) where neither a variance formula nor clean
+    subsample groups exist.
+
+    AQP_BOOT_B replicates over the 1/64 hash sample: replicate b's
+    weight for a row is the Poisson(1) quantile of a deterministic
+    per-(row, b) md5 ppm draw (thresholds are offline-computed integer
+    literals — no transcendentals in-engine), each replicate estimate
+    is AQP_DENOM · Σ w·cents (exact integer cents), and the bootstrap
+    SE comes from the replicates' spread via the same exact-integer
+    identity (B·Σx² − (Σx)²) and $100k units as the jackknife. The
+    audit flag asserts bootstrap and analytic SEs agree within 3×
+    either way — a RATIO-consistency band (the aqp_jackknife
+    precedent, NOT the 5σ additive convention): with B = 16 the
+    bootstrap SE itself carries ~18% relative noise, and analytically
+    the Poisson bootstrap targets 64²·Σy² vs HT's 64·63·Σy², a 1.008
+    ratio — verified stable at all three SFs.
+
+    Scale: one pruned scan of the sample, a B-way generated explode
+    (the shuffle carries (b, w·cents) partial sums — map-side combine
+    collapses each task to ≤ B rows), a B-row aggregate, and 1-row
+    broadcast glue. At 100 TB the same plan holds: replicate weights
+    are computed inline from the row key, nothing is materialized or
+    resampled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("key"),
+        _row_hash_expr().alias("h"),
+        _rev_cents_expr().alias("cents"),
+    ).filter(F.col("h") % AQP_DENOM == 0)
+    u = (
+        f"CAST(conv(substring(md5(concat(key, '|', CAST(b AS STRING))), 1,"
+        f" {AQP_HEX}), 16, 10) AS BIGINT) % 1000000"
+    )
+    reps = base.select(
+        "key",
+        "cents",
+        F.explode(F.expr(f"sequence(0, {AQP_BOOT_B - 1})")).alias("b"),
+    ).select(
+        "b", (F.expr(_boot_weight_sql(u)) * F.col("cents")).alias("wc")
+    )
+    per_rep = reps.groupBy("b").agg(
+        F.expr(f"(sum(wc) * {AQP_DENOM}) div {JACK_UNIT}").alias("x_kd")
+    )
+    # empty-sample coalesces on every sum (the ADVICE r11 AQP class):
+    # a zero-row table must yield the same all-zero row as the oracle
+    stats = per_rep.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.coalesce(F.sum("x_kd"), F.lit(0)).alias("sx"),
+        F.coalesce(F.sum(F.col("x_kd") * F.col("x_kd")), F.lit(0)).alias("sxx"),
+    )
+    ht = base.agg(
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("s_all"),
+        F.coalesce(
+            F.sum(F.expr("(cents div 100) * (cents div 100)")), F.lit(0)
+        ).alias("ssq"),
+    )
+    # bootstrap: V = (B·Σx² − (Σx)²) / (B·(B−1)); se back to cents
+    d = (
+        F.col("n_replicates") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    se_boot = F.floor(
+        F.sqrt(d / F.lit(float(AQP_BOOT_B * (AQP_BOOT_B - 1))))
+        * F.lit(float(JACK_UNIT))
+    ).cast("long")
+    se_ht = F.expr(f"ci div {AQP_Z}")
+    return (
+        stats.crossJoin(F.broadcast(ht))
+        .withColumn("ci", _ci_cents(F.col("ssq"), AQP_DENOM))
+        .select(
+            "n_replicates",
+            (F.col("s_all") * AQP_DENOM).alias("est_cents"),
+            se_boot.alias("se_boot_cents"),
+            se_ht.alias("se_ht_cents"),
+            ((se_boot * 3 >= se_ht) & (se_boot <= se_ht * 3))
+            .cast("int")
+            .alias("se_consistent"),
+        )
+    )
+
+
+def _bootstrap_oracle() -> str:
+    u = (
+        "CAST(('0x' || substr(md5(key || '|' || CAST(b AS VARCHAR)), 1,"
+        f" {AQP_HEX})) AS BIGINT) % 1000000"
+    )
+    se_ht = f"{_ci_cents_sql('ssq', AQP_DENOM)} // {AQP_Z}"
+    return f"""
+WITH base AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+           AS key,
+         {_row_hash_sql()} AS h, {_REV_CENTS_SQL} AS cents
+  FROM lineitem
+), samp AS (
+  SELECT key, cents FROM base WHERE h % {AQP_DENOM} = 0
+), reps AS (
+  SELECT b, {_boot_weight_sql(u)} * cents AS wc
+  FROM samp CROSS JOIN range(0, {AQP_BOOT_B}) t(b)
+), per_rep AS (
+  SELECT b, (CAST(sum(wc) AS BIGINT) * {AQP_DENOM}) // {JACK_UNIT} AS x_kd
+  FROM reps GROUP BY b
+), st AS (
+  SELECT count(*) AS n_replicates,
+         CAST(coalesce(sum(x_kd), 0) AS BIGINT) AS sx,
+         CAST(coalesce(sum(x_kd * x_kd), 0) AS BIGINT) AS sxx
+  FROM per_rep
+), ht AS (
+  SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS s_all,
+         CAST(coalesce(sum((cents // 100) * (cents // 100)), 0) AS BIGINT)
+           AS ssq
+  FROM samp
+)
+SELECT n_replicates,
+       s_all * {AQP_DENOM} AS est_cents,
+       CAST(floor(sqrt(CAST(n_replicates * sxx - sx * sx AS DOUBLE)
+                       / {float(AQP_BOOT_B * (AQP_BOOT_B - 1))})
+                  * {float(JACK_UNIT)}) AS BIGINT) AS se_boot_cents,
+       CAST({se_ht} AS BIGINT) AS se_ht_cents,
+       CAST(CAST(floor(sqrt(CAST(n_replicates * sxx - sx * sx AS DOUBLE)
+                            / {float(AQP_BOOT_B * (AQP_BOOT_B - 1))})
+                       * {float(JACK_UNIT)}) AS BIGINT) * 3
+              >= CAST({se_ht} AS BIGINT)
+            AND CAST(floor(sqrt(CAST(n_replicates * sxx - sx * sx AS DOUBLE)
+                                / {float(AQP_BOOT_B * (AQP_BOOT_B - 1))})
+                          * {float(JACK_UNIT)}) AS BIGINT)
+              <= CAST({se_ht} AS BIGINT) * 3 AS INT) AS se_consistent
+FROM st CROSS JOIN ht
+"""
+
+
 QUERY_DEFS = [
     QueryDef("aqp_sample_estimate", aqp_sample_estimate, _sample_estimate_oracle()),
+    QueryDef("aqp_bootstrap", aqp_bootstrap, _bootstrap_oracle()),
     QueryDef("aqp_group_estimate", aqp_group_estimate, _group_estimate_oracle()),
     QueryDef("aqp_universe_join", aqp_universe_join, _universe_join_oracle()),
     QueryDef("aqp_sample_staircase", aqp_sample_staircase, _staircase_oracle()),

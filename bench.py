@@ -224,6 +224,7 @@ HEADLINE = [
     "dedup_lsh_band_tuning",
     "emb_pq_residual_encode",
     "dedup_containment",
+    "aqp_bootstrap",
 ]
 
 

@@ -130,6 +130,7 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("dedup", "dedup_lsh_band_tuning"),
         ("similarity", "emb_pq_residual_encode"),
         ("dedup", "dedup_containment"),
+        ("aqp", "aqp_bootstrap"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

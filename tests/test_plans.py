@@ -1456,6 +1456,20 @@ def test_containment_joins_on_shingle_and_combines(spark):
     assert "partial_" in plan
 
 
+def test_bootstrap_single_scan_and_combines(spark):
+    """The bootstrap scans the lineitem sample, fans out replicates
+    via a generated explode (map-side partial sums collapse each task
+    to <= B rows), and glues 1-row aggregates by broadcast — no
+    CartesianProduct, no second data scan beyond the HT side."""
+    from ai_data_pipeline_spark.operators.aqp import aqp_bootstrap
+
+    plan = _plan(aqp_bootstrap(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row HT side broadcast
+    assert "partial_" in plan  # map-side combine on the replicate sums
+    assert plan.count("Scan parquet") == 2  # replicate side + HT side
+
+
 def test_watermark_log_reads_checkpoint_once(spark):
     """The watermark query must read the materialized update log (Scan
     ExistingRDD), scan events parquet exactly once (the max-ts scalar),
