@@ -314,32 +314,45 @@ def _driver_evidence(
 # plan shape, re-proven per convention (the r12 ann_ivf precedent).
 # Re-verified green vs oracle at sf0.001/0.01/0.1 via
 # tools/drive_subset.py on the new code.
+# [r13 cohort (ann_ivf_pq serving extraction, unigram MATERIALIZED
+# oracles, stream fixture memoization, dedup shared-helper cohort)
+# all re-proved green in CORRECTNESS_r13.json — cleared.]
+# r14 rewrites (ADVICE r13 cohort):
+# (a) aqp_bootstrap — the uniform ppm draw is now projected once as a
+#     column and the Poisson CASE ladder compares the column (both
+#     engines); previously each of the 8 WHEN branches re-inlined the
+#     md5/conv expression. Same draw, same weights, same output.
+# (b) dedup_minhash_lsh / dedup_minhash_estimate — their verbatim
+#     signature/banding copies replaced by the shared
+#     _hashed_digests/_sig_relation/_band_relation/
+#     _candidates_from_bands decomposition that _banded_candidates
+#     (the recall + band-tuning audits) is now built from; a banding
+#     change hits every consumer at once.
+# (c) dedup_lsh_recall / dedup_lsh_band_tuning — consumers of
+#     _banded_candidates, whose sig sub-plan gained a (pruned) sz
+#     column in the decomposition. Identical candidate output.
+# All re-verified green vs oracle at sf0.001/0.01/0.1 via
+# tools/drive_subset.py on the new code.
+# (d) ann_ivf_pq — _ivfpq_search split into _ivfpq_approx +
+#     _ivfpq_rerank (identical composition) so ann_ivf_pq_rerank and
+#     the trained audit can price the re-rank stage; plan unchanged.
+# (e) ann_ivf_pq_trained_audit — gained the trained-path
+#     rerank_ge_adc_ok predicate (oracle changed: new literal column)
+#     and now builds the trained ADC relation once for both paths.
+# (f) dedup_containment — the corpus now includes deterministic
+#     planted wrapper docs (A+' '+successor, offset ids) so the
+#     asymmetric engulfed case is REAL on the fixture, plus the
+#     n_jaccard_missed census + planted_catch_ok flag (VERDICT r13
+#     task #4); oracle changed to match.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    "ann_ivf_pq",
-    # r13: the unigram apply/roundtrip ORACLES gained MATERIALIZED
-    # hints on em/vocab2/seg (DuckDB 1.0 re-inlines CTEs per
-    # reference, dragging the pass-1 recursive DP behind each one) —
-    # identical results, ~40x cheaper gate budget (the r12
-    # observation #2 cost note). Spark side untouched; re-proven per
-    # the oracle-changed convention.
-    "corpus_unigram_apply",
-    "corpus_unigram_roundtrip",
-    # r13: _three_batch_source_dir is now memoized per (session,
-    # sf_dir) — the fixture rebuild on every call dominated
-    # stream_first_touch's measured time (VERDICT r12 task #3).
-    # Deterministic fixture, identical results; both consumers
-    # re-verified green vs oracle at sf0.001/0.01/0.1.
-    "stream_first_touch",
-    "stream_late_data_drop",
-    # r13 review cohort: the df-capped pair-intersection and the
-    # MinHash banding sub-plans were extracted into shared helpers
-    # (_capped_pair_relations/_banded_candidates — four verbatim
-    # copies before), and _unigram_model's tuple gained the memoized
-    # EM-1 piece total (consumers' unpack lines changed). Identical
-    # plans/results; re-verified green vs oracle at the three SFs.
-    "dedup_ngram_jaccard",
+    "aqp_bootstrap",
+    "dedup_minhash_lsh",
+    "dedup_minhash_estimate",
     "dedup_lsh_recall",
-    "corpus_unigram_train",
+    "dedup_lsh_band_tuning",
+    "ann_ivf_pq",
+    "ann_ivf_pq_trained_audit",
+    "dedup_containment",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver
@@ -348,6 +361,15 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
 # proven tier. Cleared r8: the three r7 deferrals now rank as ordinary
 # never-green tier-1 entries (first driver slots) automatically.
 _NEW_DEFERRED: set[str] = set()
+
+# Rows whose (weaker, rows-only) execution evidence has gone stale and
+# which the proven tier's oldest-first rotation keeps missing (it
+# orders by round, and the oracle-green tiers drain first): force them
+# into the first driver slots this round, after the rewrite re-proofs
+# but ahead of the proven rotation. r14: ann_mllib_brp last executed
+# r10 (VERDICT r13 task #2 — r12 task #7 asked and the rotation
+# didn't surface it).
+_FORCED_REFRESH: set[str] = {"ann_mllib_brp"}
 
 # Red rows re-fixed in the current round go here so the fix is
 # driver-proven first. (The r10 cohort — the seven DECIMAL-output
@@ -390,11 +412,23 @@ _UNPROVEN_PRIORITY: list[str] = [
     # engulfed copies symmetric Jaccard misses)
     "emb_pq_residual_encode",
     "dedup_containment",
-    # round-13 late batch (declared after the closing full sweeps;
-    # drive_subset-verified at all three SFs): Poissonized bootstrap
-    # SE — the second model-free check of the analytic HT error bar,
-    # Poisson(1) weights from offline-computed integer CDF literals
-    "aqp_bootstrap",
+    # [the r13 cohort above went green in CORRECTNESS_r13.json and
+    # now ranks in the proven tier — cleared.]
+    # round-14: the bootstrap generalized to a genuinely non-linear
+    # estimator (VERDICT r13 task #3 — avg revenue per ORDER, a ratio
+    # of correlated sums, order-keyed cluster sample, bootstrap SE vs
+    # delta-method SE 3x band + 5σ band vs the exact population ratio)
+    "aqp_bootstrap_ratio",
+    # round-14: the re-rank stage priced against the plain-ADC ranking
+    # on the same candidate relation (VERDICT r13 task #5 — per-query
+    # ADC/re-rank/truth hit census under the stand-in model,
+    # hash-exact; the rerank>=adc flag is a theorem)
+    "ann_ivf_pq_rerank",
+    # round-14: the SentencePiece loop run to a target — two
+    # consecutive prune turns (10 -> 6 multis), each EM's counts
+    # ranking the next prune, exact-integer loss trajectory + monotone
+    # flags, three-DP-pass MATERIALIZED oracle (VERDICT r13 task #6)
+    "corpus_unigram_converge",
 ]
 
 
@@ -419,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(name: str) -> tuple[int, int]:
         if name in refixed_rank:
             return (0, refixed_rank[name])
+        if name in _FORCED_REFRESH:  # stale evidence, rotation-missed
+            return (2, 3)
         if name not in oracled:
             if name not in seen:
                 # rows-only with NO driver row ever: ahead of the proven

@@ -160,29 +160,38 @@ def _size_sides(sizes: DataFrame) -> tuple[DataFrame, DataFrame]:
     return sa, sb
 
 
-def _banded_candidates(sh: DataFrame) -> DataFrame:
-    """Distinct banded candidate pairs (doc_a < doc_b) from the raw
-    shingle relation — the dedup_minhash_lsh signature/banding
-    construction shared verbatim by the recall and band-tuning audits
-    (review r13): per-doc MinHash signature (MINHASH_K 5-hex-char
-    slot minima over the doubled md5), per-band bucket hash, equi-join
-    on (band, bhash). Signatures are fixed-width; shingle sets never
-    ride the pair join."""
-    hashed = sh.select(
+def _hashed_digests(sh: DataFrame) -> DataFrame:
+    """(doc_id, hh) — the 256-bit double-md5 shingle digest every
+    MinHash consumer derives its signature slots and verify joins
+    from. Digests, never shingle text, are what ride any shuffle."""
+    return sh.select(
         "doc_id",
         F.concat(
             F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
             F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
         ).alias("hh"),
     )
-    sig = hashed.groupBy("doc_id").agg(
+
+
+def _sig_relation(hashed: DataFrame) -> DataFrame:
+    """Fixed-width MinHash signature (doc_id, m0..m{K-1}, sz): per-doc
+    slot minima of MINHASH_K 5-hex-char slices of the doubled md5,
+    plus the shingle-set size. Consumers that don't need ``sz`` get it
+    pruned by Catalyst for free."""
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min(F.substring(F.col("hh"), 1 + 5 * j, 5)).alias(f"m{j}")
             for j in range(MINHASH_K)
-        ]
+        ],
+        F.count(F.lit(1)).alias("sz"),
     )
+
+
+def _band_relation(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bhash): one row per (doc, band) with the band's
+    bucket hash over its MINHASH_BAND_R signature slots."""
     n_bands = MINHASH_K // MINHASH_BAND_R
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -204,6 +213,11 @@ def _banded_candidates(sh: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bhash")
+
+
+def _candidates_from_bands(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from shared band
+    buckets — an equi-join on (band, bhash), never a cross join."""
     ba, bb = bands.alias("a"), bands.alias("b")
     return (
         ba.join(
@@ -215,6 +229,17 @@ def _banded_candidates(sh: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _banded_candidates(sh: DataFrame) -> DataFrame:
+    """Distinct banded candidate pairs (doc_a < doc_b) from the raw
+    shingle relation — THE dedup_minhash_lsh signature/banding
+    construction, shared by the headline LSH query, the estimate
+    audit, the recall audit, and the band-tuning audit (ADVICE r13:
+    previously the LSH/estimate queries carried verbatim copies; a
+    banding change now hits every consumer at once). Signatures are
+    fixed-width; shingle sets never ride the pair join."""
+    return _candidates_from_bands(_band_relation(_sig_relation(_hashed_digests(sh))))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,55 +314,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent md5s has probability ~n²/2²⁵⁷, and the join is no wider
     per row than the 128-bit prefix previously used plus 32 bytes.)"""
     sh = _doc_shingles(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id",
-        F.concat(
-            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
-            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
-        ).alias("hh"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(F.col("hh"), 1 + 5 * j, 5)).alias(f"m{j}")
-            for j in range(MINHASH_K)
-        ],
-        F.count(F.lit(1)).alias("sz"),
-    ).cache()
-    n_bands = MINHASH_K // MINHASH_BAND_R
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"m{b * MINHASH_BAND_R + r}")
-                                    for r in range(MINHASH_BAND_R)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bhash")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    hashed = _hashed_digests(sh)
+    # sig feeds both the band construction and the size join sides —
+    # cache the fixed-width relation, not the shingles
+    sig = _sig_relation(hashed).cache()
+    cands = _candidates_from_bands(_band_relation(sig))
     # verify candidates with exact jaccard via a digest join: intersect
     # |A ∩ B| by joining each candidate pair against the (doc_id, digest)
     # relation on both sides — digests only on the wire, never sets.
@@ -433,54 +414,10 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-collision of independent md5s (~n²/2²⁵⁷), the price of never
     shipping shingle sets over the wire."""
     sh = _doc_shingles(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id",
-        F.concat(
-            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
-            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
-        ).alias("hh"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(F.col("hh"), 1 + 5 * j, 5)).alias(f"m{j}")
-            for j in range(MINHASH_K)
-        ],
-        F.count(F.lit(1)).alias("sz"),
-    ).cache()
-    n_bands = MINHASH_K // MINHASH_BAND_R
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"m{b * MINHASH_BAND_R + r}")
-                                    for r in range(MINHASH_BAND_R)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bhash")
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    hashed = _hashed_digests(sh)
+    # sig feeds the bands AND the slot-equality estimate columns below
+    sig = _sig_relation(hashed).cache()
+    cands = _candidates_from_bands(_band_relation(sig))
     # exact-Jaccard verify as a candidates⋈shingle-digest join (same
     # discipline as dedup_minhash_lsh): each side of the intersection
     # count joins the (doc_id, full 256-bit digest) relation — the wire
@@ -704,38 +641,53 @@ FROM joined
 CONTAIN_NUM, CONTAIN_DEN = 4, 5  # containment threshold 0.8
 
 
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric CONTAINMENT near-dup detection — the quote/superset
-    pairs symmetric Jaccard misses: a short document fully quoted
-    inside a long one has tiny Jaccard (union is dominated by the long
-    doc) but containment |A∩B| / min(|A|, |B|) ≈ 1. This is the
-    standard second axis of corpus dedup (Broder's containment score):
-    Jaccard catches same-size near-copies, containment catches
-    engulfed copies, boilerplate wrappers, and quote farms.
+# Engulfed-duplicate planting for the containment query (VERDICT r13
+# task #4): the driver's documents fixture plants only same-size
+# near-copies, on which containment ≡ Jaccard — so the asymmetric case
+# the query exists for (a doc fully engulfed in a longer wrapper) is
+# planted HERE, deterministically and identically in both engines:
+# every CONTAIN_PLANT_MOD-th doc A is concatenated with its successor C
+# into a wrapper doc W = A + ' ' + C carrying an offset id. W contains
+# BOTH A and C near-fully, while Jaccard(A, W) ≈ |A|/(|A|+|C|), which
+# drops below the 0.5 verify threshold whenever the partner is the
+# larger side — the quote-farm signature.
+CONTAIN_PLANT_MOD = 97
+CONTAIN_PLANT_OFFSET = 1_000_000_000  # above any real doc_id
 
-    Pairs over the df-capped shingle universe (the declared similarity
-    universe of the dedup tier — boilerplate shingles carry no
-    near-dup signal and would otherwise make every doc "contain" the
-    boilerplate) whose smaller side is ≥ CONTAIN_NUM/CONTAIN_DEN
-    contained in the other, with the exact integer evidence columns:
-    shingle counts, intersection, containment in ppm, and the Jaccard
-    in ppm (so the relation shows exactly which pairs containment
-    catches that Jaccard's 0.5 threshold misses — on the synthetic
-    fixture the planted duplicates are same-size copies, so the two
-    sets coincide, measured 0 jaccard-missed rows at all three SFs;
-    on a quoting/engulfing corpus the jaccard_ppm column separates
-    them).
 
-    Scale: the same df-capped self-join shape as ``dedup_ngram_pairs``
-    / ``dedup_lsh_recall`` truth — no shingle contributes more than
-    C(NGRAM_DF_CAP, 2) pair rows, intersection is a keyed count with
-    map-side combines, and sizes join back by doc key. Production
-    banding note: containment candidates at 100 TB come from the SAME
-    MinHash band buckets (a contained doc's minima are a subset-biased
-    sample of the container's), with this exact join as the verify
-    stage."""
+def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment corpus: the shared shingle relation plus the
+    shingles of the planted wrapper docs (the wrappers re-shingle
+    their concatenated text, so junction trigrams spanning the A|C
+    seam exist exactly as they would in a real quoting document)."""
+    base = _doc_shingles(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a, c = d.alias("a"), d.alias("c")
+    planted = (
+        a.filter(F.col("a.doc_id") % CONTAIN_PLANT_MOD == 0)
+        .join(c, F.col("c.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            (F.col("a.doc_id") + F.lit(CONTAIN_PLANT_OFFSET)).alias("doc_id"),
+            F.concat(F.col("a.text"), F.lit(" "), F.col("c.text")).alias(
+                "text"
+            ),
+        )
+    )
+    # same materialize-the-split-behind-an-exchange trick as
+    # _doc_shingles (the SHINGLES_SPARK O(tokens²) note)
+    psh = (
+        planted.select("doc_id", F.split(F.col("text"), r"\s+").alias("l"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle"))
+    )
+    return base.unionByName(psh)
+
+
+def _containment_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw containment-pair relation (pre-census) — kept as a
+    separate builder so plan tests see the un-checkpointed subtree."""
     pair_inter, sizes = _capped_pair_relations(
-        _df_capped_shingles(_doc_shingles(spark, sf_dir), NGRAM_DF_CAP)
+        _df_capped_shingles(_containment_shingles(spark, sf_dir), NGRAM_DF_CAP)
     )
     sa, sb = _size_sides(sizes)
     return (
@@ -745,7 +697,65 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             CONTAIN_DEN * F.col("inter")
             >= CONTAIN_NUM * F.least("sz_a", "sz_b")
         )
+    )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup detection — the quote/superset
+    pairs symmetric Jaccard misses: a short document fully quoted
+    inside a long one has tiny Jaccard (union is dominated by the long
+    doc) but containment |A∩B| / min(|A|, |B|) ≈ 1. This is the
+    standard second axis of corpus dedup (Broder's containment score):
+    Jaccard catches same-size near-copies, containment catches
+    engulfed copies, boilerplate wrappers, and quote farms.
+
+    The corpus is the documents table plus deterministic planted
+    wrapper docs (``_containment_shingles`` — the driver fixture's
+    duplicates are same-size copies, on which containment ≡ Jaccard;
+    the wrappers make the asymmetric case REAL on every fixture SF).
+    Pairs over the df-capped shingle universe whose smaller side is ≥
+    CONTAIN_NUM/CONTAIN_DEN contained in the other, with exact integer
+    evidence columns (shingle counts, intersection, containment ppm,
+    Jaccard ppm) plus the corpus-level census this query exists to
+    demonstrate: ``n_jaccard_missed`` = containment pairs whose
+    Jaccard sits BELOW the 0.5 verify threshold (pairs the symmetric
+    path would never emit), with ``planted_catch_ok`` asserting it is
+    nonzero — measured 8 / 7 / 60 missed pairs at sf0.001/0.01/0.1.
+
+    Scale: the same df-capped self-join shape as ``dedup_ngram_pairs``
+    / ``dedup_lsh_recall`` truth — no shingle contributes more than
+    C(NGRAM_DF_CAP, 2) pair rows, intersection is a keyed count with
+    map-side combines, sizes join back by doc key, and the planting
+    adds |docs|/CONTAIN_PLANT_MOD wrapper docs via one equi-join (no
+    new shuffle class). The scored relation feeds both the census and
+    the output — localCheckpointed so the pair self-join runs once.
+    Production banding note: containment candidates at 100 TB come
+    from the SAME MinHash band buckets (a contained doc's minima are a
+    subset-biased sample of the container's), with this exact join as
+    the verify stage."""
+    scored = _containment_scored(spark, sf_dir).localCheckpoint()
+    census = (
+        scored.agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        JACCARD_DEN * F.col("inter")
+                        < JACCARD_NUM
+                        * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_jaccard_missed")
+        )
         .select(
+            "n_jaccard_missed",
+            (F.col("n_jaccard_missed") > 0).cast("int").alias(
+                "planted_catch_ok"
+            ),
+        )
+    )
+    return (
+        scored.select(
             "doc_a",
             "doc_b",
             "inter",
@@ -758,14 +768,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard_ppm"
             ),
         )
+        .crossJoin(F.broadcast(census))
     )
 
 
 def _containment_oracle() -> str:
     return rf"""
-WITH sh0 AS (
-  SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM {SHINGLES_DUCK_FROM}
-), capped AS (
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT a.doc_id + {CONTAIN_PLANT_OFFSET} AS doc_id,
+         a.text || ' ' || c.text AS text
+  FROM documents a JOIN documents c ON c.doc_id = a.doc_id + 1
+  WHERE a.doc_id % {CONTAIN_PLANT_MOD} = 0
+), sh0 AS MATERIALIZED (
+  SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l FROM aug)
+), capped AS MATERIALIZED (
   SELECT doc_id, shingle FROM sh0
   WHERE shingle IN (
     SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}
@@ -777,17 +796,26 @@ WITH sh0 AS (
   FROM capped a JOIN capped b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+), scored AS MATERIALIZED (
+  SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b
+  FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE {CONTAIN_DEN} * inter >= {CONTAIN_NUM} * least(sa.sz, sb.sz)
+), census AS (
+  SELECT CAST(coalesce(sum(CASE WHEN {JACCARD_DEN} * inter
+                                     < {JACCARD_NUM} * (sz_a + sz_b - inter)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_jaccard_missed
+  FROM scored
 )
-SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
-       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
-       (CAST(inter AS BIGINT) * 1000000) // least(sa.sz, sb.sz)
-         AS containment_ppm,
-       (CAST(inter AS BIGINT) * 1000000) // (sa.sz + sb.sz - inter)
-         AS jaccard_ppm
-FROM pair_inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE {CONTAIN_DEN} * inter >= {CONTAIN_NUM} * least(sa.sz, sb.sz)
+SELECT s.doc_a, s.doc_b, s.inter, s.sz_a, s.sz_b,
+       (s.inter * 1000000) // least(s.sz_a, s.sz_b) AS containment_ppm,
+       (s.inter * 1000000) // (s.sz_a + s.sz_b - s.inter) AS jaccard_ppm,
+       c.n_jaccard_missed,
+       CAST(c.n_jaccard_missed > 0 AS INT) AS planted_catch_ok
+FROM scored s CROSS JOIN census c
 """
 
 

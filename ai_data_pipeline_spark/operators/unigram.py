@@ -440,6 +440,136 @@ def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Turn-2 multi-char survivor target of the convergence loop: below the
+# turn-1 keep (10) so the second prune is a real event at every
+# fixture SF, above the alphabet floor so the vocabulary still
+# carries multi-char structure.
+UNI_CONVERGE_KEEP2 = 6
+
+
+def corpus_unigram_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SentencePiece train loop RUN TO A TARGET, not just one turn
+    (VERDICT r13 task #6 — ``corpus_unigram_prune`` proves a single
+    EM→prune→re-EM turn; real trainers iterate until the vocabulary
+    hits its size budget): two consecutive prune turns driven off each
+    other's EM counts, with the exact-integer loss trajectory logged
+    per turn (1 row):
+
+    - turn 0 = the post-EM apply vocabulary (the ``_unigram_model``
+      state) with its EM-1 corpus piece total;
+    - turn 1 = prune multis to UNI_PRUNE_KEEP_MULTI by the train rank
+      (count DESC, piece — the ``corpus_unigram_prune`` construction),
+      renormalize, EM; its per-piece counts become the NEXT turn's
+      rank order (the loop's defining property);
+    - turn 2 = apply-rule the turn-1 EM counts (survivors + single-char
+      coverage floor at count 1), prune multis to UNI_CONVERGE_KEEP2,
+      renormalize, EM.
+
+    Emitted: vocabulary census per turn, corpus piece totals per turn
+    with signed deltas (the exact-integer objective proxy real
+    trainers log — log-likelihood is transcendental and banned from
+    oracle outputs), turn-2 survivor census, coverage flags, and two
+    trajectory flags: ``vocab_monotone`` (sizes strictly fall to the
+    target — true by construction at every fixture SF: 18/20/22
+    multis → 10 → 6) and ``pieces_nondecreasing`` (a coarser
+    vocabulary never needs fewer pieces — measured TRUE at all three
+    SFs; emitted as data, not assumed: renormalized ties could flip
+    it on another corpus, and both engines compute the same value
+    either way).
+
+    Scale: the prune/re-rank steps are driver-side arithmetic on the
+    bounded MODEL artifact (vocab dicts); each turn costs one
+    Arrow-batched Viterbi pass over the checkpointed distinct-word
+    relation plus one bounded (vocab-sized) collect of EM counts —
+    the train-once/serve-many discipline of the family. The oracle
+    runs THREE recursive-CTE DP passes (EM-1, turn 1, turn 2), all
+    MATERIALIZED (the DuckDB 1.0 re-inlining note) — the family's
+    documented gate-cost class."""
+    _, _, apply_counts, _, em1_total = _unigram_model(spark, sf_dir)
+    # ---- turn 1: the corpus_unigram_prune construction
+    multis = sorted(
+        ((p, c) for p, c in apply_counts.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UNI_PRUNE_KEEP_MULTI]
+    vocab3 = {p: c for p, c in apply_counts.items() if len(p) == 1}
+    vocab3.update(dict(multis))
+    tot3 = sum(vocab3.values())
+    prob3 = {p: c / tot3 for p, c in vocab3.items()} if tot3 else {}
+    wf = _word_freq(spark, sf_dir)
+    seg3 = wf.withColumn("pieces", _segment_udf(prob3)("w")).localCheckpoint()
+    bad3 = (F.concat_ws("", F.col("pieces")) != F.col("w")).cast("long")
+    t1 = seg3.agg(
+        F.coalesce(F.sum(F.col("f") * F.size("pieces")), F.lit(0))
+        .cast("long")
+        .alias("n_pieces_t1"),
+        F.coalesce((F.sum(bad3) == 0).cast("int"), F.lit(1)).alias("cov1"),
+    )
+    # turn-1 EM counts: the bounded model artifact for turn 2 (collect
+    # is vocab-sized, not data-sized)
+    em3_rows = (
+        seg3.select(F.explode("pieces").alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("c"))
+        .collect()
+    )
+    em3 = {r["piece"]: r["c"] for r in em3_rows}
+    # ---- turn 2: apply-rule em3 over vocab3's support, prune to KEEP2
+    applied4 = {
+        p: (em3.get(p, 0) if em3.get(p, 0) > 0 else 1)
+        for p in vocab3
+        if em3.get(p, 0) > 0 or len(p) == 1
+    }
+    multis4 = sorted(
+        ((p, c) for p, c in applied4.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UNI_CONVERGE_KEEP2]
+    vocab4 = {p: c for p, c in applied4.items() if len(p) == 1}
+    vocab4.update(dict(multis4))
+    tot4 = sum(vocab4.values())
+    prob4 = {p: c / tot4 for p, c in vocab4.items()} if tot4 else {}
+    seg4 = wf.withColumn("pieces", _segment_udf(prob4)("w")).localCheckpoint()
+    bad4 = (F.concat_ws("", F.col("pieces")) != F.col("w")).cast("long")
+    t2 = seg4.agg(
+        F.coalesce(F.sum(F.col("f") * F.size("pieces")), F.lit(0))
+        .cast("long")
+        .alias("n_pieces_t2"),
+        F.coalesce((F.sum(bad4) == 0).cast("int"), F.lit(1)).alias("cov2"),
+    )
+    surv = seg4.select(F.explode("pieces").alias("piece")).agg(
+        F.count_distinct("piece").cast("long").alias("n_survivors_t2")
+    )
+    n0, n1, n2 = len(apply_counts), len(vocab3), len(vocab4)
+    return (
+        t1.crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(surv))
+        .select(
+            F.lit(n0).cast("long").alias("n_vocab_t0"),
+            F.lit(n1).cast("long").alias("n_vocab_t1"),
+            F.lit(n2).cast("long").alias("n_vocab_t2"),
+            F.lit(em1_total).cast("long").alias("n_pieces_em1"),
+            "n_pieces_t1",
+            "n_pieces_t2",
+            (F.col("n_pieces_t1") - F.lit(em1_total))
+            .cast("long")
+            .alias("delta_t1"),
+            (F.col("n_pieces_t2") - F.col("n_pieces_t1"))
+            .cast("long")
+            .alias("delta_t2"),
+            "n_survivors_t2",
+            (F.col("cov1") * F.col("cov2")).cast("int").alias("coverage_ok"),
+            F.lit(1 if (n0 > n1 > n2) or n0 == 0 else 0)
+            .cast("int")
+            .alias("vocab_monotone"),
+            (
+                (F.col("n_pieces_t1") >= F.lit(em1_total))
+                & (F.col("n_pieces_t2") >= F.col("n_pieces_t1"))
+            )
+            .cast("int")
+            .alias("pieces_nondecreasing"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- oracle
 
 _WF_SQL = rf"""
@@ -712,6 +842,96 @@ FROM vc CROSS JOIN emt CROSS JOIN segstats CROSS JOIN surv
 """
 
 
+def _converge_oracle() -> str:
+    """Two prune turns = THREE recursive-CTE Viterbi passes (EM-1 via
+    the prelude, then walk3/walk4), every multi-consumer stage
+    MATERIALIZED — the family's documented gate-cost class."""
+    return f"""
+{_apply_prelude()},
+vocab3 AS MATERIALIZED (
+  SELECT piece, c FROM vocab2 WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rnk
+    FROM vocab2 WHERE len(piece) >= 2
+  ) WHERE rnk <= {UNI_PRUNE_KEEP_MULTI}
+),
+tot3 AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM vocab3),
+vp3 AS (
+  SELECT piece, CAST(c AS DOUBLE) / (SELECT CAST(s AS DOUBLE) FROM tot3) AS p
+  FROM vocab3
+),
+{_viterbi_sql("vp3", "wf", "rec3", "walk3").lstrip()},
+seg3 AS MATERIALIZED (SELECT w, f, pieces FROM walk3 WHERE i = 0),
+em3 AS MATERIALIZED (
+  SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
+    SELECT unnest(pieces) AS piece, f FROM seg3
+  ) GROUP BY piece
+),
+vocab3a AS (
+  SELECT v.piece, CASE WHEN coalesce(e.c, 0) > 0 THEN e.c ELSE 1 END AS c
+  FROM vocab3 v LEFT JOIN em3 e USING (piece)
+  WHERE coalesce(e.c, 0) > 0 OR len(v.piece) = 1
+),
+vocab4 AS MATERIALIZED (
+  SELECT piece, c FROM vocab3a WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rnk
+    FROM vocab3a WHERE len(piece) >= 2
+  ) WHERE rnk <= {UNI_CONVERGE_KEEP2}
+),
+tot4 AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM vocab4),
+vp4 AS (
+  SELECT piece, CAST(c AS DOUBLE) / (SELECT CAST(s AS DOUBLE) FROM tot4) AS p
+  FROM vocab4
+),
+{_viterbi_sql("vp4", "wf", "rec4", "walk4").lstrip()},
+seg4 AS MATERIALIZED (SELECT w, f, pieces FROM walk4 WHERE i = 0),
+vc AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab2) AS n_vocab_t0,
+         (SELECT CAST(count(*) AS BIGINT) FROM vocab3) AS n_vocab_t1,
+         (SELECT CAST(count(*) AS BIGINT) FROM vocab4) AS n_vocab_t2
+),
+emt AS (
+  SELECT CAST(coalesce(sum(em_count), 0) AS BIGINT) AS n_pieces_em1 FROM em
+),
+s3 AS (
+  SELECT CAST(coalesce(sum(f * len(pieces)), 0) AS BIGINT) AS n_pieces_t1,
+         CAST(coalesce(CAST(sum(CASE WHEN list_aggregate(pieces,
+                                        'string_agg', '')
+                                       IS DISTINCT FROM w
+                                  THEN 1 ELSE 0 END) = 0 AS INT), 1)
+              AS INT) AS cov1
+  FROM seg3
+),
+s4 AS (
+  SELECT CAST(coalesce(sum(f * len(pieces)), 0) AS BIGINT) AS n_pieces_t2,
+         CAST(coalesce(CAST(sum(CASE WHEN list_aggregate(pieces,
+                                        'string_agg', '')
+                                       IS DISTINCT FROM w
+                                  THEN 1 ELSE 0 END) = 0 AS INT), 1)
+              AS INT) AS cov2
+  FROM seg4
+),
+surv AS (
+  SELECT CAST(count(DISTINCT piece) AS BIGINT) AS n_survivors_t2
+  FROM (SELECT unnest(pieces) AS piece FROM seg4)
+)
+SELECT n_vocab_t0, n_vocab_t1, n_vocab_t2,
+       n_pieces_em1, n_pieces_t1, n_pieces_t2,
+       n_pieces_t1 - n_pieces_em1 AS delta_t1,
+       n_pieces_t2 - n_pieces_t1 AS delta_t2,
+       n_survivors_t2,
+       cov1 * cov2 AS coverage_ok,
+       CAST((n_vocab_t0 > n_vocab_t1 AND n_vocab_t1 > n_vocab_t2)
+            OR n_vocab_t0 = 0 AS INT) AS vocab_monotone,
+       CAST(n_pieces_t1 >= n_pieces_em1
+            AND n_pieces_t2 >= n_pieces_t1 AS INT) AS pieces_nondecreasing
+FROM vc CROSS JOIN emt CROSS JOIN s3 CROSS JOIN s4 CROSS JOIN surv
+"""
+
+
 QUERY_DEFS = [
     QueryDef("corpus_unigram_train", corpus_unigram_train, _train_oracle()),
     QueryDef("corpus_unigram_apply", corpus_unigram_apply, _apply_oracle()),
@@ -719,4 +939,7 @@ QUERY_DEFS = [
         "corpus_unigram_roundtrip", corpus_unigram_roundtrip, _roundtrip_oracle()
     ),
     QueryDef("corpus_unigram_prune", corpus_unigram_prune, _prune_oracle()),
+    QueryDef(
+        "corpus_unigram_converge", corpus_unigram_converge, _converge_oracle()
+    ),
 ]

@@ -225,6 +225,9 @@ HEADLINE = [
     "emb_pq_residual_encode",
     "dedup_containment",
     "aqp_bootstrap",
+    "aqp_bootstrap_ratio",
+    "ann_ivf_pq_rerank",
+    "corpus_unigram_converge",
 ]
 
 

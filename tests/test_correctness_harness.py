@@ -58,6 +58,7 @@ def test_evidence_bookkeeping_names_are_fresh():
         ("_REFIXED_FIRST", entry_mod._REFIXED_FIRST),
         ("_UNPROVEN_PRIORITY", entry_mod._UNPROVEN_PRIORITY),
         ("_NEW_DEFERRED", entry_mod._NEW_DEFERRED),
+        ("_FORCED_REFRESH", entry_mod._FORCED_REFRESH),
     ):
         stale = [n for n in names if n not in declared]
         assert not stale, f"{label} references undeclared queries: {stale}"

@@ -131,6 +131,9 @@ def test_profiler_emits_all_columns_on_empty_table(spark, empty_sf_dir):
         ("similarity", "emb_pq_residual_encode"),
         ("dedup", "dedup_containment"),
         ("aqp", "aqp_bootstrap"),
+        ("aqp", "aqp_bootstrap_ratio"),
+        ("similarity", "ann_ivf_pq_rerank"),
+        ("unigram", "corpus_unigram_converge"),
     ],
 )
 def test_operator_runs_clean_on_empty_tables(spark, empty_sf_dir, family, qname):

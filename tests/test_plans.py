@@ -1417,6 +1417,22 @@ def test_unigram_prune_stays_arrow_and_aggregates(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_unigram_converge_stays_arrow_and_aggregates(spark):
+    """Both turn segmentations read from checkpointed relations (Scan
+    ExistingRDD — each Arrow pass runs once), per-turn stats are
+    map-side-combined aggregates, and the 1-row glue is broadcast,
+    never a CartesianProduct."""
+    from ai_data_pipeline_spark.operators.unigram import (
+        corpus_unigram_converge,
+    )
+
+    plan = _plan(corpus_unigram_converge(spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan  # the checkpointed segmentations
+    assert "BatchEvalPython" not in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_lsh_band_tuning_generates_grid_and_broadcasts(spark):
     """The S-curve side must be a generated Range (no table scan for
     the math); the observed side reuses the bounded recall plans; the
@@ -1448,12 +1464,21 @@ def test_residual_pq_broadcasts_models_and_combines(spark):
 def test_containment_joins_on_shingle_and_combines(spark):
     """Containment pairs come from the df-capped shingle equi-join
     (bounded fan-out), never a CartesianProduct; the intersection is a
-    map-side-combined keyed count."""
-    from ai_data_pipeline_spark.operators.dedup import dedup_containment
+    map-side-combined keyed count; the wrapper planting joins on the
+    successor doc_id (equi-join). Asserted on the RAW scored builder
+    (the public query checkpoints it for the census + output pair of
+    consumers, hiding the subtree as Scan ExistingRDD)."""
+    from ai_data_pipeline_spark.operators.dedup import (
+        _containment_scored,
+        dedup_containment,
+    )
 
-    plan = _plan(dedup_containment(spark, SF_DIR))
+    plan = _plan(_containment_scored(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+    full = _plan(dedup_containment(spark, SF_DIR))
+    assert "Scan ExistingRDD" in full  # checkpointed scored relation
+    assert "CartesianProduct" not in full
 
 
 def test_bootstrap_single_scan_and_combines(spark):
@@ -1468,6 +1493,42 @@ def test_bootstrap_single_scan_and_combines(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row HT side broadcast
     assert "partial_" in plan  # map-side combine on the replicate sums
     assert plan.count("Scan parquet") == 2  # replicate side + HT side
+
+
+def test_ivfpq_rerank_shares_candidates_and_broadcasts_models(spark):
+    """The ADC baseline and the re-ranked path must rank the SAME
+    _ivfpq_approx relation (AQE dedupes the shared exchange at
+    runtime); model relations and the query side broadcast; the only
+    nested-loop joins are against broadcast bounded relations
+    (centroids / 10-query side), never a CartesianProduct."""
+    from ai_data_pipeline_spark.operators.similarity import ann_ivf_pq_rerank
+
+    plan = _plan(ann_ivf_pq_rerank(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast centroid/query side
+    assert "partial_" in plan  # map-side combines on the ADC sums
+
+
+def test_bootstrap_ratio_prunes_before_rollup(spark):
+    """The ratio bootstrap's only data-sized shuffle is the per-order
+    rollup, and the 1/64 membership filter must sit BELOW it (63/64 of
+    lineitem never rides the groupBy); replicate sums keep map-side
+    combines; 1-row glue is broadcast, never CartesianProduct."""
+    from ai_data_pipeline_spark.operators.aqp import aqp_bootstrap_ratio
+
+    plan = _plan(aqp_bootstrap_ratio(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row pl/pop glue
+    assert "partial_" in plan  # map-side combine on rollup + replicates
+    # membership filter below the per-order rollup: the filter mentions
+    # the md5-derived hash column and appears in the plan (pushed into
+    # the scan stage, not applied post-aggregate)
+    # three logical scans: exact side, plug-in side, replicate side —
+    # the latter two end at the SAME per-order rollup exchange, which
+    # AQE dedupes at runtime (ReusedExchange verified post-execution),
+    # so the sample's shuffle is paid once
+    assert plan.count("Scan parquet") == 3
+    assert "md5" in plan and "% 64" in plan.replace("%64", "% 64")
 
 
 def test_watermark_log_reads_checkpoint_once(spark):
