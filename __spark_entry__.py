@@ -344,6 +344,15 @@ def _driver_evidence(
 #     asymmetric engulfed case is REAL on the fixture, plus the
 #     n_jaccard_missed census + planted_catch_ok flag (VERDICT r13
 #     task #4); oracle changed to match.
+# r14 optimization-round rewrites (results oracle-identical, plans
+# changed — guide §2.4 multi-consumer materialization):
+# (g) sketch_mg_merge_days / stream_mg_heavy_hitters — the shared
+#     merge_mg_summaries forks (pre, joined; t_d in merge_days) are
+#     checkpointed so each shared stage runs once; previously the
+#     plan inlined a subtree per consumer (74 Exchanges / 36 re-scans
+#     in merge_days; the corpus-scale exact aggregate ran 4× in the
+#     streaming view). Re-verified green vs oracle at sf0.01 via
+#     tools/drive_subset.py on the new code.
 _REWRITTEN_SINCE_GREEN: set[str] = {
     "aqp_bootstrap",
     "dedup_minhash_lsh",
@@ -353,6 +362,8 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     "ann_ivf_pq",
     "ann_ivf_pq_trained_audit",
     "dedup_containment",
+    "sketch_mg_merge_days",
+    "stream_mg_heavy_hitters",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver

@@ -916,8 +916,27 @@ def merge_mg_summaries(
 
     Inputs: summaries (user_id, g), budgets (t — one row per scope),
     exact (user_id, c_exact). All downstream relations here are
-    summary-sized (≤ (K+1)·scopes rows) except the exact join."""
-    pre = summaries.groupBy("user_id").agg(F.sum("g").alias("c"))
+    summary-sized (≤ (K+1)·scopes rows) except the exact join.
+
+    Multi-consumer materialization (round-14, guide §2.4): every
+    relation below feeds TWO downstream branches (pre → t_f & merged;
+    budget → merged & joined; joined → missed & the output), and
+    Catalyst inlines a subtree per consumer — the shipped plan of
+    sketch_mg_merge_days carried 74 Exchanges / 36 re-scans of the
+    checkpointed daily relation, and stream_mg_heavy_hitters re-ran
+    the corpus-scale `exact` aggregate 4× (plans/r14/*_before.txt).
+    The summary-sized forks (pre, budget) and the one item-scaled fork
+    (joined — |items| rows, the same size class as `exact`, which any
+    evaluation materializes anyway) are eagerly localCheckpoint'd, so
+    each shared stage runs exactly once however many views read it —
+    the house convention (sketch_mg_topk's counts checkpoint)."""
+    pre = (
+        summaries.groupBy("user_id")
+        .agg(F.sum("g").alias("c"))
+        .localCheckpoint(eager=False)  # ≤ (K+1)·scopes rows; feeds
+        # t_f AND merged — lazy checkpoint: materialized by the first
+        # consumer's job (no standalone job), read back by the second
+    )
     t_f = _mg_threshold(
         pre.withColumn("_g", F.lit(0)), ["_g"], "user_id"
     ).select(F.col("t").alias("t_f"))
@@ -927,7 +946,9 @@ def merge_mg_summaries(
         .select(
             (F.col("e_scopes") + F.col("t_f")).alias("err_budget"), "t_f"
         )
-    )  # two 1-row relations
+    )  # 1 row; its two consumers re-derive it from the pre/budgets
+    # checkpoints — a duplicate 1-row agg is cheaper than another
+    # eager checkpoint job
     merged = (
         pre.crossJoin(F.broadcast(budget))
         .filter(F.col("c") > F.col("t_f"))
@@ -937,8 +958,11 @@ def merge_mg_summaries(
             "err_budget",
         )
     )
-    joined = exact.join(merged, "user_id", "left").crossJoin(
-        F.broadcast(budget.select(F.col("err_budget").alias("_eb")))
+    joined = (
+        exact.join(merged, "user_id", "left")
+        .crossJoin(F.broadcast(budget.select(F.col("err_budget").alias("_eb"))))
+        .localCheckpoint(eager=False)  # |items| rows; feeds missed AND
+        # the output — lazy: materialized inside the first consumer job
     )
     missed = joined.agg(
         (
@@ -996,7 +1020,10 @@ def sketch_mg_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()
     )
-    t_d = _mg_threshold(daily, ["day"], "user_id")
+    # ≤ |days| rows, feeds BOTH the summaries join and the budget sum —
+    # materialized once so its 3-exchange tournament subtree isn't
+    # inlined per consumer (round-14, guide §2.4)
+    t_d = _mg_threshold(daily, ["day"], "user_id").localCheckpoint(eager=False)
     summaries = (
         daily.join(t_d, "day")
         .filter(F.col("c") > F.col("t"))

@@ -1597,20 +1597,35 @@ def test_mg_summary_counts_are_partial_aggregates(spark):
     the corpus is scanned/shuffled exactly once however many views
     (threshold, survivors, budgets, exact) read the counts. The
     (K+1)-th-order-statistic selection rides the two-level tournament,
-    never a global sort of a corpus-scaled relation."""
+    never a global sort of a corpus-scaled relation. Round-14: the
+    merge path's shared forks (thresholds, pre, joined) are themselves
+    checkpointed (guide §2.4 — each shared stage runs once), so the
+    tournament windows are pinned on the threshold BUILDER sub-plan,
+    where they now execute; the public queries' final stages are
+    checked for plan hygiene (no cartesian, no global sort)."""
     from ai_data_pipeline_spark.operators.sketches import (
         _mg_counts_plan,
+        _mg_threshold,
         sketch_mg_merge_days,
         sketch_mg_topk,
     )
 
-    raw = _plan(_mg_counts_plan(spark, SF_DIR, ["event_type"]))
+    raw_counts = _mg_counts_plan(spark, SF_DIR, ["event_type"])
+    raw = _plan(raw_counts)
     assert "partial_count" in raw  # map-side combine on raw events
+
+    # the (K+1)-th selection is the two-level tournament (2 windows,
+    # local heat then survivors), never a global sort
+    thr = _plan(_mg_threshold(raw_counts.localCheckpoint(eager=False),
+                              ["event_type"], "user_id"))
+    assert thr.count("Window") >= 2
+    assert "GlobalSort" not in thr
 
     for q in (sketch_mg_topk, sketch_mg_merge_days):
         plan = _plan(q(spark, SF_DIR))
         assert plan.count("Scan parquet") == 0  # counts materialized once
         assert "Scan ExistingRDD" in plan
-        assert plan.count("Window") >= 2  # tournament threshold select
         assert "CartesianProduct" not in plan
         assert "GlobalSort" not in plan and "\nSort " not in plan
+    # sketch_mg_topk keeps its tournament inline (single-consumer)
+    assert _plan(sketch_mg_topk(spark, SF_DIR)).count("Window") >= 2
