@@ -137,8 +137,23 @@ def _capped_pair_relations(capped: DataFrame) -> tuple[DataFrame, DataFrame]:
     r13: previously four verbatim copies; a change to the cap
     semantics must hit every consumer at once). No broadcast hints:
     both relations have corpus cardinality — AQE picks broadcast at
-    test scale, shuffle join at 100 TB."""
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    test scale, shuffle join at 100 TB.
+
+    Round-14 (guide §2.4, measured): the capped relation feeds THREE
+    branches (both self-join sides + sizes) and Catalyst inlines the
+    groupBy+semi-join screen per branch. Materializing `capped` was
+    TRIED and REVERTED — it is a wide string relation, and caching it
+    loses to codegen-fused recompute (the r9 minhash-digest lesson:
+    lsh_recall measured 2.39 s checkpointed vs 2.01 s inline). Only
+    `sizes` (one fixed-width row per doc, two join sides) is
+    materialized, EAGERLY so the checkpoint carries computed size
+    stats and its joins stay broadcast-eligible (a lazy checkpoint's
+    ExistingRDD scan defaults to an unknown huge size)."""
+    sizes = (
+        capped.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .localCheckpoint()
+    )
     a, b = capped.alias("a"), capped.alias("b")
     pair_inter = (
         a.join(
@@ -217,7 +232,15 @@ def _band_relation(sig: DataFrame) -> DataFrame:
 
 def _candidates_from_bands(bands: DataFrame) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) from shared band
-    buckets — an equi-join on (band, bhash), never a cross join."""
+    buckets — an equi-join on (band, bhash), never a cross join.
+
+    The band relation feeds both self-join sides; without
+    materialization the whole signature subtree (shingle hash →
+    12-slot min aggregate → band explode) evaluates once per side
+    (round-14 plan audit; dedup_minhash_lsh measured 1.35 → 1.08 s).
+    Eager checkpoint: fixed-width, 4 rows/doc, and the computed size
+    stats keep downstream join planning honest."""
+    bands = bands.localCheckpoint()
     ba, bb = bands.alias("a"), bands.alias("b")
     return (
         ba.join(

@@ -80,6 +80,14 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf_ppm, rk); rk_sparse / rk_dense are null when the document
     reached the fused list through the other ranker only — exactly the
     complementary-evidence case RRF exists for."""
+    # The inverted-index relation feeds THREE consumers (the df
+    # aggregate, the query-term selection, the candidate side) and the
+    # tokenization runs once per consumer. Checkpointing it was TRIED
+    # and REVERTED in round-14: (doc_id, term) is a wide string
+    # relation, and caching it measured 2.10 s vs 1.56 s inline — the
+    # r9 minhash-digest lesson (codegen-fused recompute beats a wide
+    # cache); the query-side consumers also prune to doc_id < 4 at the
+    # scan, which a materialized relation cannot.
     terms = _doc_terms(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("v")

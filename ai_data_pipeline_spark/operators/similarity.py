@@ -1722,7 +1722,10 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate relation is fixed-width (q_id, vec_id, one bigint)
     # and bounded by probes × cell occupancy; it feeds BOTH rankings —
     # materialize once (the house multi-consumer convention; the raw
-    # builder stays visible to plan tests via _ivfpq_approx itself)
+    # builder stays visible to plan tests via _ivfpq_approx itself).
+    # EAGER: a lazy checkpoint's ExistingRDD scan carries no size
+    # stats and degrades downstream joins to sort-merge (measured
+    # +0.16 s on this query in the round-14 A/B)
     approx = _ivfpq_approx(vfp, cents, book).localCheckpoint()
     wa = W.partitionBy("q_id").orderBy(F.asc("approx_dist_fp"), F.asc("vec_id"))
     adc = (
@@ -2090,8 +2093,15 @@ def ann_ivf_pq_trained_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ONE trained ADC relation feeds both the plain-ADC baseline
         # and the re-ranked serving path, so the rerank-vs-ADC flag
         # compares two orderings of the same candidates (the
-        # ann_ivf_pq_rerank construction on the trained model)
-        approx_t = _ivfpq_approx(vfp, cents_t, book)
+        # ann_ivf_pq_rerank construction on the trained model).
+        # Materialized eagerly (round-14, guide §2.4): without the
+        # checkpoint Catalyst inlined the whole ADC subtree (coarse
+        # assignment + PQ encode + probe + LUT joins) once per
+        # consumer — the shipped audit plan carried 54 Exchanges / 30
+        # parquet scans (plans/r14/ann_ivf_pq_trained_audit_before.txt).
+        # Eager, not lazy: the checkpoint's computed size stats keep
+        # the downstream full-outer joins broadcast-eligible
+        approx_t = _ivfpq_approx(vfp, cents_t, book).localCheckpoint()
         wa = W.partitionBy("q_id").orderBy(
             F.asc("approx_dist_fp"), F.asc("vec_id")
         )
