@@ -301,6 +301,12 @@ def aqp_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # greatest(s2, 0): a (near-)zero-variance stratum with sums past
     # 2^53 can round s2 slightly negative — Spark sqrt(neg) is NULL but
     # DuckDB sqrt(neg) RAISES, so both engines clamp before the root.
+    # round-14 audit: `w` feeds both the budget total and the output
+    # projection, but the duplicate is ABOVE the (returnflag,
+    # linestatus) exchange, which AQE's exchange reuse dedupes inside
+    # the executed plan — an eager checkpoint was TRIED and REVERTED
+    # (alternating A/B: 0.44 s lazy vs 0.79 s checkpointed; the
+    # blocking materialization job costs more than the reused read).
     w = per.withColumn(
         "sd_cents",
         F.floor(F.sqrt(F.greatest(s2, F.lit(0.0))) * F.lit(100.0)).cast("long"),
@@ -714,6 +720,12 @@ def aqp_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     are computed inline from the row key, nothing is materialized or
     resampled."""
     li = load_table(spark, sf_dir, "lineitem")
+    # round-14 audit: `base` feeds the replicate explode AND the
+    # analytic-HT aggregate (two full md5 row-hash scans in the
+    # pre-execution plan), but an eager checkpoint of the 1/64 sample
+    # was TRIED and REVERTED — alternating A/B measured it neutral
+    # (1.03 s lazy vs 1.05 s checkpointed): the duplicate scan
+    # parallelizes while the checkpoint serializes a blocking job.
     base = li.select(
         F.concat_ws(
             "-",
@@ -877,6 +889,12 @@ def aqp_bootstrap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cents"), F.lit(0)).alias("a_pop"),
         F.count_distinct("okey").alias("b_pop"),
     )
+    # round-14 audit: the per-order rollup feeds both the plug-in/delta
+    # moments and the replicate explode, but the duplicate sits ABOVE
+    # the okey exchange, which AQE exchange reuse dedupes in the
+    # executed plan; an eager checkpoint was TRIED and REVERTED
+    # (neutral-to-slower in the alternating A/B — the aqp_bootstrap /
+    # aqp_stratified_allocation measurements, same shape).
     samp = (
         rows.filter(F.col("h") % AQP_DENOM == 0)
         .groupBy("okey")

@@ -1362,16 +1362,23 @@ def corpus_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials; the top-K cut is sort+limit, which Spark
     executes as TakeOrderedAndProject — per-partition top-K heaps
     merged on the driver (the tournament shape), never a full sort of
-    the count relation."""
+    the count relation.
+
+    Round-14 (guide §2.3 — aggregate before you shuffle, once): the
+    context count is a ROLLUP of the bigram count (c_ctx(w1) =
+    Σ c_big over bigrams starting with w1 — every train occurrence is
+    counted by exactly one bigram), so both model relations derive
+    from ONE tokenize + (bg)-keyed aggregate instead of two full
+    bigram passes. The shared count relation stays LAZY — its two
+    consumers share the same (bg)-keyed exchange, which ReuseExchange
+    dedupes inside the executed plan (an eager checkpoint of the
+    distinct-bigram string relation measured slower — the r9
+    wide-relation lesson, see corpus_lm_quality)."""
     bg = _lm_bigrams(spark, sf_dir).filter(F.col("doc_id") % LM_HOLD_MOD != 0)
-    big = (
-        bg.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c_big"))
-        .orderBy(F.desc("c_big"), F.asc("bg"))
-        .limit(LM_TOP_BIGRAMS)
-    )
-    ctx = bg.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
-        F.count(F.lit(1)).alias("c_ctx")
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_big"))
+    big = bgc.orderBy(F.desc("c_big"), F.asc("bg")).limit(LM_TOP_BIGRAMS)
+    ctx = bgc.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.sum("c_big").alias("c_ctx")
     )
     return big.withColumn("w1", F.substring_index("bg", " ", 1)).join(
         ctx, "w1"
@@ -1417,15 +1424,21 @@ def corpus_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-small/apply-broadcast topology as cls_linear_score."""
     bg_all = _lm_bigrams(spark, sf_dir)
     train = bg_all.filter(F.col("doc_id") % LM_HOLD_MOD != 0)
-    big = (
-        train.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c_big"))
-        .orderBy(F.desc("c_big"), F.asc("bg"))
-        .limit(LM_TOP_BIGRAMS)
-    )
+    # ONE train-side tokenize + bigram aggregate feeds both model
+    # relations: c_ctx is the w1-rollup of c_big (every train
+    # occurrence is counted by exactly one bigram), so the second full
+    # bigram pass the shipped plan ran for the context counts is
+    # redundant (round-14, guide §2.3; corpus_lm_train has the same
+    # derivation). Deliberately LAZY: both consumers share the same
+    # (bg)-keyed exchange, which Spark's ReuseExchange dedupes inside
+    # the one executed plan; an eager checkpoint of the
+    # distinct-bigram string relation was TRIED and REVERTED (measured
+    # loss — the r9 wide-relation lesson).
+    bgc = train.groupBy("bg").agg(F.count(F.lit(1)).alias("c_big"))
+    big = bgc.orderBy(F.desc("c_big"), F.asc("bg")).limit(LM_TOP_BIGRAMS)
     ctx = (
-        train.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
-        .agg(F.count(F.lit(1)).alias("c_ctx"))
+        bgc.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c_big").alias("c_ctx"))
         .orderBy(F.desc("c_ctx"), F.asc("w1"))
         .limit(LM_TOP_CONTEXTS)
     )

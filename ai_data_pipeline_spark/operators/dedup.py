@@ -139,21 +139,18 @@ def _capped_pair_relations(capped: DataFrame) -> tuple[DataFrame, DataFrame]:
     both relations have corpus cardinality — AQE picks broadcast at
     test scale, shuffle join at 100 TB.
 
-    Round-14 (guide §2.4, measured): the capped relation feeds THREE
-    branches (both self-join sides + sizes) and Catalyst inlines the
-    groupBy+semi-join screen per branch. Materializing `capped` was
-    TRIED and REVERTED — it is a wide string relation, and caching it
-    loses to codegen-fused recompute (the r9 minhash-digest lesson:
-    lsh_recall measured 2.39 s checkpointed vs 2.01 s inline). Only
-    `sizes` (one fixed-width row per doc, two join sides) is
-    materialized, EAGERLY so the checkpoint carries computed size
-    stats and its joins stay broadcast-eligible (a lazy checkpoint's
-    ExistingRDD scan defaults to an unknown huge size)."""
-    sizes = (
-        capped.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .localCheckpoint()
-    )
+    Round-14 (guide §2.4, measured TWICE): everything here is
+    deliberately LAZY. Materializing `capped` was TRIED and REVERTED —
+    a wide string relation loses to codegen-fused recompute (the r9
+    minhash-digest lesson: lsh_recall measured 2.39 s checkpointed vs
+    2.01 s inline). An eager checkpoint of `sizes` was ALSO tried and
+    then REVERTED on re-adjudication with an ALTERNATING A/B (the only
+    protocol that survives this host's throttle drift): containment
+    3.66 s lazy vs 5.08 s checkpointed, band_tuning 2.30 vs 3.96,
+    lsh_recall 3.10 vs 3.46 — the duplicate consumers sit ABOVE the
+    doc_id exchange, which AQE exchange reuse already dedupes in the
+    executed plan, so the checkpoint only added a blocking job."""
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = capped.alias("a"), capped.alias("b")
     pair_inter = (
         a.join(
@@ -234,13 +231,15 @@ def _candidates_from_bands(bands: DataFrame) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) from shared band
     buckets — an equi-join on (band, bhash), never a cross join.
 
-    The band relation feeds both self-join sides; without
-    materialization the whole signature subtree (shingle hash →
-    12-slot min aggregate → band explode) evaluates once per side
-    (round-14 plan audit; dedup_minhash_lsh measured 1.35 → 1.08 s).
-    Eager checkpoint: fixed-width, 4 rows/doc, and the computed size
-    stats keep downstream join planning honest."""
-    bands = bands.localCheckpoint()
+    Round-14: an eager checkpoint of the band relation (both self-join
+    sides) was tried — a same-window A/B first read it as a win
+    (minhash_lsh 1.35 → 1.08 s) — and then REVERTED on re-adjudication
+    with an ALTERNATING A/B: minhash_lsh 1.06 lazy vs 1.03
+    checkpointed (a wash), band_tuning 2.30 vs 3.96 and lsh_recall
+    3.10 vs 3.46 (losses). The signature subtree below both sides
+    hangs off the doc_id signature exchange, which AQE exchange reuse
+    dedupes in the executed self-join plan, so the checkpoint's
+    blocking job bought nothing the engine wasn't already doing."""
     ba, bb = bands.alias("a"), bands.alias("b")
     return (
         ba.join(

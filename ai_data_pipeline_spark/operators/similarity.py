@@ -2604,8 +2604,29 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: assignment is the broadcast-K integer fold (corpus never
     shuffles for it); cell stats are a ≤K-row keyed aggregate joined
-    back as a broadcast; one corpus-scaled exchange total (the
-    assignment min_by groupBy)."""
+    back as a broadcast; one corpus-scaled exchange total per
+    iteration (the assignment min_by groupBy).
+
+    Round-14 (guide §2.4) — audited and deliberately left LAZY. The
+    loop is a single linear lineage chain (each iteration's cents is
+    consumed exactly once by the next assignment —
+    emb_kmeans_fixed_point's shape); the plan's 24 embeddings scans /
+    64 Exchanges (plans/r14/emb_outlier_distance_before.txt) come from
+    the final pass referencing `assigned` twice (directly and inside
+    the final `cents` broadcast). THREE materialization variants were
+    TRIED and REVERTED against the 1.16 s clean-window baseline:
+    per-iteration `assigned` checkpoints (~1.7 s), one post-loop
+    `assigned` checkpoint (~2.0 s normalized), and a narrow
+    final-distances checkpoint (~1.7 s normalized) — eagerly
+    materializing the 64-long-array column (or even the narrow
+    distance relation, whose lineage must still evaluate the wide
+    chain once as a blocking job) loses to the lazy duplicate
+    recompute, whose duplicated subtrees are embarrassingly parallel
+    scans+folds at this geometry (the r9 wide-relation lesson). At a
+    corpus scale where one assignment pass dominates, the standard
+    Lloyd's-loop persist per iteration is the documented production
+    posture (SCALING.md); it is a net loss at bench scale and is
+    therefore not hard-coded."""
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id",

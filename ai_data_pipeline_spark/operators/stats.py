@@ -585,6 +585,13 @@ def cls_linear_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ |langs| class scores per doc (map-side combine, no window) — the
     keyed-argmax convention."""
     pres = _hashed_presence(spark, sf_dir)
+    # round-14 note: eagerly checkpointing pb (bucket × lang) was TRIED
+    # and REVERTED — measured 1.9-2.1 s vs the 1.04 s baseline. The
+    # blocking materialization serializes what ReuseExchange already
+    # dedupes lazily (pb's exchange appears once in the executed plan;
+    # nb and the grid join both read it), and caching the corpus-sized
+    # presence relation itself is the long-documented rejected
+    # experiment in _cls_linear_scored_plan.
     pb = pres.groupBy("bucket", "lang").agg(F.count(F.lit(1)).alias("n_lb"))
     nb = pb.groupBy("bucket").agg(F.sum("n_lb").alias("n_docs"))
     pc = load_table(spark, sf_dir, "documents").groupBy("lang").agg(

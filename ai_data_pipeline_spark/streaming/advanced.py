@@ -505,20 +505,35 @@ def stream_index_dedup(
     planted_in_stream = odds.filter(F.col("doc_id") % 20 == 1).select(
         (F.col("doc_id") + 2 * STREAM_IDX_OFFSET).alias("doc_id"), "lang", "fp"
     )
-    tmp = scratch_dir("sidx_")
-    src, sink = f"{tmp}/src", f"{tmp}/candidates"
-    os.makedirs(src, exist_ok=True)
-    batches = [odds, planted_vs_index.unionByName(planted_in_stream)]
-    if _reverse_batches:  # adversarial order, pinned identical by test
-        batches = batches[::-1]
-    for i, b in enumerate(batches):
-        b.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
-        part = next(
-            f for f in os.listdir(f"{tmp}/b{i}") if f.endswith(".parquet")
-        )
-        # no os.utime staging: batch order is deliberately left to the
-        # file source — the result must not depend on it
-        os.rename(f"{tmp}/b{i}/{part}", f"{src}/file_{i}.parquet")
+    sink = scratch_dir("sidx_") + "/candidates"
+    # Source fixture memoized per (session, sf_dir, order) — the
+    # _three_batch_source_dir discipline (round-14): the two batch
+    # files are a deterministic function of the immutable documents
+    # table; rebuilding them (two coalesce(1) writes) on every call was
+    # setup waste. The per-call dedup work (index build, per-batch
+    # anti-join, log, compaction) all still runs below.
+    from ai_data_pipeline_spark.session import session_scoped_cache
+
+    cache = session_scoped_cache(spark, "stream_index_dedup_source")
+    memo_key = (sf_dir, _reverse_batches)
+    if memo_key in cache:
+        src = cache[memo_key]
+    else:
+        tmp = scratch_dir("sidxsrc_")
+        src = f"{tmp}/src"
+        os.makedirs(src, exist_ok=True)
+        batches = [odds, planted_vs_index.unionByName(planted_in_stream)]
+        if _reverse_batches:  # adversarial order, pinned identical by test
+            batches = batches[::-1]
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
+            part = next(
+                f for f in os.listdir(f"{tmp}/b{i}") if f.endswith(".parquet")
+            )
+            # no os.utime staging: batch order is deliberately left to
+            # the file source — the result must not depend on it
+            os.rename(f"{tmp}/b{i}/{part}", f"{src}/file_{i}.parquet")
+        cache[memo_key] = src
 
     stream = (
         spark.readStream.schema("doc_id long, lang string, fp string")
@@ -658,6 +673,41 @@ _PROFILE_PARTIAL_SCHEMA = (
 )
 
 
+def _profile_stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file document stream source (even/odd doc_id halves = two
+    micro-batches) for stream_profile_documents. Memoized per
+    (session, sf_dir) — the _three_batch_source_dir discipline
+    (VERDICT r12 task #3 / round-14 guide §2.4): the fixture is a
+    deterministic function of the immutable documents table, and
+    rebuilding it (two coalesce(1) parquet writes) on every call was
+    setup waste dominating the measured streaming query. The source
+    dir is read-only to its consumer; each call keeps its own
+    partial-log sink."""
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.session import session_scoped_cache
+
+    cache = session_scoped_cache(spark, "profile_stream_source")
+    if sf_dir in cache:
+        return cache[sf_dir]
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = scratch_dir("sprofsrc_")
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    halves = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    for i, b in enumerate(halves):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
+        part = next(
+            f for f in os.listdir(f"{tmp}/b{i}") if f.endswith(".parquet")
+        )
+        os.rename(f"{tmp}/b{i}/{part}", f"{src}/file_{i}.parquet")
+    cache[sf_dir] = src
+    return src
+
+
 def stream_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming profiler — the profiler family run as an INCREMENTAL
     maintenance job over a document file stream (closing the loop
@@ -680,22 +730,8 @@ def stream_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_s/max_s order RENDERINGS (byte-wise lexicographic in both
     engines), the representation under which prefix truncation and
     cross-batch merging are exactly monotone."""
-    from ai_data_pipeline_spark.catalog import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    tmp = scratch_dir("sprof_")
-    src, sink = f"{tmp}/src", f"{tmp}/partials"
-    os.makedirs(src, exist_ok=True)
-    halves = [
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
-    ]
-    for i, b in enumerate(halves):
-        b.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
-        part = next(
-            f for f in os.listdir(f"{tmp}/b{i}") if f.endswith(".parquet")
-        )
-        os.rename(f"{tmp}/b{i}/{part}", f"{src}/file_{i}.parquet")
+    src = _profile_stream_source_dir(spark, sf_dir)
+    sink = scratch_dir("sprof_") + "/partials"
 
     stream = (
         spark.readStream.schema(

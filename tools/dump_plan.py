@@ -1,0 +1,46 @@
+"""Dump .explain('formatted') for named contract queries into
+plans/r14/<query>_<tag>.txt (the judge-facing plan evidence).
+
+    python tools/dump_plan.py after ann_ivf_pq emb_outlier_distance ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ai_data_pipeline_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def main(tag: str, names: list[str]) -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r14",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("dump-plan", cpus=8)
+    qs = entry_mod.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        scans = plan.count("Scan parquet") + plan.count("Scan ExistingRDD")
+        print(
+            f"{name}: {plan.count('Exchange')} Exchange / {scans} scans"
+            f" -> {path}",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2:]))
