@@ -344,26 +344,27 @@ def _driver_evidence(
 #     asymmetric engulfed case is REAL on the fixture, plus the
 #     n_jaccard_missed census + planted_catch_ok flag (VERDICT r13
 #     task #4); oracle changed to match.
-# r14 optimization-round rewrites (results oracle-identical, plans
-# changed — guide §2.4 multi-consumer materialization):
-# (g) sketch_mg_merge_days / stream_mg_heavy_hitters — the shared
-#     merge_mg_summaries forks (pre, joined; t_d in merge_days) are
-#     checkpointed so each shared stage runs once; previously the
-#     plan inlined a subtree per consumer (74 Exchanges / 36 re-scans
-#     in merge_days; the corpus-scale exact aggregate ran 4× in the
-#     streaming view). Re-verified green vs oracle at sf0.01 via
-#     tools/drive_subset.py on the new code.
+# [the r14 cohort — aqp_bootstrap, the dedup minhash/LSH family,
+# dedup_containment, the MG pair, ann_ivf_pq + trained_audit — all
+# re-proved green in CORRECTNESS_r14.json and now ranks in the proven
+# tier — cleared.]
+# r15 optimization-round rewrites (results oracle-identical, plans
+# changed — guide §2.3/§2.4, VERDICT r14 task #1):
+# (a) ann_ivf_pq / ann_ivf_pq_rerank / ann_ivf_pq_trained_audit (and
+#     rows-only ann_ivf_pq_trained) — `_ivfpq_approx` fuses coarse
+#     assignment + PQ encode into ONE map-side corpus projection
+#     against the broadcast 1-row model (`_pq_model_row`), the ADC
+#     candidate score becomes a broadcast-map lookup projection (no
+#     posexplode / join / groupBy tail), probes gets an explicit
+#     broadcast hint (the planner picked a SortMergeJoin that shuffled
+#     the encoded corpus into N_CELLS partitions), and the audit's two
+#     distortion passes fused into one corpus scan computing both
+#     codebooks' sums. Re-verified green vs oracle at
+#     sf0.001/0.01/0.1 via tools/drive_subset.py on the new code.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    "aqp_bootstrap",
-    "dedup_minhash_lsh",
-    "dedup_minhash_estimate",
-    "dedup_lsh_recall",
-    "dedup_lsh_band_tuning",
     "ann_ivf_pq",
+    "ann_ivf_pq_rerank",
     "ann_ivf_pq_trained_audit",
-    "dedup_containment",
-    "sketch_mg_merge_days",
-    "stream_mg_heavy_hitters",
 }
 
 # Oracled queries declared late in a round, AFTER that round's driver

@@ -1461,30 +1461,77 @@ def _pq_subvectors(vfp: DataFrame) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Redistribute a CPU-bound corpus pass: a single-row-group parquet
+    file scans as ONE task no matter its size, which serializes the
+    per-row integer folds onto one core. Repartition first so the pass
+    uses the whole local parallelism; no-ops at cluster scale where the
+    scan already has thousands of splits (the profiler._scalar_stats
+    discipline). Results are joins/aggregates over the rows, so they
+    are partitioning-invariant by construction."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
+def _pq_model_row(cents: DataFrame, book: DataFrame) -> DataFrame:
+    """The whole PQ model as ONE row of sorted struct arrays —
+    (cents_arr: array<struct<cell, c_fp>>, book_arr: array<struct<m,
+    code, csub>>) — so coarse assignment and PQ encoding can run as a
+    single map-side projection over the corpus (broadcast-nested-loop
+    against this 1-row relation) instead of two corpus-wide aggregates.
+    Arrays are sort_array'd, so iteration order is (cell) / (m, code)
+    ascending and ``array_min(struct(d, id))`` reproduces the
+    min_by tie-break (lowest id on equal distance) exactly. Bounded:
+    N_CELLS + PQ_M·PQ_K rows in total."""
+    cents_arr = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "c_fp"))).alias("cents_arr")
+    )
+    book_arr = book.agg(
+        F.sort_array(F.collect_list(F.struct("m", "code", "csub"))).alias("book_arr")
+    )
+    return cents_arr.crossJoin(book_arr)
+
+
 def _ivfpq_approx(vfp: DataFrame, cents: DataFrame, book: DataFrame) -> DataFrame:
     """The ADC HALF of the IVF-PQ serving plan: coarse assignment, PQ
     encode, probe, and the asymmetric-distance candidate scores —
     (q_id, vec_id, approx_dist_fp), BEFORE any shortlist/re-rank
     (extracted from ``_ivfpq_search`` so ``ann_ivf_pq_rerank`` can
     price the re-rank stage against the plain-ADC ranking on the same
-    relation — VERDICT r13 task #5). Inputs as ``_ivfpq_search``."""
-    corpus = vfp.filter(F.col("vec_id") >= N_QUERIES)
+    relation — VERDICT r13 task #5). Inputs as ``_ivfpq_search``.
+
+    Round-15 single-pass encode (guide §2.3/§2.4, VERDICT r14 task #1):
+    coarse assignment and PQ encoding previously ran as TWO corpus
+    aggregates (a crossJoin(cents) + groupBy(vec_id) min_by, and an
+    explode + broadcast-join(book) + groupBy(vec_id, m) min_by) — two
+    full corpus scans and two corpus-wide shuffles (|corpus| and
+    PQ_M·|corpus| rows) before any candidate pruning. Both are argmins
+    over BROADCAST-SIZED model relations, so they now run as one
+    map-side projection per corpus row against the 1-row
+    ``_pq_model_row``: cell = array_min over centroid distances,
+    codes[m] = array_min over codeword distances — same integer
+    arithmetic, same (distance, id) tie-break, ONE corpus scan and
+    ZERO pre-candidate shuffles. Equivalence re-proven vs the DuckDB
+    oracle at sf0.001/0.01/0.1 (PQ family)."""
+    corpus = _spread(vfp.filter(F.col("vec_id") >= N_QUERIES))
     queries = vfp.filter(F.col("vec_id") < N_QUERIES)
-    # nearest-centroid assignment as a min_by aggregate (map-side
-    # partial combine, no sort) — same shape as the `codes` stage below
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("cdist", F.expr(_int_l2("v_fp", "c_fp")))
-        .groupBy("vec_id")
-        .agg(F.min_by("cell", F.struct("cdist", "cell")).alias("cell"))
+    cell_expr = (
+        "array_min(transform(cents_arr, c -> struct("
+        f"{_int_l2('v_fp', 'c.c_fp')} AS d, c.cell AS cell))).cell"
     )
-    subs = _pq_subvectors(vfp)
-    codes = (
-        subs.filter(F.col("vec_id") >= N_QUERIES)
-        .join(F.broadcast(book), "m")
-        .withColumn("d", F.expr(_int_l2("sub", "csub")))
-        .groupBy("vec_id", "m")
-        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
+    code_exprs = ", ".join(
+        "array_min(transform(filter(book_arr, b -> b.m = "
+        f"{m}), b -> struct("
+        + _int_l2(f"slice(v_fp, {m * PQ_SUB + 1}, {PQ_SUB})", "b.csub")
+        + " AS d, b.code AS code))).code"
+        for m in range(PQ_M)
+    )
+    enc = corpus.crossJoin(F.broadcast(_pq_model_row(cents, book))).select(
+        "vec_id",
+        F.expr(cell_expr).alias("cell"),
+        F.expr(f"array({code_exprs})").alias("codes"),
     )
     probes = (
         queries.withColumnRenamed("vec_id", "q_id")
@@ -1500,17 +1547,51 @@ def _ivfpq_approx(vfp: DataFrame, cents: DataFrame, book: DataFrame) -> DataFram
         .select("q_id", "cell")
     )
     lut = (
-        subs.filter(F.col("vec_id") < N_QUERIES)
+        _pq_subvectors(vfp)
+        .filter(F.col("vec_id") < N_QUERIES)
         .withColumnRenamed("vec_id", "q_id")
         .join(F.broadcast(book), "m")
         .select("q_id", "m", "code", F.expr(_int_l2("sub", "csub")).alias("d_fp"))
     )
-    cand = probes.join(assigned, "cell").select("q_id", "vec_id")
+    # The ADC lookup table as ONE broadcast map keyed by the packed
+    # (q_id, m, code) — N_QUERIES·PQ_M·PQ_K entries. The per-candidate
+    # score is then a pure projection (PQ_M map lookups + adds — the
+    # literal FAISS ADC serving step), replacing the round-14 tail of
+    # posexplode(PQ_M×) + broadcast join + groupBy(q_id, vec_id) sum:
+    # no explode, no join fan-out, and the candidate aggregate's
+    # shuffle disappears. coalesce(…, 0) per subspace reproduces the
+    # old inner-join semantics (a subspace absent from the book
+    # contributed nothing; a book missing an m entirely implies an
+    # empty book ⇒ empty corpus ⇒ no candidate rows at all).
+    lut_map = lut.agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (
+                            (F.col("q_id") * PQ_M + F.col("m")) * PQ_K
+                            + F.col("code")
+                        ).alias("k"),
+                        F.col("d_fp").alias("v"),
+                    )
+                )
+            )
+        ).alias("lut_map")
+    )
+    adc_expr = " + ".join(
+        "coalesce(try_element_at(lut_map, "
+        f"(q_id * {PQ_M} + {m}) * {PQ_K} + codes[{m}]), cast(0 as bigint))"
+        for m in range(PQ_M)
+    )
+    # probes is provably bounded (N_QUERIES × N_PROBE rows) but sits
+    # behind a window whose size estimate the planner can't see
+    # through — without the hint it picks a SortMergeJoin that
+    # shuffles the whole encoded corpus into N_CELLS partitions.
+    # Broadcasting keeps the inverted-list read map-side.
     return (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(lut), ["q_id", "m", "code"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("d_fp").alias("approx_dist_fp"))
+        enc.join(F.broadcast(probes), "cell")
+        .crossJoin(F.broadcast(lut_map))
+        .select("q_id", "vec_id", F.expr(adc_expr).alias("approx_dist_fp"))
     )
 
 
@@ -2009,21 +2090,34 @@ def _trained_pq_relations(
     return cents, book
 
 
-def _pq_total_distortion(vfp: DataFrame, book: DataFrame) -> DataFrame:
-    """Total PQ quantization distortion of the corpus under a codebook:
-    sum over (corpus vector, subspace) of the min-codeword integer L2
-    — the objective k-means minimizes, as one exact bigint. Shape: the
-    codebook broadcasts, the min is a map-side-combined aggregate."""
-    return (
-        _pq_subvectors(vfp.filter(F.col("vec_id") >= N_QUERIES))
-        .join(F.broadcast(book), "m")
-        .select(
-            "vec_id", "m", F.expr(_int_l2("sub", "csub")).alias("d_fp")
-        )
-        .groupBy("vec_id", "m")
-        .agg(F.min("d_fp").alias("min_d"))
-        .agg(F.coalesce(F.sum("min_d"), F.lit(0)).cast("long").alias("dist"))
+def _book_row(book: DataFrame, alias: str) -> DataFrame:
+    """A codebook as ONE row carrying a sorted array<struct<m, code,
+    csub>> (the ``_pq_model_row`` discipline), so distortion scans can
+    evaluate the min-codeword distance as a map-side expression."""
+    return book.agg(
+        F.sort_array(F.collect_list(F.struct("m", "code", "csub"))).alias(alias)
     )
+
+
+def _pq_distortion_expr(arr: str) -> str:
+    """Per-corpus-row total PQ distortion of v_fp under the codebook
+    array column ``arr``: Σ_m min over that subspace's codewords of the
+    integer subvector L2. A subspace with no codewords contributes 0 —
+    exactly the rows the old broadcast-join formulation skipped."""
+    return " + ".join(
+        f"coalesce(array_min(transform(filter({arr}, b -> b.m = {m}), b -> "
+        + _int_l2(f"slice(v_fp, {m * PQ_SUB + 1}, {PQ_SUB})", "b.csub")
+        + ")), cast(0 as bigint))"
+        for m in range(PQ_M)
+    )
+
+
+# [round 15] The former `_pq_total_distortion` helper (explode(PQ_M×)
+# + broadcast-join(book) + groupBy(vec_id, m) min + global sum — a
+# corpus-wide shuffle of PQ_M·|corpus| rows PER CODEBOOK, and one full
+# corpus scan per call) is gone: its only consumer, the trained audit,
+# now evaluates both codebooks' distortions as map-side
+# `_pq_distortion_expr` columns in ONE corpus pass (guide §2.3/§2.4).
 
 
 def ann_ivf_pq_trained_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2146,15 +2240,32 @@ def ann_ivf_pq_trained_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("nh") >= F.sum("na")).cast("int"), F.lit(1)
         ).alias("rerank_ge_adc_ok"),
     )
-    standin_dist = _pq_total_distortion(vfp, standin_book).select(
-        F.col("dist").alias("standin_distortion_fp")
+    # Both codebooks' distortions in ONE corpus pass (round 15, guide
+    # §2.3/§2.4): the two `_pq_total_distortion` calls each streamed
+    # the corpus once; the min-codeword distance is a map-side
+    # expression against the broadcast 1-row codebook arrays, so one
+    # scan evaluates both sums side by side.
+    books_row = _book_row(standin_book, "sb_arr").crossJoin(
+        _book_row(book, "tb_arr")
     )
-    trained_dist = _pq_total_distortion(vfp, book).select(
-        F.col("dist").alias("trained_distortion_fp")
+    dists = (
+        _spread(vfp.filter(F.col("vec_id") >= N_QUERIES))
+        .crossJoin(F.broadcast(books_row))
+        .select(
+            F.expr(_pq_distortion_expr("sb_arr")).alias("sd"),
+            F.expr(_pq_distortion_expr("tb_arr")).alias("td"),
+        )
+        .agg(
+            F.coalesce(F.sum("sd"), F.lit(0))
+            .cast("long")
+            .alias("standin_distortion_fp"),
+            F.coalesce(F.sum("td"), F.lit(0))
+            .cast("long")
+            .alias("trained_distortion_fp"),
+        )
     )
     return (
-        recall.crossJoin(F.broadcast(standin_dist))
-        .crossJoin(F.broadcast(trained_dist))
+        recall.crossJoin(F.broadcast(dists))
         .select(
             "n_queries",
             "n_exact_total",

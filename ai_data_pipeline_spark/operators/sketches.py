@@ -925,11 +925,16 @@ def merge_mg_summaries(
     sketch_mg_merge_days carried 74 Exchanges / 36 re-scans of the
     checkpointed daily relation, and stream_mg_heavy_hitters re-ran
     the corpus-scale `exact` aggregate 4× (plans/r14/*_before.txt).
-    The summary-sized forks (pre, budget) and the one item-scaled fork
+    The summary-sized fork (pre) and the one item-scaled fork
     (joined — |items| rows, the same size class as `exact`, which any
-    evaluation materializes anyway) are eagerly localCheckpoint'd, so
-    each shared stage runs exactly once however many views read it —
-    the house convention (sketch_mg_topk's counts checkpoint)."""
+    evaluation materializes anyway) are LAZILY localCheckpoint'd
+    (eager=False — materialized inside the first consumer's job, no
+    standalone blocking job), so each shared stage runs exactly once
+    however many views read it; the 1-row `budget` is deliberately NOT
+    checkpointed — its two consumers re-derive it from the pre/budgets
+    checkpoints, a duplicate 1-row agg being cheaper than another
+    checkpoint (ADVICE r14: this docstring previously said the
+    opposite of the shipped — and correct — design)."""
     pre = (
         summaries.groupBy("user_id")
         .agg(F.sum("g").alias("c"))

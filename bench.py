@@ -323,42 +323,62 @@ def main() -> None:
         pass  # read-only checkout: stdout line still carries the result
     # stdout line must fit the driver's 2000-char tail buffer to parse.
     # 112 full-name entries cannot fit 2000 chars (names alone exceed
-    # the budget), so the stdout dict is ordered by comparison PRIORITY
-    # — the anchor queries a reviewer checks against BASELINE.md first
-    # (perf watchlist, TPC-H flagships, profiles, recently-rewritten
-    # operators), then the rest in HEADLINE order — and truncated from
-    # the END, so truncation only ever drops the least-referenced
-    # entries. The complete record is committed in BENCH_SELF.json.
-    stdout_priority = [
-        # perf watchlist (VERDICT r5 worst lines + their anchors, plus
-        # the r6 digest-join rewrites whose anchors deliberately moved)
+    # the budget), so the stdout dict carries the FIXED priority set
+    # below. Through round 14 the set was "priority order, truncated
+    # from the end to fit" — which made the emitted SET depend on digit
+    # widths (75 entries fit in r13, 74 in r14), so each round the
+    # driver's round-over-round diff reported a phantom
+    # `dropped_from_bench` for whichever trailing entry fell off
+    # (r14: emb_scalar_quantize — still timed, still in BENCH_SELF;
+    # VERDICT r14 "what's wrong" #1). Round-15 fix (measurement-bug
+    # class, guide §1): the stdout set is pinned to EXACTLY the 74
+    # names the round-14 driver parsed, in the same priority order
+    # (watchlist, flagships, profiles, then HEADLINE order); if a
+    # throttled window ever inflates digits past the budget, VALUE
+    # PRECISION degrades (2 → 1 → 0 decimals) but membership never
+    # changes. The complete full-precision record for all queries is
+    # committed in BENCH_SELF.json.
+    stdout_queries = [
         "emb_prefix_recall", "q5_region_revenue", "q3_top_orders",
         "ann_ivf", "q_time_bucket_rollup", "dedup_minhash_lsh",
-        "dedup_minhash_estimate", "ann_rerank",
-        # headline comparisons the judge quotes every round
-        "profile_customer", "profile_lineitem", "profile_events",
-        "q1_pricing_summary", "q6_forecast_revenue", "q18_large_orders",
-        # the rest of the TPC-H suite (rewritten in r6: hint sweep)
-        "q7_nation_trade", "q17_small_quantity_revenue",
-        "q10_returned_items", "q19_discounted_revenue",
-        "q_cheapest_supplier", "q8_market_share", "q9_product_profit",
-        "q13_order_distribution", "q21_waiting_suppliers",
+        "dedup_minhash_estimate", "ann_rerank", "profile_customer",
+        "profile_lineitem", "profile_events", "q1_pricing_summary",
+        "q6_forecast_revenue", "q18_large_orders", "q7_nation_trade",
+        "q17_small_quantity_revenue", "q10_returned_items",
+        "q19_discounted_revenue", "q_cheapest_supplier",
+        "q8_market_share", "q9_product_profit", "q13_order_distribution",
+        "q21_waiting_suppliers", "q_moving_avg_7d", "q_outliers_iqr",
+        "q_zscore_outliers", "q_heavy_hitter_users", "q_gap_fill_locf",
+        "q_upsert_merge", "q_salted_join_revenue",
+        "graph_pagerank_nations", "dedup_chunk_passages",
+        "pyds_synthetic_agg", "sketch_countmin_users",
+        "sketch_bloom_filter_join", "q_corr_matrix", "q_chi_square",
+        "er_fuzzy_linkage", "text_feature_hashing", "q_events_window",
+        "q_sliding_window", "q_asof_join", "q_range_join", "q_sessionize",
+        "q_event_funnel", "q_event_transitions", "q_cohort_retention",
+        "q_time_weighted_avg", "q_zorder_layout", "q_daily_distinct_users",
+        "pipeline_clean_corpus", "dedup_exact", "dedup_clusters",
+        "text_stats", "text_lang_id", "text_tfidf_top_terms",
+        "udaf_sum_sq", "dq_checks", "schema_drift", "ann_cosine_topk",
+        "ann_lsh_buckets", "dedup_embedding_cosine",
+        "emb_kmeans_fixed_point", "multimodal_byte_features",
+        "multimodal_frame_sample", "multimodal_audio_energy",
+        "dq_benford_check", "corpus_decontaminate",
+        "corpus_repetition_signals", "corpus_split_assign",
+        "corpus_mixing_weights", "corpus_sequence_packing",
+        "corpus_oov_rate", "sql_recursive_closure",
     ]
-    rank = {n: i for i, n in enumerate(stdout_priority)}
-    ordered = sorted(
-        timings, key=lambda n: (rank.get(n, len(stdout_priority)), HEADLINE.index(n))
-    )
-    out["queries"] = {k: round(timings[k], 2) for k in ordered}
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1990:
-        out.pop("reps", None)
-        out.pop("estimator", None)
-        out["metric"] = "headline_total"
+    out.pop("reps", None)
+    out.pop("estimator", None)
+    out["metric"] = "headline_total"
+    out["queries_omitted"] = len(timings) - len(stdout_queries)
+    for ndigits in (2, 1, None):
+        out["queries"] = {
+            k: round(timings[k], ndigits) for k in stdout_queries
+        }  # ndigits=None -> int, the last-resort 0-decimal rung
         line = json.dumps(out, separators=(",", ":"))
-    while len(line) > 1990 and out["queries"]:
-        out["queries"].pop(next(reversed(out["queries"])))
-        out["queries_omitted"] = len(timings) - len(out["queries"])
-        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= 1990:
+            break
     print(line)
 
 

@@ -1615,17 +1615,28 @@ def test_mg_summary_counts_are_partial_aggregates(spark):
     assert "partial_count" in raw  # map-side combine on raw events
 
     # the (K+1)-th selection is the two-level tournament (2 windows,
-    # local heat then survivors), never a global sort
+    # local heat then survivors), never a global sort. A global sort
+    # prints as a `Sort` detail block with the global flag `true`
+    # (formatted explain never emits a 'GlobalSort' token — the
+    # pre-r15 assert on it was vacuous, ADVICE r14) and plans one
+    # `Exchange rangepartitioning`; assert on those representations.
+    import re as _re
+
+    def _has_global_sort(p: str) -> bool:
+        return bool(
+            _re.search(r"\(\d+\) Sort[^\n]*\nArguments: \[[^\n]*\], true,", p)
+        ) or "rangepartitioning" in p
+
     thr = _plan(_mg_threshold(raw_counts.localCheckpoint(eager=False),
                               ["event_type"], "user_id"))
     assert thr.count("Window") >= 2
-    assert "GlobalSort" not in thr
+    assert not _has_global_sort(thr), thr
 
     for q in (sketch_mg_topk, sketch_mg_merge_days):
         plan = _plan(q(spark, SF_DIR))
         assert plan.count("Scan parquet") == 0  # counts materialized once
         assert "Scan ExistingRDD" in plan
         assert "CartesianProduct" not in plan
-        assert "GlobalSort" not in plan and "\nSort " not in plan
+        assert not _has_global_sort(plan), plan
     # sketch_mg_topk keeps its tournament inline (single-consumer)
     assert _plan(sketch_mg_topk(spark, SF_DIR)).count("Window") >= 2

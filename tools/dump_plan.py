@@ -1,5 +1,6 @@
 """Dump .explain('formatted') for named contract queries into
-plans/r14/<query>_<tag>.txt (the judge-facing plan evidence).
+plans/$PLAN_ROUND/<query>_<tag>.txt (the judge-facing plan evidence;
+PLAN_ROUND defaults to r15).
 
     python tools/dump_plan.py after ann_ivf_pq emb_outlier_distance ...
 """
@@ -20,7 +21,7 @@ def main(tag: str, names: list[str]) -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("PLAN_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plan", cpus=8)
