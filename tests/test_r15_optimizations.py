@@ -91,6 +91,10 @@ def test_ivfpq_serving_reads_corpus_exactly_twice(spark):
 
     from ai_data_pipeline_spark.operators.similarity import ann_ivf_pq
 
+    # an earlier test in the shared session may have .cache()d the
+    # embeddings relation, replacing parquet scans (and their
+    # PushedFilters) with InMemoryTableScan — count on the real scans
+    spark.catalog.clearCache()
     plan = _plan(ann_ivf_pq(spark, SF_DIR))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     unbounded = [
