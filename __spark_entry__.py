@@ -357,9 +357,11 @@ def _driver_evidence(
 #     candidate score becomes a broadcast-map lookup projection (no
 #     posexplode / join / groupBy tail), probes gets an explicit
 #     broadcast hint (the planner picked a SortMergeJoin that shuffled
-#     the encoded corpus into N_CELLS partitions), and the audit's two
+#     the encoded corpus into N_CELLS partitions), the audit's two
 #     distortion passes fused into one corpus scan computing both
-#     codebooks' sums. Re-verified green vs oracle at
+#     codebooks' sums, and the rerank/audit exact-truth streams get
+#     the gated `_spread` repartition (single-row-group scan = one
+#     task; no-op at cluster scale). Re-verified green vs oracle at
 #     sf0.001/0.01/0.1 via tools/drive_subset.py on the new code.
 _REWRITTEN_SINCE_GREEN: set[str] = {
     "ann_ivf_pq",
